@@ -1,0 +1,3 @@
+from .catalog import CATALOG, oracle_sql_map, queries_map
+
+__all__ = ["CATALOG", "queries_map", "oracle_sql_map"]

@@ -1,0 +1,881 @@
+"""Generic query catalog over the driver testdata (TPC-H-ish star schema).
+
+Every operator class from SURVEY.md §2 (the reference's full inventory)
+is exercised by at least one named query here, re-expressed over the
+region/nation/customer/supplier/part/orders/lineitem/events tables, each
+paired with an ANSI-SQL oracle that DuckDB runs on the same parquet.
+
+Cross-engine exactness conventions (these make the driver's value-hash
+comparison deterministic, see functions/aggregates.py):
+- floating SUM/AVG/STDDEV go through **exact decimal accumulation**
+  (order-independent → bit-identical across engines and partitionings);
+- derived floats are pure IEEE arithmetic over those exact aggregates;
+- no ROUND on output floats (round's half-case differs between engines);
+- int-typed derived columns are cast explicitly on both sides;
+- every ranking has a unique tie-break key.
+
+Scale notes are inline per query: which side broadcasts, where the
+shuffles are, and why the plan survives a 1000-executor 100 TB run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.aggregates import (
+    davg,
+    davg_sql,
+    dstddev,
+    dstddev_sql,
+    dsum,
+    dsum_sql,
+)
+from ..sources.readers import load_table
+
+
+@dataclass
+class CatalogQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → rows-only check (non-SQL-expressible)
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+CATALOG: dict[str, CatalogQuery] = {}
+
+
+def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = CatalogQuery(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: q.fn for n, q in CATALOG.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {n: q.oracle for n, q in CATALOG.items() if q.oracle is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / scan / filter (reference A1/A2/A6, P1-P3, F7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 2)}        AS sum_qty,
+           {dsum_sql('l_extendedprice', 2)}   AS sum_base_price,
+           {dsum_sql(_DISC_PRICE, 6)}         AS sum_disc_price,
+           {dsum_sql(_CHARGE, 6)}             AS sum_charge,
+           {davg_sql('l_quantity', 2)}        AS avg_qty,
+           {davg_sql('l_extendedprice', 2)}   AS avg_price,
+           {davg_sql('l_discount', 2)}        AS avg_disc,
+           COUNT(*)                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan", "filter"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the reference's multi-measure group-by (A1/A6)
+    with the date predicate pushed down into the parquet scan.
+
+    Scale: map-side partial aggregation on (returnflag, linestatus) — a
+    handful of groups — means the shuffle moves only |groups|x|tasks|
+    rows regardless of fact size. Decimal accumulation keeps the result
+    bit-stable under any partitioning (see functions/aggregates.py).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "region_customer_rollup",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_customers,
+           {davg_sql('c.c_acctbal', 2)} AS avg_acctbal,
+           {dsum_sql('c.c_acctbal', 2)} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region_name
+    """,
+    tags=("join", "agg", "broadcast"),
+)
+def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim rollup — the reference's signature join shape
+    (J1/J2/J4: weather⋈location on location_id, reference
+    src/spark/weather_spark_analysis_new.py:295).
+
+    Scale: both dims are tiny → explicit broadcast() keeps the customer
+    side un-shuffled; the only shuffle is the final 5-group aggregate.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal", 2).alias("avg_acctbal"),
+            dsum("c_acctbal", 2).alias("total_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
+@query(
+    "top_orders_by_revenue",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           o.o_orderpriority AS orderpriority,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + global top-k (reference O2: ORDER BY+LIMIT →
+    Spark plans TakeOrderedAndProject, no full sort materialization).
+
+    Scale: grouping is on lineitem's natural key so AQE can pick a
+    co-partitioned shuffle-hash / sort-merge join; top-10 is computed
+    per-partition then merged (no global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "nation_left_join_counts",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           COUNT(c.c_custkey) AS n_customers,
+           COALESCE({dsum_sql('c.c_acctbal', 2)}, 0.0) AS total_acctbal
+    FROM nation n
+    LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation_name
+    """,
+    tags=("join", "left", "agg"),
+)
+def nation_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving empty dims (reference J5:
+    raw_weather_data LEFT JOIN locations in the serving SQL).
+    COUNT(col) null-exclusion semantics must match exactly."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(dsum("c_acctbal", 2), F.lit(0.0)).alias("total_acctbal"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+@query(
+    "semi_join_building_orders",
+    oracle=f"""
+    SELECT o.o_orderstatus AS orderstatus,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o.o_totalprice', 2)} AS total_price
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o.o_orderstatus
+    ORDER BY orderstatus
+    """,
+    tags=("join", "semi"),
+)
+def semi_join_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (reference J3/J7: filter fact to a key set —
+    the dashboard's two-query IN-list collapsed into one plan).
+
+    Scale: the filtered customer key set is broadcast; the fact is
+    filtered in place with zero shuffle before the small aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy(F.col("o_orderstatus").alias("orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("orderstatus")
+    )
+
+
+@query(
+    "cte_top_customers_lines",
+    oracle=f"""
+    WITH top_customers AS (
+        SELECT o_custkey AS t_custkey, {dsum_sql('o_totalprice', 2)} AS total_spend
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY total_spend DESC, t_custkey ASC
+        LIMIT 5
+    )
+    SELECT t.t_custkey AS custkey,
+           t.total_spend AS total_spend,
+           COUNT(l.l_orderkey) AS n_lineitems
+    FROM top_customers t
+    JOIN orders o ON o.o_custkey = t.t_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY t.t_custkey, t.total_spend
+    ORDER BY total_spend DESC, custkey ASC
+    """,
+    tags=("join", "cte", "topk"),
+)
+def cte_top_customers_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE-driven top-k-then-join-back (reference J6:
+    requirement2_top_districts.sql WITH top_districts ... INNER JOIN).
+
+    Scale: the 5-row top-k result is broadcast back against both fact
+    tables — the big sides never shuffle for the join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    top = (
+        o.groupBy(F.col("o_custkey").alias("t_custkey"))
+        .agg(dsum("o_totalprice", 2).alias("total_spend"))
+        .orderBy(F.desc("total_spend"), F.asc("t_custkey"))
+        .limit(5)
+    )
+    oa = o.alias("oa")
+    la = li.alias("la")
+    return (
+        F.broadcast(top)
+        .join(oa, F.col("t_custkey") == F.col("oa.o_custkey"))
+        .join(la, F.col("la.l_orderkey") == F.col("oa.o_orderkey"))
+        .groupBy(F.col("t_custkey").alias("custkey"), "total_spend")
+        .agg(F.count("la.l_orderkey").alias("n_lineitems"))
+        .orderBy(F.desc("total_spend"), F.asc("custkey"))
+    )
+
+
+@query(
+    "priority_pct_highvalue",
+    oracle="""
+    SELECT o_orderpriority AS orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_highvalue,
+           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS pct_highvalue
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY orderpriority
+    """,
+    tags=("agg", "conditional"),
+)
+def priority_pct_highvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional count + percentage (reference A4/A5/A9: the
+    radiation-days-above-15 percentage and the CASE-WHEN temperature
+    buckets, src/spark/weather_spark_analysis_new.py:316-328).
+    Integer-ratio arithmetic is exact, so no rounding is needed."""
+    o = _t(spark, sf_dir, "orders")
+    hi = F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hi.cast("long").alias("n_highvalue"),
+            (hi * 100.0 / F.count(F.lit(1))).alias("pct_highvalue"),
+        )
+        .orderBy("orderpriority")
+    )
+
+
+@query(
+    "events_count_distinct_users",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 9)} AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "distinct"),
+)
+def events_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (reference A10). The reference
+    never uses approximate distinct; approx_count_distinct is exposed
+    separately for the 100 TB path (operators.approx)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 9).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "lineitem_feature_stats",
+    oracle=f"""
+    SELECT 'l_quantity' AS feature,
+           {davg_sql('l_quantity', 2)} AS mean, {dstddev_sql('l_quantity', 2)} AS stddev,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min, CAST(MAX(l_quantity) AS DOUBLE) AS max,
+           COUNT(l_quantity) AS count
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           {davg_sql('l_extendedprice', 2)}, {dstddev_sql('l_extendedprice', 2)},
+           CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+           COUNT(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           {davg_sql('l_discount', 2)}, {dstddev_sql('l_discount', 2)},
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+           COUNT(l_discount)
+    FROM lineitem
+    ORDER BY feature
+    """,
+    tags=("agg", "stats", "ml"),
+)
+def lineitem_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature descriptive statistics (reference A8: the MLlib
+    feature-statistics loop, src/spark_mllib/train_et_model.py:276-292)
+    — computed in ONE pass over the fact instead of one job per column,
+    then unpivoted via stack(). At 100 TB a per-column loop is N full
+    scans; this is exactly one."""
+    li = _t(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in feats:
+        aggs += [
+            davg(c, 2).alias(f"{c}__mean"),
+            dstddev(c, 2).alias(f"{c}__stddev"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.count(c).alias(f"{c}__count"),
+        ]
+    wide = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__mean, {c}__stddev, {c}__min, {c}__max, {c}__count" for c in feats
+    )
+    return wide.selectExpr(
+        f"stack({len(feats)}, {stack_expr}) as (feature, mean, stddev, min, max, count)"
+    ).orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# Windows / ranking / top-k per group (reference W1/W2, O1-O4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_top3_acctbal_per_segment",
+    oracle="""
+    SELECT mktsegment, custkey, acctbal, rank
+    FROM (
+        SELECT c_mktsegment AS mktsegment, c_custkey AS custkey,
+               c_acctbal AS acctbal,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rank
+        FROM customer
+    )
+    WHERE rank <= 3
+    ORDER BY mktsegment, rank
+    """,
+    tags=("window", "topk"),
+)
+def window_top3_acctbal_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number top-k per group — the reference's signature window
+    (W1: top-3 hottest months per year,
+    src/spark/weather_spark_analysis_new.py:363-367). Unique tiebreak
+    (custkey) makes the ranking deterministic across engines.
+
+    Scale: one hash shuffle on the partition key; the rank<=3 filter is
+    pushed into the window via Spark's WindowGroupLimit (top-k early
+    pruning before the full sort of each group)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("mktsegment", "rank")
+    )
+
+
+@query(
+    "global_month_rank",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           {dsum_sql('o_totalprice', 2)} AS revenue,
+           CAST(ROW_NUMBER() OVER (ORDER BY {dsum_sql('o_totalprice', 2)} DESC,
+                                   year(o_orderdate) ASC, month(o_orderdate) ASC) AS INT)
+               AS revenue_rank
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    ORDER BY revenue_rank
+    """,
+    tags=("window", "global-rank"),
+)
+def global_month_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (un-partitioned) row_number over an aggregate (reference
+    W2: the ET-recommendation ranking). Safe at scale only because it
+    ranks the *aggregate* (|years|x12 rows), never the raw fact — the
+    single-partition window sees a tiny input."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+    ).agg(dsum("o_totalprice", 2).alias("revenue"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("order_year"), F.asc("order_month"))
+    return agg.select(
+        "order_year",
+        "order_month",
+        "revenue",
+        F.row_number().over(w).cast("int").alias("revenue_rank"),
+    ).orderBy("revenue_rank")
+
+
+@query(
+    "events_user_moving_avg",
+    oracle="""
+    SELECT user_id, event_id, value,
+           (value + COALESCE(LAG(value, 1) OVER w, 0.0) + COALESCE(LAG(value, 2) OVER w, 0.0))
+             / LEAST(CAST(ROW_NUMBER() OVER w AS DOUBLE), 3.0) AS moving_avg
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "frames"),
+)
+def events_user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row trailing moving average — window-frame semantics (beyond
+    the reference's window surface; SURVEY §2.5 says expose the full
+    analytic family). Built from LAG + ROW_NUMBER so the float math is
+    an identical IEEE expression in both engines (a native AVG-over-
+    frame may accumulate in a different order engine to engine)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    msum = (
+        F.col("value")
+        + F.coalesce(F.lag("value", 1).over(w), F.lit(0.0))
+        + F.coalesce(F.lag("value", 2).over(w), F.lit(0.0))
+    )
+    mcount = F.least(F.row_number().over(w).cast("double"), F.lit(3.0))
+    return ev.select(
+        "user_id", "event_id", "value", (msum / mcount).alias("moving_avg")
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "peak_order_month",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           {dsum_sql('o_totalprice', 2)} AS total_revenue
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    ORDER BY total_revenue DESC, order_year ASC, order_month ASC
+    LIMIT 1
+    """,
+    tags=("agg", "argmax"),
+)
+def peak_order_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global argmax (reference A3: HighestPrecipitationMonth's single
+    reducer with a running max in cleanup() → groupBy + orderBy +
+    limit 1; Spark's TakeOrderedAndProject replaces the hand-rolled
+    max, and the map-side partial aggregate replaces the combiner A2)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(dsum("o_totalprice", 2).alias("total_revenue"))
+        .orderBy(F.desc("total_revenue"), F.asc("order_year"), F.asc("order_month"))
+        .limit(1)
+    )
+
+
+@query(
+    "top3_months_weekly_detail",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+               {davg_sql('o_totalprice', 2)} AS avg_price
+        FROM orders
+        GROUP BY year(o_orderdate), month(o_orderdate)
+    ),
+    top3 AS (
+        SELECT yr, mon FROM (
+            SELECT yr, mon,
+                   ROW_NUMBER() OVER (PARTITION BY yr ORDER BY avg_price DESC, mon ASC) AS rnk
+            FROM monthly
+        ) WHERE rnk <= 3
+    )
+    SELECT CAST(o.yr AS INT) AS order_year,
+           CAST(o.mon AS INT) AS order_month,
+           CAST(o.wk AS INT) AS order_week,
+           MAX(o.o_totalprice) AS max_price,
+           {davg_sql('o.o_totalprice', 2)} AS avg_price,
+           COUNT(*) AS n_orders
+    FROM (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+               weekofyear(o_orderdate) AS wk, o_totalprice
+        FROM orders
+    ) o
+    JOIN top3 t ON o.yr = t.yr AND o.mon = t.mon
+    GROUP BY o.yr, o.mon, o.wk
+    ORDER BY order_year, order_month, order_week
+    """,
+    tags=("window", "join", "agg"),
+)
+def top3_months_weekly_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's most complex batch query re-shaped (Spark 2.3b,
+    src/spark/weather_spark_analysis_new.py:358-402): top-3 months per
+    year by average, composite-key join back to the fact, weekly
+    rollup. weekofyear() is ISO week exactly as the reference relies on.
+
+    Scale: the top-3 (year,month) key set is tiny → broadcast join
+    against the fact; no fact shuffle before the final aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.weekofyear("o_orderdate").alias("wk"),
+        "o_totalprice",
+    )
+    monthly = o.groupBy("yr", "mon").agg(davg("o_totalprice", 2).alias("avg_price"))
+    w = Window.partitionBy("yr").orderBy(F.desc("avg_price"), F.asc("mon"))
+    top3 = (
+        monthly.select("yr", "mon", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .drop("rnk")
+    )
+    return (
+        o.join(F.broadcast(top3), ["yr", "mon"])
+        .groupBy("yr", "mon", "wk")
+        .agg(
+            F.max("o_totalprice").alias("max_price"),
+            davg("o_totalprice", 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.col("yr").cast("int").alias("order_year"),
+            F.col("mon").cast("int").alias("order_month"),
+            F.col("wk").cast("int").alias("order_week"),
+            "max_price",
+            "avg_price",
+            "n_orders",
+        )
+        .orderBy("order_year", "order_month", "order_week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / distinct / set ops / scalar functions (P11, §2.7, F1-F12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_status_priority",
+    oracle="""
+    SELECT DISTINCT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority
+    FROM orders
+    ORDER BY orderstatus, orderpriority
+    """,
+    tags=("distinct",),
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (reference P11: dashboard dropdown population)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .distinct()
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+@query(
+    "union_high_value_or_building",
+    oracle="""
+    SELECT custkey, mktsegment FROM (
+        SELECT c_custkey AS custkey, c_mktsegment AS mktsegment
+        FROM customer WHERE c_acctbal > 7500
+        UNION
+        SELECT c_custkey, c_mktsegment
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    ORDER BY custkey
+    """,
+    tags=("setops",),
+)
+def union_high_value_or_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup — set-op surface (SURVEY §2.7: exposed beyond
+    the reference, whose only analogue is pandas concat)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 7500).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    return a.unionByName(b).distinct().orderBy("custkey")
+
+
+@query(
+    "season_bucket_revenue",
+    oracle=f"""
+    SELECT CAST(CASE WHEN month(o_orderdate) IN (1, 2, 3)
+                     THEN year(o_orderdate) - 1 ELSE year(o_orderdate) END AS INT) AS season_year,
+           CASE WHEN month(o_orderdate) IN (9, 10, 11, 12, 1, 2, 3)
+                THEN 'Maha' ELSE 'Yala' END AS season,
+           COUNT(*) AS n_orders,
+           {davg_sql('o_totalprice', 2)} AS avg_price,
+           {dsum_sql('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY season_year, season
+    """,
+    tags=("scalar", "case-when", "agg"),
+)
+def season_bucket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN season bucketing with the reference's subtle
+    season-year shift (F5/F6: Jan-Mar belongs to the *previous* year's
+    Maha season, src/hive/03_query2_evapotranspiration.hql:16-34) —
+    applied to o_orderdate months."""
+    o = _t(spark, sf_dir, "orders")
+    mon = F.month("o_orderdate")
+    yr = F.year("o_orderdate")
+    season_year = F.when(mon.isin(1, 2, 3), yr - 1).otherwise(yr).cast("int")
+    season = F.when(mon.isin(9, 10, 11, 12, 1, 2, 3), F.lit("Maha")).otherwise(F.lit("Yala"))
+    return (
+        o.groupBy(season_year.alias("season_year"), season.alias("season"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            davg("o_totalprice", 2).alias("avg_price"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("season_year", "season")
+    )
+
+
+@query(
+    "events_date_parts",
+    oracle=f"""
+    SELECT CAST(year(ts) AS INT) AS event_year,
+           CAST(month(ts) AS INT) AS event_month,
+           CAST(weekofyear(ts) AS INT) AS event_week,
+           concat_ws('-', CAST(year(ts) AS VARCHAR),
+                     lpad(CAST(month(ts) AS VARCHAR), 2, '0')) AS year_month,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 9)} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    ORDER BY event_year, event_month, event_week
+    """,
+    tags=("scalar", "dates"),
+)
+def events_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + zero-padded year_month key (reference
+    F2/F4/F12: year()/month()/weekofyear() derivations and the
+    MapReduce job's String.format("%%02d") month padding)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").cast("int").alias("event_year"),
+            F.month("ts").cast("int").alias("event_month"),
+            F.weekofyear("ts").cast("int").alias("event_week"),
+            F.concat_ws(
+                "-", F.year("ts").cast("string"), F.lpad(F.month("ts").cast("string"), 2, "0")
+            ).alias("year_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 9).alias("total_value"))
+        .orderBy("event_year", "event_month", "event_week")
+    )
+
+
+@query(
+    "nation_acctbal_deviation",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           {davg_sql('c.c_acctbal', 2)} AS avg_acctbal,
+           ABS({davg_sql('c.c_acctbal', 2)} - 4500.0) AS deviation
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY deviation ASC, nation_name ASC
+    LIMIT 10
+    """,
+    tags=("scalar", "abs", "topk"),
+)
+def nation_acctbal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABS-deviation ranking (reference F8: 'most temperate = closest
+    to 22°C', src/hive/02_query1_top_cities.hql:11-19 — implementing
+    the code's distance-from-constant semantics, not its comment)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = davg("c_acctbal", 2)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            avg_bal.alias("avg_acctbal"),
+            F.abs(avg_bal - 4500.0).alias("deviation"),
+        )
+        .orderBy(F.asc("deviation"), F.asc("nation_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "events_hourly_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 9)} AS total_value,
+           {davg_sql('value', 9)} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tags=("agg", "time-window", "streaming-analog"),
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate in batch form (reference A12 / §2.9:
+    the maintained mv_monthly_summary aggregate; in streaming mode this
+    exact plan runs under readStream + watermark — see streaming/)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 9).alias("total_value"),
+            davg("value", 9).alias("avg_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS INT) AS session_seq,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 9)} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    tags=("window", "sessionization", "streaming-analog"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via the
+    lag→flag→running-sum idiom — the batch twin of the streaming
+    session-window operator in streaming/. Deterministic tie-break on
+    event_id.
+
+    Scale: a single hash shuffle on user_id; both windows and the final
+    aggregate reuse that partitioning (Catalyst plans one Exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = 1800 * 1000 * 1000
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_seq").cast("int").alias("session_seq"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 9).alias("session_value"))
+        .orderBy("user_id", "session_seq")
+    )

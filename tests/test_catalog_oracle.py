@@ -1,0 +1,39 @@
+"""Run every catalog query against its DuckDB oracle — the local twin
+of the driver's CORRECTNESS gate (sf0.001 for speed; driver uses sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_processing_spark.plans.catalog import CATALOG
+
+from .conftest import assert_frames_match
+
+ORACLE_QUERIES = sorted(n for n, q in CATALOG.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in CATALOG.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    q = CATALOG[name]
+    result = q.fn(spark, sf_dir)
+    oracle = duck.sql(q.oracle).df()
+    assert_frames_match(result, oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    q = CATALOG[name]
+    result = q.fn(spark, sf_dir)
+    assert result.count() >= 0
+    assert len(result.schema) > 0
+
+
+def test_entry_module_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 15
