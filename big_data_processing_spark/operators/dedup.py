@@ -1,0 +1,146 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact, fingerprint, MinHash+LSH (with Jaccard verification),
+and SimHash.
+
+All variants are pure DataFrame ops (md5/conv/array built-ins — no
+Python UDFs), so they stay in whole-stage codegen and scale to 100 TB:
+
+- **exact / fingerprint**: one hash-groupBy shuffle keyed by the digest.
+- **MinHash+LSH**: signatures are computed row-local (array exprs, no
+  shuffle); the only shuffles are the band-bucket self-join — which
+  moves (bands x docs) small rows, never full text — and the final
+  pair dedup. Candidate pairs are verified with exact Jaccard before
+  being reported, the standard LSH-then-verify pipeline.
+- **SimHash**: row-local fingerprint; near-dup buckets are an exact
+  groupBy on the fingerprint (hamming-radius search would add a
+  banded variant of the same join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash32, normalize_text, shingles, tokenize
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = False
+) -> DataFrame:
+    """Groups of exact-duplicate documents: digest, n_copies, keep_id.
+
+    ``normalized=True`` fingerprints the canonical text (lower,
+    collapsed whitespace) instead of raw bytes."""
+    key = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        df.groupBy(F.md5(key).alias("digest"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _seeded_hash(i: int):
+    # closure factory: a `lambda s, i=i` would make PySpark pass the
+    # array index as a second lambda arg, clobbering the seed
+    return lambda s: hash32(s, seed=f"{i}:")
+
+
+def minhash_signature_cols(text_col: str, num_hashes: int, shingle_n: int) -> list:
+    """One min-hash column per seed, each an array_min over shingle hashes."""
+    toks = tokenize(F.col(text_col))
+    sh = shingles(toks, shingle_n)
+    return [
+        F.array_min(F.transform(sh, _seeded_hash(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding,
+    verified with exact shingle-set Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    toks = tokenize(F.col(text_col))
+    sh = shingles(toks, shingle_n)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(sh).alias("shingle_set"),
+        *[
+            F.array_min(F.transform(sh, _seeded_hash(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select(
+        "id", "shingle_set", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingle_set").alias("set_a"),
+            F.col("b.shingle_set").alias("set_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("long")
+    union = F.size("set_a").cast("long") + F.size("set_b").cast("long") - inter
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash fingerprint (bit-majority of token hashes).
+
+    Row-local computation (token multiset, md5-derived 32-bit hashes,
+    per-bit sign vote). Docs sharing a fingerprint are near-duplicate
+    candidates; returns (id, simhash)."""
+    toks = tokenize(F.col(text_col))
+    tokhash = F.transform(toks, lambda t: hash32(t, seed="sh:"))
+
+    def bit_vote(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    simhash = None
+    for j in range(bits):
+        vote = F.aggregate(tokhash, F.lit(0).cast("long"), bit_vote(j))
+        bit_j = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit_j * F.lit(1 << j).cast("long")
+        simhash = term if simhash is None else simhash + term
+    return df.select(F.col(id_col).alias("id"), simhash.alias("simhash"))

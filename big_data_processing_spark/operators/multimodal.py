@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas transforms over ``mapInPandas`` — the Spark-native
+pattern for per-blob Python work (one JVM→Arrow→pandas hop per batch,
+never per row).
+
+The actual codec step is STUBBED (this container ships no image/audio
+libraries): :func:`decode_stub_features` computes deterministic fake
+"features" from the raw bytes so the Spark-side plumbing — schema,
+batching, partition sizing — is real and testable, and the codec can be
+swapped in by replacing one function.
+
+Scale notes: blobs dominate partition size, so re-partition by
+``maxRecordsPerFile``-style row budgets, not bytes of the metadata;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds pandas memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("meta_source", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum32", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adapter: wrap a text column as a binary media payload (the
+    testdata has no real blobs; this exercises the binary pathway)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.col("source").alias("meta_source"),
+    )
+
+
+def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder: real pipelines replace this body with PIL/ffmpeg.
+
+    Emits a deterministic 4-dim "feature" derived from payload bytes so
+    downstream operators (similarity, dedup) can be tested end-to-end.
+    """
+    for pdf in batches:
+        out = pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "checksum32": pdf["payload"]
+                .map(lambda b: sum(b[:64]) % (1 << 32))
+                .astype("int64"),
+                "feature": pdf["payload"].map(
+                    lambda b: [
+                        float(len(b)),
+                        float(b[0]) if len(b) else 0.0,
+                        float(b[-1]) if len(b) else 0.0,
+                        float(sum(b[:16]) % 255),
+                    ]
+                ),
+            }
+        )
+        yield out
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payloads."""
+    return media.mapInPandas(decode_stub_features, schema=FEATURE_SCHEMA)

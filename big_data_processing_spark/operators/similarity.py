@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`brute_force_knn` — exact cosine top-k, the correctness
+  baseline. The query set is broadcast; each partition of the corpus
+  computes cosines row-locally and the per-query top-k is taken with a
+  window (WindowGroupLimit prunes to k rows per partition before the
+  final merge). Cost is O(|queries| x |corpus|) — fine for a broadcast-
+  sized query set, which is the realistic shape ("find neighbors of
+  these N items in the 100 TB corpus").
+- :func:`lsh_bucket_knn` — the scale path: random-hyperplane signatures
+  bucket the corpus; candidates only within matching buckets (probing
+  multiple band permutations), then exact cosine re-rank. Recall is
+  tunable via (planes, bands); the corpus-side shuffle is by bucket id,
+  never all-pairs.
+
+All float math is element-wise double arithmetic via zip_with/aggregate
+(JVM codegen, no Python). Hyperplanes are generated from a seeded RNG
+driver-side and embedded as literals — deterministic and broadcast-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _to_double(a), _to_double(b)
+    return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH signature as a packed long (one bit per plane)."""
+    dv = _to_double(vec)
+    sig = None
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(dv, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def lsh_bucket_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    bands: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Signature bits are split into ``bands`` sub-signatures; a corpus row
+    is a candidate for a query if any band matches. Returns the same
+    schema as :func:`brute_force_knn` (ranks computed over candidates).
+    """
+    dim = 64
+    planes = hyperplanes(dim, n_planes, seed)
+    rows = n_planes // bands
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = signature_bits(F.col(vec_col), planes)
+        band_arr = F.array(
+            *[
+                F.shiftright(sig, b * rows).bitwiseAND(F.lit((1 << rows) - 1))
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            F.posexplode(band_arr).alias("band_idx", f"{role}_band"),
+        )
+
+    qb = banded(queries, "q")
+    cb = banded(corpus, "c")
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (cb.band_idx == qb.band_idx)
+            & (F.col("c_band") == F.col("q_band"))
+            & (F.col("c_id") != F.col("q_id")),
+        )
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("q_vec"),
+            F.col("c_vec"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

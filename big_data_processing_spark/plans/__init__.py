@@ -1,3 +1,4 @@
+from . import catalog_ext  # noqa: F401  (registers extension queries)
 from .catalog import CATALOG, oracle_sql_map, queries_map
 
 __all__ = ["CATALOG", "queries_map", "oracle_sql_map"]

@@ -1,0 +1,467 @@
+"""Extension catalog: training-data-pipeline operators over the
+documents/embeddings tables — dedup (exact / fingerprint / MinHash+LSH
+/ SimHash), text analysis (token stats, quality, language ID),
+similarity search (brute-force + LSH kNN), multimodal binary plumbing.
+
+Oracles are generated from the SAME constants as the Spark plans
+(hash seeds, band layout, hyperplanes, stopword lists), so the DuckDB
+SQL is a true semantic twin, not a hand-kept copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    hash32_sql,
+    shingles_sql,
+    stopword_hits_sql,
+)
+from ..operators.dedup import minhash_lsh_pairs, simhash_fingerprints
+from ..operators.multimodal import extract_features, text_as_media
+from ..operators.similarity import brute_force_knn, hyperplanes, lsh_bucket_knn
+from ..operators.textstats import (
+    IDEAL_TOKEN_LEN,
+    W_LEN,
+    W_PUNCT,
+    W_STOP,
+    fingerprint_groups,
+    language_id,
+    quality_features,
+)
+from .catalog import _t, query
+
+_TOKENS = "regexp_split_to_array(lower(text), '\\s+')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKENS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(len({_TOKENS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(MAX(len({_TOKENS})) AS BIGINT) AS max_tokens,
+           CAST(MIN(len({_TOKENS})) AS BIGINT) AS min_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "agg"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counting rollup per language — integer-exact
+    aggregates (whitespace tokenizer; a BPE-ish regex tokenizer slots
+    into functions.text.tokenize without touching this plan)."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("long")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+            F.max(n_tok).alias("max_tokens"),
+            F.min(n_tok).alias("min_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _quality_oracle() -> str:
+    stop = stopword_hits_sql(_TOKENS, STOPWORDS["en"])
+    sum_len = f"list_reduce(list_transform({_TOKENS}, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b)"
+    n_tokens = f"CAST(len({_TOKENS}) AS BIGINT)"
+    n_chars = "CAST(length(text) AS BIGINT)"
+    punct = "CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT)"
+    avg_tok = f"(CAST({sum_len} AS DOUBLE) / CAST({n_tokens} AS DOUBLE))"
+    stop_ratio = f"(CAST({stop} AS DOUBLE) / CAST({n_tokens} AS DOUBLE))"
+    punct_ratio = f"(CAST({punct} AS DOUBLE) / CAST({n_chars} AS DOUBLE))"
+    score = (
+        f"({W_STOP} * {stop_ratio} + {W_PUNCT} * (1.0 - {punct_ratio})"
+        f" + {W_LEN} * (1.0 / (1.0 + ABS({avg_tok} - {IDEAL_TOKEN_LEN}))))"
+    )
+    return f"""
+    SELECT doc_id,
+           {n_chars} AS n_chars,
+           {n_tokens} AS n_tokens,
+           {punct} AS n_punct,
+           {stop} AS n_stopwords,
+           {avg_tok} AS avg_token_len,
+           {stop_ratio} AS stopword_ratio,
+           {punct_ratio} AS punct_ratio,
+           {score} AS quality_score
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@query("doc_quality_scores", oracle=_quality_oracle(), tags=("text", "quality"))
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/punctuation/stopword
+    heuristics à la C4/Gopher filters) — row-local, shuffle-free."""
+    return quality_features(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _lang_id_oracle() -> str:
+    langs = list(STOPWORDS)
+    hit_cols = ",\n           ".join(
+        f"{stopword_hits_sql(_TOKENS, STOPWORDS[lang])} AS hits_{lang}" for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"hits_{lang} >= hits_{other}" for other in langs if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_expr = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return f"""
+    WITH hits AS (
+        SELECT doc_id, lang,
+           {hit_cols}
+        FROM documents
+    )
+    SELECT lang, {case_expr} AS predicted_lang, COUNT(*) AS n_docs
+    FROM hits
+    GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """
+
+
+@query("doc_lang_id_confusion", oracle=_lang_id_oracle(), tags=("text", "lang-id"))
+def doc_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword vote, reported as a (label, prediction)
+    confusion rollup. Fixed priority order breaks ties deterministically."""
+    d = _t(spark, sf_dir, "documents")
+    pred = language_id(d)
+    return (
+        d.select("doc_id", "lang")
+        .join(pred.select("doc_id", "predicted_lang"), "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes,
+           COUNT(DISTINCT md5({_NORM})) AS n_unique_normalized
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate accounting per source: hash-groupBy dedup on the
+    raw digest and on the normalized (lower/collapsed-ws) digest.
+    Scale: one shuffle keyed by digest — the canonical exact-dedup plan."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+            F.countDistinct(F.md5(norm)).alias("n_unique_normalized"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_fingerprint_prefix_groups",
+    oracle=f"""
+    SELECT md5(substr({_NORM}, 1, 40)) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+    tags=("dedup", "fingerprint"),
+)
+def dedup_fingerprint_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint blocking (md5 of the first 40 normalized
+    chars): a cheap near-dup candidate generator — document
+    fingerprinting as a first-pass rolling-hash analogue."""
+    return fingerprint_groups(
+        _t(spark, sf_dir, "documents"), prefix_chars=40
+    ).orderBy("fingerprint")
+
+
+_MH_NUM, _MH_BANDS, _MH_ROWS, _MH_N, _MH_THRESH = 12, 4, 3, 3, 0.3
+
+
+def _minhash_oracle() -> str:
+    sh = shingles_sql(_TOKENS, _MH_N)
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, s -> {hash32_sql('s', f'{i}:')}))" for i in range(_MH_NUM)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT id, sset, {b} AS band_idx, "
+        f"md5(array_to_string(sig[{b * _MH_ROWS + 1}:{(b + 1) * _MH_ROWS}], ',')) AS band_hash "
+        "FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id AS id, {sh} AS sh
+        FROM (SELECT doc_id, text FROM documents)
+    ),
+    sigs AS (
+        SELECT id, list_distinct(sh) AS sset, [{sig_items}] AS sig
+        FROM sh
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sset AS set_a, b.sset AS set_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(set_a, set_b)) AS DOUBLE)
+             / CAST(len(set_a) + len(set_b) - len(list_intersect(set_a, set_b)) AS DOUBLE)
+             AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(set_a, set_b)) AS DOUBLE)
+             / CAST(len(set_a) + len(set_b) - len(list_intersect(set_a, set_b)) AS DOUBLE)
+             >= {_MH_THRESH}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_minhash_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12 hashes) + LSH(4 bands x 3 rows) near-dup candidate
+    pairs over 3-token shingles, verified with exact Jaccard >= 0.3.
+
+    Scale: signatures are row-local array exprs; only band buckets
+    shuffle (each doc contributes 4 tiny rows). The Jaccard verify
+    joins shingle sets only for candidates — never all pairs."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MH_NUM,
+        bands=_MH_BANDS,
+        shingle_n=_MH_N,
+        jaccard_threshold=_MH_THRESH,
+    )
+
+
+_SH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    tokhash = f"list_transform({_TOKENS}, t -> {hash32_sql('t', 'sh:')})"
+    terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(th, h -> ((h >> {j}) & 1) * 2 - 1),"
+        f" (a, b) -> a + b) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_SH_BITS)
+    )
+    return f"""
+    WITH th AS (SELECT doc_id AS id, {tokhash} AS th FROM documents)
+    SELECT id, {terms} AS simhash
+    FROM th
+    ORDER BY id
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash fingerprint (bit-majority vote over
+    md5-derived token hashes) — near-dup docs collide or differ in few
+    bits; bucketing on the fingerprint is an exact groupBy."""
+    return simhash_fingerprints(
+        _t(spark, sf_dir, "documents"), bits=_SH_BITS
+    ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_K, _KNN_QMOD = 5, 50
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len(({a}))), "
+        f"i -> (({a})[i])::DOUBLE * (({b})[i])::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _knn_oracle() -> str:
+    cos = (
+        f"({_dot_sql('q_vec', 'c_vec')}) / "
+        f"(sqrt({_dot_sql('q_vec', 'q_vec')}) * sqrt({_dot_sql('c_vec', 'c_vec')}))"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+        WHERE vec_id % {_KNN_QMOD} = 0
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id, {cos} AS cosine
+        FROM c, q
+        WHERE c.neighbor_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_KNN_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("knn_bruteforce_cosine", oracle=_knn_oracle(), tags=("similarity", "knn"))
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the query subset (vec_id % 50
+    == 0): the ANN correctness baseline. Query set broadcasts; corpus
+    never shuffles; per-query top-k via WindowGroupLimit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_knn(
+        emb, emb.filter(F.col("vec_id") % _KNN_QMOD == 0), k=_KNN_K
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+_LSH_PLANES, _LSH_BANDS, _LSH_SEED, _LSH_DIM = 12, 3, 42, 64
+
+
+def _lsh_knn_oracle() -> str:
+    planes = hyperplanes(_LSH_DIM, _LSH_PLANES, _LSH_SEED)
+    rows = _LSH_PLANES // _LSH_BANDS
+    bit_terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        bit_terms.append(
+            f"(CASE WHEN ({_dot_sql('v', f'{lit}::DOUBLE[]')}) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    sig = " + ".join(bit_terms)
+    band_arr = ", ".join(
+        f"(sig >> {b * rows}) & {(1 << rows) - 1}" for b in range(_LSH_BANDS)
+    )
+    cos = (
+        f"({_dot_sql('q_vec', 'c_vec')}) / "
+        f"(sqrt({_dot_sql('q_vec', 'q_vec')}) * sqrt({_dot_sql('c_vec', 'c_vec')}))"
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig} AS sig
+        FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings)
+    ),
+    banded AS (
+        SELECT vec_id, embedding, u.band_idx, [{band_arr}][u.band_idx + 1] AS band
+        FROM sigs, (SELECT UNNEST(generate_series(0, {_LSH_BANDS - 1})) AS band_idx) u
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.embedding AS q_vec, c.embedding AS c_vec
+        FROM banded c
+        JOIN banded q ON c.band_idx = q.band_idx AND c.band = q.band
+                      AND c.vec_id != q.vec_id
+        WHERE q.vec_id % {_KNN_QMOD} = 0
+    ),
+    scored AS (SELECT query_id, neighbor_id, {cos} AS cosine FROM cand)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_KNN_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("knn_lsh_cosine", oracle=_lsh_knn_oracle(), tags=("similarity", "knn", "lsh"))
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (12 planes, 3 bands)
+    + exact re-rank of in-bucket candidates — the 100 TB ANN path: the
+    corpus shuffles by band bucket, never all-pairs. Hyperplanes are
+    seeded literals shared with the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_knn(
+        emb,
+        emb.filter(F.col("vec_id") % _KNN_QMOD == 0),
+        k=_KNN_K,
+        n_planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        seed=_LSH_SEED,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "binary_payload_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_payloads,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*) AS avg_bytes
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("multimodal", "binary"),
+)
+def binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column statistics over encoded payloads — the relational
+    half of the multimodal pathway (blob sizes drive partition sizing
+    at scale; see operators/multimodal.py for the decode stage)."""
+    media = text_as_media(_t(spark, sf_dir, "documents"))
+    blen = F.octet_length("payload").cast("long")
+    return (
+        media.groupBy(F.col("meta_source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum(blen).alias("total_bytes"),
+            F.max(blen).alias("max_bytes"),
+            (F.sum(blen).cast("double") / F.count(F.lit(1))).alias("avg_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("multimodal_stub_features", oracle=None, tags=("multimodal", "pandas-udf"))
+def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode step stubbed — deterministic fake features; see
+    operators/multimodal.py). Rows-only check: the stub is Python-side,
+    not SQL-expressible."""
+    media = text_as_media(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "checksum32"
+    ).orderBy("media_id")
