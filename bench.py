@@ -1,0 +1,54 @@
+"""Benchmark harness: runs the full query catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Timing is per-query wall clock around a full materialization
+(collect), after a session warm-up so JVM/codegen startup isn't charged
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_processing_spark.plans import CATALOG  # noqa: E402
+from big_data_processing_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bdp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM, parquet footer cache, codegen
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(CATALOG):
+        q = CATALOG[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

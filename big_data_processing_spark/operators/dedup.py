@@ -39,18 +39,28 @@ def exact_dedup_groups(
     )
 
 
-def _seeded_hash(i: int):
-    # closure factory: a `lambda s, i=i` would make PySpark pass the
+# Universal-hash permutation family for MinHash: h_i(x) = (a_i*x + b_i) mod P.
+# One md5 per shingle (cross-engine reproducible), then integer permutations —
+# ~10x cheaper than an md5 per (shingle x seed) and equally well-mixed.
+MINHASH_P = 4294967311  # smallest prime > 2^32; a*h stays under 2^63
+_rng_state = __import__("random").Random(7)
+MINHASH_AB: list[tuple[int, int]] = [
+    (_rng_state.randrange(1, 1 << 31) | 1, _rng_state.randrange(0, 1 << 31))
+    for _ in range(64)
+]
+
+
+def _perm(i: int):
+    # closure factory: a `lambda h, i=i` would make PySpark pass the
     # array index as a second lambda arg, clobbering the seed
-    return lambda s: hash32(s, seed=f"{i}:")
+    a, b = MINHASH_AB[i]
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
 
-def minhash_signature_cols(text_col: str, num_hashes: int, shingle_n: int) -> list:
-    """One min-hash column per seed, each an array_min over shingle hashes."""
-    toks = tokenize(F.col(text_col))
-    sh = shingles(toks, shingle_n)
+def minhash_signature_cols(hash_set_col, num_hashes: int) -> list:
+    """One min-hash column per permutation over a shingle-hash array."""
     return [
-        F.array_min(F.transform(sh, _seeded_hash(i))).alias(f"mh_{i}")
+        F.array_min(F.transform(hash_set_col, _perm(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
 
@@ -72,13 +82,19 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     toks = tokenize(F.col(text_col))
     sh = shingles(toks, shingle_n)
-    base = df.select(
+    # one md5 pass: the distinct shingle-hash set serves both the
+    # signature permutations and the exact-Jaccard verification.
+    # Repartition first: shingling is CPU-dense per row, and small doc
+    # corpora often arrive as one parquet split — spread the work.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hashed = df.repartition(par, id_col).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(sh).alias("shingle_set"),
-        *[
-            F.array_min(F.transform(sh, _seeded_hash(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ],
+        F.array_distinct(F.transform(sh, lambda s: hash32(s))).alias("shingle_set"),
+    )
+    base = hashed.select(
+        "id",
+        "shingle_set",
+        *minhash_signature_cols(F.col("shingle_set"), num_hashes),
     )
     band_hashes = F.array(
         *[
@@ -131,16 +147,30 @@ def simhash_fingerprints(
     Row-local computation (token multiset, md5-derived 32-bit hashes,
     per-bit sign vote). Docs sharing a fingerprint are near-duplicate
     candidates; returns (id, simhash)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, id_col)
     toks = tokenize(F.col(text_col))
     tokhash = F.transform(toks, lambda t: hash32(t, seed="sh:"))
-
-    def bit_vote(j: int):
-        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    simhash = None
-    for j in range(bits):
-        vote = F.aggregate(tokhash, F.lit(0).cast("long"), bit_vote(j))
-        bit_j = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit_j * F.lit(1 << j).cast("long")
-        simhash = term if simhash is None else simhash + term
+    # one fold over the token hashes accumulating all per-bit votes at
+    # once ((h>>j)&1 expressed as h % 2p >= p so it stays a pure array
+    # expression); then one zip to assemble the fingerprint.
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    votes = F.aggregate(
+        tokhash,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a + F.when(h % (p * 2) >= p, 1).otherwise(-1),
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            votes,
+            pow2,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.select(F.col(id_col).alias("id"), simhash.alias("simhash"))

@@ -48,10 +48,13 @@ def brute_force_knn(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine)."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.repartition(par, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -121,8 +124,9 @@ def lsh_bucket_knn(
             F.posexplode(band_arr).alias("band_idx", f"{role}_band"),
         )
 
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     qb = banded(queries, "q")
-    cb = banded(corpus, "c")
+    cb = banded(corpus.repartition(par, id_col), "c")
     cand = (
         cb.join(
             F.broadcast(qb),

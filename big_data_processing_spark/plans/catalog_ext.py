@@ -216,9 +216,13 @@ _MH_NUM, _MH_BANDS, _MH_ROWS, _MH_N, _MH_THRESH = 12, 4, 3, 3, 0.3
 
 
 def _minhash_oracle() -> str:
+    from ..operators.dedup import MINHASH_AB, MINHASH_P
+
     sh = shingles_sql(_TOKENS, _MH_N)
     sig_items = ", ".join(
-        f"list_min(list_transform(sh, s -> {hash32_sql('s', f'{i}:')}))" for i in range(_MH_NUM)
+        f"list_min(list_transform(hs, h -> (h * {MINHASH_AB[i][0]} + {MINHASH_AB[i][1]})"
+        f" % {MINHASH_P}))"
+        for i in range(_MH_NUM)
     )
     band_selects = "\n        UNION ALL\n".join(
         f"        SELECT id, sset, {b} AS band_idx, "
@@ -231,9 +235,13 @@ def _minhash_oracle() -> str:
         SELECT doc_id AS id, {sh} AS sh
         FROM (SELECT doc_id, text FROM documents)
     ),
-    sigs AS (
-        SELECT id, list_distinct(sh) AS sset, [{sig_items}] AS sig
+    hashed AS (
+        SELECT id, list_distinct(list_transform(sh, s -> {hash32_sql('s')})) AS hs
         FROM sh
+    ),
+    sigs AS (
+        SELECT id, hs AS sset, [{sig_items}] AS sig
+        FROM hashed
     ),
     bands AS (
 {band_selects}
