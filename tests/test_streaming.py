@@ -1,0 +1,138 @@
+"""Streaming ingest tests (SURVEY §5 item 4): file-arrival → table
+visibility with Trigger.AvailableNow, exactly-once across restarts
+(the semantic upgrade over the reference, which re-ingests re-sent
+files), incremental derived-table refresh, and the watermarked
+event-time window."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.plans import weather as W
+from big_data_processing_spark.streaming import (
+    refresh_derived_tables,
+    stream_ingest_weather,
+    streaming_hourly_aggregate,
+)
+
+from .weather_fixture import generate
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "in": tmp_path / "incoming",
+        "fact": tmp_path / "fact",
+        "ckpt": tmp_path / "ckpt",
+        "derived": tmp_path / "derived",
+        "srcdata": tmp_path / "srcdata",
+    }
+    d["in"].mkdir()
+    return d
+
+
+def _run_ingest(spark, dirs):
+    q = stream_ingest_weather(
+        spark,
+        str(dirs["in"]),
+        str(dirs["fact"]),
+        str(dirs["ckpt"]),
+        derived_dir=str(dirs["derived"]),
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_file_arrival_to_table_exactly_once(spark, dirs):
+    info = generate(str(dirs["srcdata"]), years=(2013, 2013))
+    src = Path(info["weather_csv"])
+
+    # first file arrives
+    shutil.copy(src, dirs["in"] / "weather_2013_a.csv")
+    _run_ingest(spark, dirs)
+    n1 = spark.read.parquet(str(dirs["fact"])).count()
+    assert n1 == info["n_clean_weather"]  # dirty rows dropped in-stream
+
+    # restart with NOTHING new: checkpoint must prevent re-ingest
+    _run_ingest(spark, dirs)
+    assert spark.read.parquet(str(dirs["fact"])).count() == n1
+
+    # a second file arrives; restart picks up only the delta
+    shutil.copy(src, dirs["in"] / "weather_2013_b.csv")
+    _run_ingest(spark, dirs)
+    n2 = spark.read.parquet(str(dirs["fact"])).count()
+    assert n2 == 2 * n1
+
+    # fact is partitioned by year (partition pruning at serve time)
+    assert (Path(dirs["fact"]) / "year=2013").exists()
+
+
+def test_derived_table_incremental_refresh(spark, dirs):
+    info = generate(str(dirs["srcdata"]), years=(2013, 2013))
+    src = Path(info["weather_csv"])
+    shutil.copy(src, dirs["in"] / "w1.csv")
+    _run_ingest(spark, dirs)
+    shutil.copy(src, dirs["in"] / "w2.csv")
+    _run_ingest(spark, dirs)
+
+    merged = refresh_derived_tables(spark, str(dirs["derived"]))
+    fact = spark.read.parquet(str(dirs["fact"]))
+    expect = fact.groupBy("location_id", "year", "month").agg(
+        F.sum("precipitation_hours").alias("total_precip_hours"),
+        F.avg("temperature_2m_mean").alias("avg_temperature"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    got = {
+        (r.location_id, r.year, r.month): (r.total_precip_hours, r.n_obs)
+        for r in merged.collect()
+    }
+    want = {
+        (r.location_id, r.year, r.month): (r.total_precip_hours, r.n_obs)
+        for r in expect.collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-6
+
+
+def test_streaming_hourly_window_with_watermark(spark, tmp_path):
+    # event-time stream from JSON files (ts, event_type, value)
+    import json
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 10:05:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 10:55:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01 11:05:00", "event_type": "view", "value": 3.0},
+        {"ts": "2024-01-01 09:59:00", "event_type": "click", "value": 4.0},  # late
+    ]
+    with open(src / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .json(str(src))
+    )
+    agg = streaming_hourly_aggregate(stream, watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_agg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from hourly_agg").collect()
+    }
+    assert got[("2024-01-01 09:00:00", "click")] == (1, 4.0)  # late row kept (inside watermark)
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "view")] == (1, 3.0)
