@@ -1,0 +1,282 @@
+"""Additional relational coverage beyond the reference's inventory:
+anti join, INTERSECT/EXCEPT, ROLLUP, pivot, JSON extraction,
+position-based quantiles, day-name date formatting, and the
+approximate-aggregate scale path (rows-only).
+
+The reference has none of these (SURVEY §2.3 'no anti'; §2.7 'no set
+ops') — they're part of the 'complete engine' surface so a user never
+falls back to another system.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.aggregates import dsum, dsum_sql
+from .catalog import _t, query
+
+
+@query(
+    "anti_join_customers_no_orders",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c.c_custkey) AS BIGINT) AS min_custkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY mktsegment
+    """,
+    tags=("join", "anti"),
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — customers that never ordered. Scale: the key
+    set of the right side is aggregated before broadcast when small;
+    otherwise a co-partitioned shuffle anti-join, never a cross."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").cast("long").alias("min_custkey"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+@query(
+    "setops_intersect_except",
+    oracle="""
+    SELECT 'both' AS tag, custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'building_only', custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    ORDER BY tag, custkey
+    """,
+    tags=("setops",),
+)
+def setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (SURVEY §2.7: free via Spark, exposed)."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    both = building.intersect(rich).select(F.lit("both").alias("tag"), "custkey")
+    only = building.exceptAll(rich).distinct().select(
+        F.lit("building_only").alias("tag"), "custkey"
+    )
+    return both.unionByName(only).orderBy("tag", "custkey")
+
+
+@query(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT COALESCE(CAST(year(o_orderdate) AS INT), -1) AS order_year,
+           COALESCE(CAST(month(o_orderdate) AS INT), -1) AS order_month,
+           CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(month(o_orderdate)) AS INT)
+               AS grouping_level,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    ORDER BY grouping_level, order_year, order_month
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (month ⊂ year ⊂ grand total) with GROUPING()
+    discriminators; grouping keys coalesced to -1 so the output is
+    null-free (cross-engine null hashing is undefined territory)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("y", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("revenue"),
+            (F.grouping("y") * 2 + F.grouping("m")).cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.coalesce(F.col("y").cast("int"), F.lit(-1)).alias("order_year"),
+            F.coalesce(F.col("m").cast("int"), F.lit(-1)).alias("order_month"),
+            "grouping_level",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("grouping_level", "order_year", "order_month")
+    )
+
+
+_STATUSES = ("F", "O", "P")
+
+
+@query(
+    "pivot_status_counts",
+    oracle=f"""
+    SELECT o_orderpriority AS orderpriority,
+           {", ".join(f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS status_{s}" for s in _STATUSES)}
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() — wide conditional aggregation. Pinning the
+    pivot values keeps the plan single-pass (no distinct-values job)
+    and the schema stable, which is what you want at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .pivot("o_orderstatus", list(_STATUSES))
+        .count()
+    )
+    return piv.select(
+        "orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}") for s in _STATUSES],
+    ).orderBy("orderpriority")
+
+
+@query(
+    "events_json_props",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 9)} AS total_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+    tags=("scalar", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (get_json_object) — the
+    envelope-parsing surface (S6's from_json on Kafka payloads) in its
+    simplest queryable form."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 9).alias("total_value"))
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "quantiles_by_priority",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority AS orderpriority,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+           CAST(MAX(n) AS BIGINT) AS n_orders
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY orderpriority
+    """,
+    tags=("agg", "quantile"),
+)
+def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 (position-based) quantiles via ranking — deterministic
+    across engines, unlike interpolated percentile_cont whose float
+    arithmetic differs in the last ulp. Scale: one shuffle; for
+    approximate needs at 100 TB use approx_quantiles (below)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        ranked.groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("o_totalprice")
+                )
+            ).alias("p50"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"), F.col("o_totalprice")
+                )
+            ).alias("p90"),
+            F.max("n").cast("long").alias("n_orders"),
+        )
+        .orderBy("orderpriority")
+    )
+
+
+@query(
+    "events_by_dayname",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+           dayname(ts) AS day_name,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY iso_dow
+    """,
+    tags=("scalar", "dates"),
+)
+def events_by_dayname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week extraction — both the ISO number (Spark weekday()+1
+    == DuckDB isodow; plain dayofweek() disagrees between engines) and
+    the English day name (date_format 'EEEE' == dayname)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+            F.date_format("ts", "EEEE").alias("day_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("iso_dow")
+    )
+
+
+@query("approx_aggregates", oracle=None, tags=("agg", "approx", "scale-path"))
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation path: HyperLogLog++ distinct counts and
+    approximate quantile sketches — sketch results are engine-specific,
+    so this is a rows-only check (exact twins exist:
+    events_count_distinct_users, quantiles_by_priority)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.9], 10000).alias("value_quantiles"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
