@@ -1,0 +1,60 @@
+"""Sinks (reference S8-S11) — all distributed ``df.write`` paths.
+
+The reference's sinks are driver-side anti-patterns this engine
+deliberately replaces:
+- S8: df.collect() + 1000-row INSERT VALUES batches into ClickHouse
+  (weather_spark_analysis_new.py:109-178) → ``write_table`` (parquet,
+  partitioned, executor-parallel; JDBC variant for real external DBs);
+- S9: TSV HTTP bulk load (load_mapreduce_output.py:121-178) → same;
+- S10: Hive INSERT OVERWRITE DIRECTORY with timestamp-suffixed CSV dirs
+  (02_query1_top_cities.hql:7-8) → ``write_csv_snapshot``;
+- S11: the meta.updated_time watermark loader → subsumed by streaming
+  checkpoints (see streaming.ingest).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Columnar serving table: parquet, optionally partitioned (the
+    engine's answer to MergeTree ORDER BY keys — partition pruning +
+    row-group min/max stats give the same scan-skipping)."""
+    out = df
+    if partition_by and sort_by:
+        out = df.repartition(*partition_by).sortWithinPartitions(*sort_by)
+    elif sort_by:
+        out = df.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_snapshot(df: DataFrame, base_path: str, ts: int | None = None) -> str:
+    """Timestamp-suffixed CSV snapshot dir (S10's INSERT OVERWRITE
+    DIRECTORY + run_hive_analysis.py:344-360 timestamped layout).
+    Returns the written path so callers can record it."""
+    path = f"{base_path.rstrip('/')}/{ts or int(time.time())}"
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    return path
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", **options: str
+) -> None:
+    """External-DB sink for deployments that truly need one (the
+    ClickHouse role): executor-parallel JDBC batches, never a driver
+    collect. Untested here (no JDBC endpoint in this environment)."""
+    df.write.mode(mode).format("jdbc").option("url", url).option(
+        "dbtable", table
+    ).options(**options).save()

@@ -1,0 +1,67 @@
+"""Kafka envelope transforms (S6/S7) tested on batch DataFrames — the
+parse/route/type functions are engine-pure; only the broker wiring
+(kafka_source) needs a live cluster."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.plans.weather import LOCATION_SCHEMA, WEATHER_SCHEMA
+from big_data_processing_spark.streaming.kafka import (
+    parse_envelope,
+    route_table,
+    typed_rows,
+)
+
+
+def _envelope(msg_type, filename, line_number, content):
+    return json.dumps(
+        {
+            "type": msg_type,
+            "filename": filename,
+            "line_number": line_number,
+            "content": content,
+            "timestamp": 1700000000.0,
+        }
+    )
+
+
+def _raw(spark, messages):
+    return spark.createDataFrame([(m.encode(),) for m in messages], "value binary")
+
+
+def test_parse_route_and_type(spark):
+    weather_line = "1,5/1/2013,10," + ",".join(["1.5"] * 16) + ",6:00 AM,6:00 PM"
+    location_line = "3,6.9,79.8,10,19800,Asia/Colombo,+0530,Colombo"
+    msgs = [
+        _envelope("metadata", "weather_2013.csv", 0, "header-info"),
+        _envelope("data", "weather_2013.csv", 1, weather_line),
+        _envelope("data", "location.csv", 1, location_line),
+        _envelope("data", "location.csv", 2, "location_id,latitude,..."),  # stray header
+        _envelope("end", "weather_2013.csv", 2, ""),
+        _envelope("data", "mystery.csv", 1, "x,y,z"),
+    ]
+    parsed = parse_envelope(_raw(spark, msgs))
+    assert parsed.count() == 6
+    routed = route_table(parsed)
+    by_table = {r["table"]: r["cnt"] for r in routed.groupBy("table").agg(F.count("*").alias("cnt")).collect()}
+    assert by_table == {"weather": 1, "location": 2, "unknown": 1}
+
+    w = typed_rows(routed, "weather", WEATHER_SCHEMA).collect()
+    assert len(w) == 1
+    assert w[0].location_id == 1 and w[0].date == "5/1/2013"
+    assert w[0].temperature_2m_max == 1.5
+
+    loc = typed_rows(routed, "location", LOCATION_SCHEMA).collect()
+    assert len(loc) == 1  # stray header row parses to null key and is dropped
+    assert loc[0].city_name == "Colombo"
+
+
+def test_malformed_envelope_tolerated(spark):
+    parsed = parse_envelope(_raw(spark, ["not json at all", _envelope("data", "weather.csv", 1, "bad")]))
+    rows = parsed.collect()
+    assert len(rows) == 2
+    assert rows[0].msg_type is None  # from_json nulls malformed input
+    assert route_table(parsed).count() == 1
