@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import hash32, normalize_text, shingles, tokenize
+from .util import spread
 
 
 def exact_dedup_groups(
@@ -86,8 +87,7 @@ def minhash_lsh_pairs(
     # signature permutations and the exact-Jaccard verification.
     # Repartition first: shingling is CPU-dense per row, and small doc
     # corpora often arrive as one parquet split — spread the work.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    hashed = df.repartition(par, id_col).select(
+    hashed = spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.transform(sh, lambda s: hash32(s))).alias("shingle_set"),
     )
@@ -147,8 +147,7 @@ def simhash_fingerprints(
     Row-local computation (token multiset, md5-derived 32-bit hashes,
     per-bit sign vote). Docs sharing a fingerprint are near-duplicate
     candidates; returns (id, simhash)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(par, id_col)
+    df = spread(df, id_col)
     toks = tokenize(F.col(text_col))
     tokhash = F.transform(toks, lambda t: hash32(t, seed="sh:"))
     # one fold over the token hashes accumulating all per-bit votes at

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .util import spread
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -49,7 +51,7 @@ FEATURE_SCHEMA = T.StructType(
 def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Adapter: wrap a text column as a binary media payload (the
     testdata has no real blobs; this exercises the binary pathway)."""
-    return df.select(
+    return spread(df, id_col).select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("text/plain").alias("media_type"),

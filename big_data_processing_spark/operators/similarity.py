@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -48,11 +50,10 @@ def brute_force_knn(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine)."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.repartition(par, id_col).select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -124,9 +125,8 @@ def lsh_bucket_knn(
             F.posexplode(band_arr).alias("band_idx", f"{role}_band"),
         )
 
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     qb = banded(queries, "q")
-    cb = banded(corpus.repartition(par, id_col), "c")
+    cb = banded(spread(corpus, id_col), "c")
     cand = (
         cb.join(
             F.broadcast(qb),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
 from ..functions.text import (
     STOPWORDS,
     normalize_text,
@@ -48,7 +49,7 @@ def quality_features(
         + F.lit(W_LEN) * (F.lit(1.0) / (F.lit(1.0) + F.abs(avg_tok - F.lit(IDEAL_TOKEN_LEN))))
     )
     # CPU-dense row-local pass — spread single-split inputs across cores
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    df = spread(df, id_col)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -69,7 +70,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     toks = tokenize(F.col(text_col))
     hits = {lang: stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
     langs = list(STOPWORDS)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    df = spread(df, id_col)
     base = df.select(
         F.col(id_col), *[hits[lang].alias(f"hits_{lang}") for lang in langs]
     )

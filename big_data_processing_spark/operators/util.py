@@ -1,0 +1,22 @@
+"""Operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, *by: str) -> DataFrame:
+    """Repartition narrow inputs so CPU-dense per-row stages use every
+    core — a no-op when the input already has enough splits.
+
+    Small local parquet files arrive as one partition (one row group),
+    which serializes hashing/shingling/decimal aggregation onto a
+    single task. At cluster scale inputs already carry hundreds of
+    splits and this returns the frame untouched — the shuffle is only
+    paid exactly when it buys parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target, *by) if by else df.repartition(target)

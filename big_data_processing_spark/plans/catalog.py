@@ -399,7 +399,9 @@ def lineitem_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — computed in ONE pass over the fact instead of one job per column,
     then unpivoted via stack(). At 100 TB a per-column loop is N full
     scans; this is exactly one."""
-    li = _t(spark, sf_dir, "lineitem")
+    from ..operators.util import spread
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
     feats = ["l_quantity", "l_extendedprice", "l_discount"]
     aggs = []
     for c in feats:

@@ -176,7 +176,9 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate accounting per source: hash-groupBy dedup on the
     raw digest and on the normalized (lower/collapsed-ws) digest.
     Scale: one shuffle keyed by digest — the canonical exact-dedup plan."""
-    d = _t(spark, sf_dir, "documents")
+    from ..operators.util import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return (
         d.groupBy("source")
