@@ -797,7 +797,7 @@ def nation_acctbal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_hourly_tumbling",
     oracle=f"""
-    SELECT date_trunc('hour', ts) AS window_start,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
            {dsum_sql('value', 9)} AS total_value,
@@ -813,8 +813,15 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the maintained mv_monthly_summary aggregate; in streaming mode this
     exact plan runs under readStream + watermark — see streaming/)."""
     ev = _t(spark, sf_dir, "events")
+    # window_start serialized as a string: timestamp-typed outputs hash
+    # differently across engines' pandas dtypes (ns vs us)
     return (
-        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", 9).alias("total_value"),

@@ -79,7 +79,9 @@ def round2(col: Column) -> Column:
     return F.floor(col * 100 + F.lit(0.5)) / 100
 
 
-ROUND2_SQL = "(FLOOR(({x}) * 100 + 0.5) / 100)"
+# CAST AS DOUBLE inside: SQL decimal literals (e.g. 100.0) otherwise
+# propagate DECIMAL types through Spark SQL where DuckDB yields DOUBLE
+ROUND2_SQL = "(FLOOR(CAST(({x}) AS DOUBLE) * 100 + 0.5) / 100)"
 
 
 # --- ingest (reference S1 + F1: date stored as M/D/YYYY string) ---
