@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (broadcast dim joins, predicate pushdown, no sort-merge joins
+for dim-sized sides, partial aggregation) must be visible in the
+executed plans — a 100 TB design review encoded as assertions."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_processing_spark.plans import CATALOG
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return CATALOG[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+BROADCAST_QUERIES = [
+    "region_customer_rollup",
+    "semi_join_building_orders",
+    "cte_top_customers_lines",
+    "top3_months_weekly_detail",
+    "nation_acctbal_deviation",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_QUERIES)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+    assert "SortMergeJoin" not in plan, f"{name}: dim join degraded to sort-merge"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # the scan must NOT read columns the query never touches
+    assert "l_comment" not in plan
+    start = plan.index("ReadSchema")
+    assert "l_orderkey" not in plan[start : start + 400]
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # partial + final HashAggregate (the reference's hand-written
+    # combiner A2, automatic here)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "peak_order_month")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semi_join_building_orders")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_is_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "anti_join_customers_no_orders")
+    assert "LeftAnti" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    for name in CATALOG:
+        plan = _plan(spark, sf_dir, name)
+        if name in ("knn_bruteforce_cosine",):  # broadcast nested loop by design
+            continue
+        assert "CartesianProduct" not in plan, name
