@@ -49,6 +49,27 @@ def write_csv_snapshot(df: DataFrame, base_path: str, ts: int | None = None) -> 
     return path
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed+sorted catalog table: pre-partitions the data on a join
+    key so every subsequent join/aggregate on that key runs WITHOUT an
+    exchange (verified in tests/test_scale_techniques.py). The 100 TB
+    strategy for facts joined repeatedly on the same key — pay the
+    shuffle once at write time, never at query time."""
+    writer = (
+        df.write.mode(mode).bucketBy(n_buckets, bucket_key).sortBy(bucket_key)
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append", **options: str
 ) -> None:

@@ -1,0 +1,108 @@
+"""Scale-technique tests: salted aggregation equals plain aggregation;
+bucketed tables join without an exchange (co-located joins — the
+pre-partitioning strategy for repeated 100 TB joins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_join,
+)
+from big_data_processing_spark.sources.readers import load_table
+
+from .conftest import TEST_SF_DIR
+
+
+def test_salted_aggregate_matches_plain(spark):
+    o = load_table(spark, TEST_SF_DIR, "orders")
+    plain = {
+        (r.o_custkey): (r.n, round(r.total, 2))
+        for r in o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.o_custkey): (r.n, round(r.total, 2))
+        for r in salted_aggregate(
+            o,
+            keys=["o_custkey"],
+            partial_aggs=[F.count("*").alias("pn"), F.sum("o_totalprice").alias("pt")],
+            final_aggs=[
+                F.sum("pn").alias("n"),
+                F.sum("pt").alias("total"),
+            ],
+            salt_buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    c = load_table(spark, TEST_SF_DIR, "customer")
+    n = load_table(spark, TEST_SF_DIR, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    plain = (
+        c.join(n, "c_nationkey").groupBy("n_name").count().collect()
+    )
+    salted = (
+        salted_broadcast_join(c, n, key="c_nationkey", salt_buckets=4)
+        .groupBy("n_name")
+        .count()
+        .collect()
+    )
+    assert {(r.n_name, r["count"]) for r in plain} == {
+        (r.n_name, r["count"]) for r in salted
+    }
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    o = load_table(spark, TEST_SF_DIR, "orders")
+    li = load_table(spark, TEST_SF_DIR, "lineitem")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(wh / "orders_bucketed"))
+        .saveAsTable("orders_bucketed")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(wh / "lineitem_bucketed"))
+        .saveAsTable("lineitem_bucketed")
+    )
+    yield "orders_bucketed", "lineitem_bucketed"
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    """Co-located join: both sides bucketed on the join key → the join
+    runs without ANY Exchange (the repeated-join strategy that converts
+    a per-query fact shuffle into a one-time write-layout cost)."""
+    ot, lt = bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(lt)
+            .join(spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan[: plan.index("HashAggregate")] if "HashAggregate" in plan else plan
+        assert "SortMergeJoin" in plan
+        # no exchange feeds the join — bucketing pre-partitioned both sides
+        before_join = plan[plan.index("SortMergeJoin") :]
+        assert "Exchange hashpartitioning(l_orderkey" not in before_join
+        assert "Exchange hashpartitioning(o_orderkey" not in before_join
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
