@@ -51,7 +51,7 @@ FEATURE_SCHEMA = T.StructType(
 def text_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Adapter: wrap a text column as a binary media payload (the
     testdata has no real blobs; this exercises the binary pathway)."""
-    return spread(df, id_col).select(
+    return spread(df, id_col, cap=8).select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("text/plain").alias("media_type"),

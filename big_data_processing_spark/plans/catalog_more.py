@@ -264,6 +264,43 @@ def events_by_dayname(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ranking_family",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment, c_custkey AS custkey,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS dense_rnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           (CAST(RANK() OVER w AS DOUBLE) - 1.0)
+             / (CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS DOUBLE) - 1.0)
+             AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    ORDER BY mktsegment, rnk, custkey
+    """,
+    tags=("window", "ranking"),
+)
+def ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family (SURVEY §2.5: expose beyond the
+    reference's row_number): rank, dense_rank, ntile, percent_rank —
+    the last written as explicit (rank-1)/(n-1) so both engines compute
+    the identical IEEE expression."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wc = Window.partitionBy("c_mktsegment")
+    return c.select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_custkey").alias("custkey"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("dense_rnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        (
+            (F.rank().over(w).cast("double") - 1.0)
+            / (F.count(F.lit(1)).over(wc).cast("double") - 1.0)
+        ).alias("pct_rank"),
+    ).orderBy("mktsegment", "rnk", "custkey")
+
+
 @query("approx_aggregates", oracle=None, tags=("agg", "approx", "scale-path"))
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation path: HyperLogLog++ distinct counts and
