@@ -301,6 +301,98 @@ def ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mktsegment", "rnk", "custkey")
 
 
+@query(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) AS session_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("window", "session", "streaming-analog"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-merged event-time sessions) in
+    batch form — the same operator runs under readStream for true
+    streaming sessions; oracle replicates the gap semantics with the
+    lag→flag→running-sum idiom. Window bounds serialized as strings
+    (session end = last event + gap)."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 9).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "doc_bpeish_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_ISH}'))) AS BIGINT) AS total_subtokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_ISH}'))) AS DOUBLE) / COUNT(*)
+               AS avg_subtokens,
+           CAST(MAX(len(regexp_extract_all(text, '{_BPE_ISH}'))) AS BIGINT) AS max_subtokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "tokenize"),
+)
+def doc_bpeish_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters / digits / punctuation as
+    separate subtokens — the pre-merge segmentation a BPE tokenizer
+    starts from; character classes only, so Java and RE2 regex agree)."""
+    d = _t(spark, sf_dir, "documents")
+    n_sub = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)).cast("long")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_sub).alias("total_subtokens"),
+            (F.sum(n_sub).cast("double") / F.count(F.lit(1))).alias("avg_subtokens"),
+            F.max(n_sub).alias("max_subtokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("approx_aggregates", oracle=None, tags=("agg", "approx", "scale-path"))
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation path: HyperLogLog++ distinct counts and

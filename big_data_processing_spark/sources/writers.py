@@ -70,6 +70,36 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """MERGE-style upsert into a parquet table: rows matching on
+    ``key_cols`` are replaced by the update, others kept, new keys
+    appended — the reference's ClickHouse TRUNCATE+reload and the
+    watermark loader (S11) folded into one idempotent operation.
+
+    Implementation is read→anti-join→union→rewrite (parquet has no
+    transaction log; on Delta/Iceberg this maps to a native MERGE
+    that rewrites only matching files). The rewrite stages to a temp
+    dir first so a failed job never leaves a half-written target."""
+    import shutil
+    import uuid
+
+    try:
+        target = spark.read.parquet(target_path)
+        kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(updates)
+    except Exception:  # first load: target doesn't exist yet
+        merged = updates
+    tmp = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(target_path, ignore_errors=True)
+    shutil.move(tmp, target_path)
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append", **options: str
 ) -> None:
