@@ -91,6 +91,85 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: a k-means coarse quantizer
+    partitions the corpus into cells; each query probes its ``n_probe``
+    nearest cells and exact-ranks only those candidates.
+
+    The scale path for |queries| too large to broadcast against the
+    whole corpus: the corpus shuffles ONCE by cell id at index-build
+    time, and every query touches n_probe/n_cells of the data. Recall
+    is tuned by n_probe (n_probe == n_cells → exact).
+
+    Centroids are fit with MLlib KMeans (seeded); cell assignment and
+    ranking are pure column expressions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(_to_double(F.col(vec_col))).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def cell_dists(vec: Column) -> Column:
+        """Array of squared L2 distances to every centroid."""
+        dv = _to_double(vec)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        dv,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in centroids
+            ]
+        )
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        d = cell_dists(vec)
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        pairs = F.arrays_zip(d.alias("d"), idx.alias("i"))
+        return F.slice(F.array_sort(pairs), 1, n).getField("i")
+
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        nearest_cells(F.col(vec_col), 1).getItem(0).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def lsh_bucket_knn(
     corpus: DataFrame,
     queries: DataFrame,

@@ -21,7 +21,12 @@ from ..functions.text import (
 )
 from ..operators.dedup import minhash_lsh_pairs, simhash_fingerprints
 from ..operators.multimodal import extract_features, text_as_media
-from ..operators.similarity import brute_force_knn, hyperplanes, lsh_bucket_knn
+from ..operators.similarity import (
+    brute_force_knn,
+    hyperplanes,
+    ivf_knn,
+    lsh_bucket_knn,
+)
 from ..operators.textstats import (
     IDEAL_TOKEN_LEN,
     W_LEN,
@@ -427,6 +432,19 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=_LSH_PLANES,
         bands=_LSH_BANDS,
         seed=_LSH_SEED,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@query("knn_ivf_cosine", oracle=None, tags=("similarity", "knn", "ivf"))
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (k-means coarse quantizer, 16 cells,
+    probe 4): each query exact-ranks only ~1/4 of the corpus — the
+    second ANN scale path beside LSH. Rows-only check: k-means cell
+    assignments aren't reproducible in a SQL oracle (measured recall
+    0.72 vs the exact baseline; see test_operator_properties)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        emb, emb.filter(F.col("vec_id") % _KNN_QMOD == 0), k=_KNN_K, n_cells=16, n_probe=4
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 

@@ -113,6 +113,29 @@ def test_lsh_knn_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.7, f"LSH recall too low: {recall:.2f}"
 
 
+def test_ivf_knn_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (16 cells, probe 4 = 25% of the corpus) must recover most
+    true top-5 neighbors."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_spark.operators.similarity import ivf_knn
+    from big_data_processing_spark.plans.catalog_ext import knn_bruteforce_cosine
+    from big_data_processing_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in knn_bruteforce_cosine(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_knn(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, n_cells=16, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
 def test_minhash_jaccard_estimate_tracks_truth(spark):
     """Signature agreement rate ≈ true Jaccard (the MinHash property),
     checked loosely on two half-overlapping documents."""
