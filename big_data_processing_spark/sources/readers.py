@@ -59,11 +59,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 def read_csv_table(
     spark: SparkSession,
     path: str,
-    schema: T.StructType,
+    schema: T.StructType | None = None,
     header: bool = True,
     permissive: bool = True,
 ) -> DataFrame:
-    """CSV scan with a declared schema (reference S1).
+    """CSV scan with a declared schema (reference S1) or inference
+    (S2, ``schema=None`` — the ML trainer's inferSchema read,
+    reference src/spark_mllib/train_et_model.py:214-217; declared
+    schemas are preferred since inference costs an extra file pass).
 
     PERMISSIVE mode nulls out malformed fields rather than failing the
     scan — the Spark-native equivalent of the reference's silently
@@ -72,9 +75,23 @@ def read_csv_table(
     add explicit ``isNotNull`` filters where the semantics require a
     dropped row.
     """
-    return (
-        spark.read.option("header", str(header).lower())
-        .option("mode", "PERMISSIVE" if permissive else "FAILFAST")
-        .schema(schema)
-        .csv(path)
+    reader = spark.read.option("header", str(header).lower()).option(
+        "mode", "PERMISSIVE" if permissive else "FAILFAST"
+    )
+    if schema is None:
+        reader = reader.option("inferSchema", "true")
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def create_csv_table_ddl(
+    spark: SparkSession, table: str, path: str, columns_ddl: str
+) -> None:
+    """SQL-surface external table over CSV files (reference S4: the
+    Hive external TEXTFILE DDL with skip.header.line.count=1,
+    src/hive/01_create_tables.hql:13-27)."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({columns_ddl}) "
+        f"USING csv OPTIONS (header 'true', path '{path}')"
     )

@@ -29,6 +29,32 @@ def test_write_table_partitioned(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(order_year" in plan
 
 
+def test_csv_inferred_schema_read(spark, tmp_path):
+    """S2: schema inference yields typed columns from raw CSV."""
+    from big_data_processing_spark.sources.readers import read_csv_table
+
+    p = tmp_path / "raw.csv"
+    p.write_text("id,temp,city\n1,31.5,Colombo\n2,28.0,Kandy\n")
+    df = read_csv_table(spark, str(p), schema=None)
+    types = dict(df.dtypes)
+    assert types["id"] == "int" and types["temp"] == "double" and types["city"] == "string"
+    assert df.count() == 2
+
+
+def test_create_csv_table_ddl(spark, tmp_path):
+    """S4: SQL-surface external table over CSV files."""
+    from big_data_processing_spark.sources.readers import create_csv_table_ddl
+
+    p = tmp_path / "ext.csv"
+    p.write_text("id,name\n1,a\n2,b\n")
+    create_csv_table_ddl(spark, "ext_csv_t", str(p), "id INT, name STRING")
+    try:
+        assert spark.sql("SELECT count(*) c FROM ext_csv_t").first().c == 2
+        assert spark.sql("SELECT name FROM ext_csv_t WHERE id = 2").first().name == "b"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_csv_t")
+
+
 def test_write_csv_snapshot(spark, tmp_path):
     df = load_table(spark, TEST_SF_DIR, "nation")
     path = write_csv_snapshot(df, str(tmp_path / "snap"), ts=12345)
