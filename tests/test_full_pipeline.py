@@ -1,0 +1,64 @@
+"""Capstone: one call produces the reference's entire warehouse, with
+the reference's output-shape invariants (table inventory and
+cardinalities scaled to the fixture)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.plans.pipeline import run_full_pipeline
+
+from .weather_fixture import generate
+
+
+def test_full_pipeline_builds_warehouse(spark, tmp_path):
+    info = generate(str(tmp_path / "src"), years=(2012, 2013))
+    paths = run_full_pipeline(
+        spark,
+        info["weather_csv"],
+        info["location_csv"],
+        str(tmp_path / "warehouse"),
+    )
+    # table inventory mirrors the reference warehouse
+    # (DATA_ANALYSIS_TABLES_MAPPING.md:531-544)
+    assert set(paths) == {
+        "weather_fact",
+        "locations",
+        "district_monthly_weather",
+        "highest_precipitation",
+        "top_temperate_cities",
+        "evapotranspiration_by_season",
+        "radiation_analysis",
+        "weekly_max_temp_hottest_months",
+        "ml_feature_statistics",
+        "ml_model_performance",
+        "et_model",
+    }
+    n_months = 2 * 12
+    counts = {
+        "weather_fact": info["n_clean_weather"],
+        "district_monthly_weather": 27 * n_months,
+        "highest_precipitation": 1,
+        "top_temperate_cities": 10,
+        "radiation_analysis": n_months,
+        "ml_feature_statistics": 4,
+        "ml_model_performance": 1,
+        "locations": 27,
+    }
+    for name, expected in counts.items():
+        got = spark.read.parquet(paths[name]).count()
+        assert got == expected, f"{name}: {got} != {expected}"
+
+    # fact partitioned by year → pruning works
+    fact = spark.read.parquet(paths["weather_fact"])
+    assert set(r.year for r in fact.select("year").distinct().collect()) == {2012, 2013}
+
+    # model performance row carries finite metrics
+    perf = spark.read.parquet(paths["ml_model_performance"]).first()
+    assert perf.rmse > 0 and perf.mae > 0 and -1.0 < perf.r2 <= 1.0
+
+    # persisted model is loadable and predicts
+    from big_data_processing_spark.ml.pipeline import load_model, predict_single
+
+    model = load_model(paths["et_model"])
+    assert isinstance(predict_single(model, spark, 8.0, 5.0, 12.0), float)
