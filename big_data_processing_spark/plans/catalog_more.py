@@ -121,6 +121,101 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cube_status_priority",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+           COALESCE(o_orderpriority, '<all>') AS orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+               AS grouping_level,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY grouping_level, orderstatus, orderpriority
+    """,
+    tags=("agg", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all four grouping-set combinations) —
+    completes the grouping-sets family beside rollup_revenue."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("revenue"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("grouping_level"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+            "grouping_level",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("grouping_level", "orderstatus", "orderpriority")
+    )
+
+
+_NORM_EXPR = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_prefix_levenshtein",
+    oracle=f"""
+    WITH normed AS (
+        SELECT doc_id, {_NORM_EXPR} AS norm FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               substr(a.norm, 41, 60) AS tail_a, substr(b.norm, 41, 60) AS tail_b
+        FROM normed a
+        JOIN normed b
+          ON substr(a.norm, 1, 40) = substr(b.norm, 1, 40) AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(tail_a, tail_b) AS INT) AS edit_distance,
+           CAST(GREATEST(length(tail_a), length(tail_b)) AS INT) AS max_len
+    FROM pairs
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "edit-distance"),
+)
+def dedup_prefix_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of prefix-blocked candidate pairs:
+    docs sharing a 40-char normalized prefix are compared by
+    levenshtein on the following 60 chars — the character-level
+    near-dup check beside shingle Jaccard (blocking keeps the
+    quadratic levenshtein off all-pairs)."""
+    from ..functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    normed = d.select(F.col("doc_id"), normalize_text("text").alias("norm"))
+    a = normed.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("norm", 1, 40).alias("pfx_a"),
+        F.substring("norm", 41, 60).alias("tail_a"),
+    )
+    b = normed.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("norm", 1, 40).alias("pfx_b"),
+        F.substring("norm", 41, 60).alias("tail_b"),
+    )
+    return (
+        a.join(b, (F.col("pfx_a") == F.col("pfx_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("tail_a", "tail_b").cast("int").alias("edit_distance"),
+            F.greatest(F.length("tail_a"), F.length("tail_b")).cast("int").alias("max_len"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 _STATUSES = ("F", "O", "P")
 
 
