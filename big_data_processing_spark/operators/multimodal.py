@@ -90,3 +90,80 @@ def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payloads."""
     return media.mapInPandas(decode_stub_features, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """STUB resize: real pipelines decode + rescale with PIL/ffmpeg;
+    the stub deterministically truncates/pads the payload to
+    width*height bytes so output sizing, schema, and batching are real.
+    Payload size changes per row — exactly the case where Arrow batch
+    limits (session arrow.maxRecordsPerBatch) matter at scale."""
+    target = width * height
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:target]).ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def frame_sample_stub(
+    media: DataFrame, frame_bytes: int = 32, every_n: int = 4
+) -> DataFrame:
+    """STUB frame sampling: treats the payload as a 'video' of
+    frame_bytes-sized frames and emits every Nth — a 1→N mapInPandas
+    (one input row fans out to many frame rows), the shape a real
+    ffmpeg keyframe sampler produces. Output row count is
+    data-dependent, which is why this is mapInPandas and not a UDF."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                sampled = frames[::every_n]
+                out.extend(
+                    (int(mid), int(j * every_n), bytes(fr), len(frames))
+                    for j, fr in enumerate(sampled)
+                )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["media_id", "frame_idx", "frame", "n_frames"]
+                )
+
+    return media.mapInPandas(fn, schema=FRAME_SCHEMA)
