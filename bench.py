@@ -28,6 +28,16 @@ def main() -> None:
     # warm-up: JVM, parquet footer cache, codegen
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Offline index build (explicit step, like any ANN system): persist
+    # the IVF centroid table so no query is charged a hidden KMeans fit.
+    # Timed separately under "setup" — it amortizes across every IVF
+    # query, and at 100 TB it would be a scheduled job, not query work.
+    from big_data_processing_spark.plans.catalog_ext import _ivf_index_for
+
+    t0 = time.perf_counter()
+    _ivf_index_for(spark, sf_dir)
+    setup = {"ivf_index_build": round(time.perf_counter() - t0, 3)}
+
     timings: dict[str, float] = {}
     for name in sorted(CATALOG):
         q = CATALOG[name]
@@ -35,7 +45,7 @@ def main() -> None:
         q.fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()) + sum(setup.values()), 3)
     print(
         json.dumps(
             {
@@ -43,6 +53,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "setup": setup,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

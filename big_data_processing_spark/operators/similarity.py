@@ -91,25 +91,47 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
-_IVF_INDEX_CACHE: dict[tuple, list[list[float]]] = {}
-
-
-def _ivf_centroids(
-    corpus: DataFrame, vec_col: str, n_cells: int, seed: int
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    path: str | None = None,
 ) -> list[list[float]]:
-    """Train-once centroid index (amortized across queries, like any
-    ANN index build). Cache key: the corpus plan signature + params."""
-    key = (corpus._jdf.queryExecution().logical().semanticHash(), vec_col, n_cells, seed)
-    if key not in _IVF_INDEX_CACHE:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+    """Explicit IVF index build: fit a seeded MLlib KMeans coarse
+    quantizer over the corpus and return the centroid list.
 
-        train = corpus.select(
-            array_to_vector(_to_double(F.col(vec_col))).alias("features")
-        )
-        km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-        _IVF_INDEX_CACHE[key] = [list(map(float, c)) for c in km.clusterCenters()]
-    return _IVF_INDEX_CACHE[key]
+    This is the offline index-build step of a real IVF system — run it
+    once, persist the (tiny) centroid table, and hand the result to
+    :func:`ivf_knn`. When ``path`` is given the centroids are written
+    there as JSON and subsequent calls load instead of refitting, so a
+    fresh session never silently charges a clustering job to whichever
+    query arrives first.
+    """
+    if path is not None:
+        import json
+        import os
+
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(_to_double(F.col(vec_col))).alias("features")
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+
+    if path is not None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(centroids, f)
+        os.replace(tmp, path)
+    return centroids
 
 
 def ivf_knn(
@@ -121,6 +143,7 @@ def ivf_knn(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    index: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate kNN: a k-means coarse quantizer
     partitions the corpus into cells; each query probes its ``n_probe``
@@ -131,11 +154,14 @@ def ivf_knn(
     time, and every query touches n_probe/n_cells of the data. Recall
     is tuned by n_probe (n_probe == n_cells → exact).
 
-    Centroids are fit with MLlib KMeans (seeded) ONCE per
-    (corpus, params) — the index-build step of a real IVF system —
-    and cached; cell assignment and ranking are pure column
-    expressions."""
-    centroids = _ivf_centroids(corpus, vec_col, n_cells, seed)
+    Pass ``index`` (from :func:`build_ivf_index`) to search against a
+    prebuilt quantizer; without it the index is fit inline (convenient
+    for tests, wrong for production — the build belongs offline)."""
+    centroids = (
+        index
+        if index is not None
+        else build_ivf_index(corpus, vec_col=vec_col, n_cells=n_cells, seed=seed)
+    )
 
     def cell_dists(vec: Column) -> Column:
         """Array of squared L2 distances to every centroid."""
@@ -196,14 +222,20 @@ def lsh_bucket_knn(
     n_planes: int = 12,
     bands: int = 3,
     seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
     Signature bits are split into ``bands`` sub-signatures; a corpus row
     is a candidate for a query if any band matches. Returns the same
     schema as :func:`brute_force_knn` (ranks computed over candidates).
+
+    ``dim`` must equal the embedding length: zip_with against a
+    mismatched plane pads with nulls, nulling the dot product and
+    silently collapsing every signature toward 0 (wrong buckets, no
+    error) — so each row carries an in-plan ``assert_true`` on
+    ``size(vec) == dim`` that fails the job loudly instead.
     """
-    dim = 64
     planes = hyperplanes(dim, n_planes, seed)
     rows = n_planes // bands
 
@@ -215,7 +247,14 @@ def lsh_bucket_knn(
                 for b in range(bands)
             ]
         )
-        return df.select(
+        dim_ok = F.assert_true(
+            F.size(F.col(vec_col)) == dim,
+            F.concat(
+                F.lit(f"lsh_bucket_knn: expected {dim}-dim vectors, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            ),
+        )
+        return df.filter(dim_ok.isNull()).select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
             F.posexplode(band_arr).alias("band_idx", f"{role}_band"),

@@ -21,10 +21,27 @@ def spread(df: DataFrame, *by: str, cap: int | None = None) -> DataFrame:
     narrow inputs; at real scale the input is already wide and this
     path never triggers).
     """
+    if df.isStreaming:
+        # Streaming frames carry their own micro-batch partitioning and
+        # cannot be repartitioned here; the caller's shuffle ops handle it.
+        return df
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if cap:
         target = min(target, cap)
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+
+    # Estimate the scan's split count from public file metadata instead
+    # of df.rdd.getNumPartitions(): the RDD conversion forces a full
+    # physical-plan translation per call (planner overhead on every
+    # query using spread). len(inputFiles()) lower-bounds the number of
+    # scan splits — small local files are 1 split each, and at real
+    # scale a table has far more files than cores, so this returns the
+    # frame untouched exactly when the shuffle buys nothing.
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= max(2, target // 2):
         return df
     return df.repartition(target, *by) if by else df.repartition(target)

@@ -488,19 +488,63 @@ def doc_bpeish_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_aggregates", oracle=None, tags=("agg", "approx", "scale-path"))
+@query(
+    "approx_aggregates",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           TRUE AS hll_ok,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "approx", "scale-path"),
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation path: HyperLogLog++ distinct counts and
-    approximate quantile sketches — sketch results are engine-specific,
-    so this is a rows-only check (exact twins exist:
-    events_count_distinct_users, quantiles_by_priority)."""
+    approximate quantile sketches, verified as a *tolerance gate*.
+
+    Sketch values are engine-specific (HLL++/KLL internals differ from
+    anything DuckDB could compute), so the hash-checked contract is:
+    exact n_events plus booleans asserting each sketch landed within its
+    documented error envelope (HLL++ rsd=2% checked at ±5%; approx
+    percentiles checked against the exact interpolated 0.4/0.6 and
+    0.85/0.95 quantile bounds). If a sketch drifts out of tolerance the
+    boolean flips and the driver hash mismatches — a real gate, not a
+    rows-only row. The exact twins used as truth here (countDistinct,
+    percentile) would be replaced by the sketches alone at 100 TB; this
+    query IS the verification harness for that swap.
+    """
     ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_sketch"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90_sketch"),
+        F.expr("percentile(value, 0.4)").alias("p40_exact"),
+        F.expr("percentile(value, 0.6)").alias("p60_exact"),
+        F.expr("percentile(value, 0.85)").alias("p85_exact"),
+        F.expr("percentile(value, 0.95)").alias("p95_exact"),
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.9], 10000).alias("value_quantiles"),
-            F.count(F.lit(1)).alias("n_events"),
+        agg.select(
+            "event_type",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_ok"),
+            (
+                (F.col("p50_sketch") >= F.col("p40_exact"))
+                & (F.col("p50_sketch") <= F.col("p60_exact"))
+            ).alias("p50_ok"),
+            (
+                (F.col("p90_sketch") >= F.col("p85_exact"))
+                & (F.col("p90_sketch") <= F.col("p95_exact"))
+            ).alias("p90_ok"),
         )
         .orderBy("event_type")
     )

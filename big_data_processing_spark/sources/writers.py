@@ -17,6 +17,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_table(
@@ -70,11 +71,32 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme — file://,
+    hdfs://, s3a://. All merge_upsert file manipulation goes through
+    this so the operation works unchanged on a real cluster (the
+    driver-side ``shutil`` it replaces was local-FS-only)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _swap_dir(spark, src: str, dst: str) -> None:
+    """Atomic-as-the-FS-allows replace of dst with src (delete+rename)."""
+    fs, dst_p = _hadoop_fs(spark, dst)
+    _, src_p = _hadoop_fs(spark, src)
+    if fs.exists(dst_p):
+        fs.delete(dst_p, True)
+    fs.mkdirs(dst_p.getParent())
+    fs.rename(src_p, dst_p)
+
+
 def merge_upsert(
     spark,
     target_path: str,
     updates: DataFrame,
     key_cols: list[str],
+    partition_col: str | None = None,
 ) -> None:
     """MERGE-style upsert into a parquet table: rows matching on
     ``key_cols`` are replaced by the update, others kept, new keys
@@ -82,22 +104,70 @@ def merge_upsert(
     watermark loader (S11) folded into one idempotent operation.
 
     Implementation is read→anti-join→union→rewrite (parquet has no
-    transaction log; on Delta/Iceberg this maps to a native MERGE
-    that rewrites only matching files). The rewrite stages to a temp
-    dir first so a failed job never leaves a half-written target."""
-    import shutil
+    transaction log; on Delta/Iceberg this maps to a native MERGE that
+    rewrites only matching files). The rewrite stages to a temp dir
+    first so a failed job never leaves a half-written target, and all
+    directory surgery uses the Hadoop FileSystem API, so it works on
+    HDFS/S3 as well as local paths.
+
+    Scale path: pass ``partition_col`` (a column the target was written
+    ``partitionBy``) and only the partitions containing update keys are
+    read, anti-joined, and swapped — a 100 TB table with updates
+    touching 3 partitions rewrites 3 partitions, not 100 TB. The
+    distinct-partition-value collect is a driver-side list of partition
+    *names* (bounded by partition count, like any MERGE planner), never
+    data rows.
+
+    A missing target is a first load; any OTHER read failure (corrupt
+    footer, permissions, transient IO) raises instead of silently
+    clobbering the table with only the updates.
+    """
     import uuid
 
+    from pyspark.errors import AnalysisException
+
+    part_by = [partition_col] if partition_col else []
     try:
         target = spark.read.parquet(target_path)
+        exists = True
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        exists = False
+
+    if not exists:
+        writer = updates.write.mode("overwrite")
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(target_path)
+        return
+
+    staging = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    if partition_col is not None:
+        affected = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        pruned = target.filter(F.col(partition_col).isin(affected))
+        kept = pruned.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(updates.select(*target.columns))
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        # swap only the rewritten partition dirs (new partitions rename in)
+        fs, staging_p = _hadoop_fs(spark, staging)
+        for status in fs.listStatus(staging_p):
+            name = status.getPath().getName()
+            if name.startswith(f"{partition_col}="):
+                _swap_dir(
+                    spark,
+                    f"{staging}/{name}",
+                    f"{target_path.rstrip('/')}/{name}",
+                )
+        fs.delete(staging_p, True)
+    else:
         kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
-        merged = kept.unionByName(updates)
-    except Exception:  # first load: target doesn't exist yet
-        merged = updates
-    tmp = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(target_path, ignore_errors=True)
-    shutil.move(tmp, target_path)
+        merged = kept.unionByName(updates.select(*target.columns))
+        merged.write.mode("overwrite").parquet(staging)
+        _swap_dir(spark, staging, target_path)
 
 
 def write_jdbc(

@@ -76,6 +76,55 @@ def test_merge_upsert(spark, tmp_path):
     assert got2 == got
 
 
+def test_merge_upsert_corrupt_target_raises(spark, tmp_path):
+    """A target that exists but can't be read (corrupt footer, bad
+    file) must surface the error — never be treated as 'first load'
+    and silently clobbered with only the updates."""
+    import pytest
+
+    path = tmp_path / "corrupt_table"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    upd = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    # corrupt footers surface as a failed schema-inference job
+    # (Py4JJavaError), permission/path issues as AnalysisException —
+    # either way merge_upsert must propagate, not swallow
+    with pytest.raises(Exception):
+        merge_upsert(spark, str(path), upd, ["id"])
+    # target untouched — the corrupt evidence is still there
+    assert (path / "part-00000.parquet").read_bytes().startswith(b"this is not")
+
+
+def test_merge_upsert_partition_pruned(spark, tmp_path):
+    """With partition_col, only partitions containing update keys are
+    rewritten: untouched partition dirs keep their original files."""
+    import os
+
+    path = str(tmp_path / "part_table")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-01", 20.0), (3, "2024-02", 30.0)],
+        ["id", "month", "v"],
+    )
+    merge_upsert(spark, path, base, ["id"], partition_col="month")
+    untouched_dir = os.path.join(path, "month=2024-02")
+    before = sorted(os.listdir(untouched_dir))
+
+    upd = spark.createDataFrame(
+        [(2, "2024-01", 99.0), (4, "2024-03", 40.0)], ["id", "month", "v"]
+    )
+    merge_upsert(spark, path, upd, ["id"], partition_col="month")
+
+    got = {(r.id, r.month, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "2024-01", 10.0),
+        (2, "2024-01", 99.0),
+        (3, "2024-02", 30.0),
+        (4, "2024-03", 40.0),
+    }
+    # the 2024-02 partition was never rewritten (same physical files)
+    assert sorted(os.listdir(untouched_dir)) == before
+
+
 def test_merge_upsert_is_distributed(spark, tmp_path):
     """The merged plan is anti-join + union — no driver-side collects."""
     path = str(tmp_path / "t2")
