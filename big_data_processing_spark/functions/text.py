@@ -34,6 +34,20 @@ def hash32_sql(expr: str, seed: str = "") -> str:
     return f"(('0x' || substr(md5({inner}), 1, 8))::BIGINT)"
 
 
+def hash60(col: Column, seed: str = "") -> Column:
+    """Deterministic 60-bit hash (first 15 md5 hex chars): wide enough
+    for 60-bit SimHash fingerprints while staying inside signed BIGINT
+    on both engines (16 chars could exceed 2^63). DuckDB twin:
+    :func:`hash60_sql`."""
+    seeded = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str, seed: str = "") -> str:
+    inner = f"'{seed}' || {expr}" if seed else expr
+    return f"(('0x' || substr(md5({inner}), 1, 15))::BIGINT)"
+
+
 def shingles(tokens: Column, n: int = 3) -> Column:
     """Token n-gram shingles; short docs fall back to one whole-doc shingle.
 

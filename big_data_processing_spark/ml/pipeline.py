@@ -79,6 +79,42 @@ def evaluate(model: PipelineModel, test: DataFrame) -> dict[str, float]:
     return out
 
 
+def model_performance_row(
+    spark: SparkSession,
+    model: PipelineModel,
+    train: DataFrame,
+    test: DataFrame,
+    model_name: str = "LinearRegression_ET_Prediction",
+) -> DataFrame:
+    """One-row DataFrame with the reference's full ml_model_performance
+    contract (train_et_model.py:72-90 table DDL, :120-140 insert):
+    sizes, RMSE/R²/MAE, feature names, per-feature coefficients, and
+    intercept. Coefficients come from the fitted LR stage (in scaled
+    feature space, matching the reference which also scales first)."""
+    metrics = evaluate(model, test)
+    lr = model.stages[-1]
+    coefs = [float(c) for c in lr.coefficients]
+    row = (
+        model_name,
+        train.count(),
+        test.count(),
+        metrics["rmse"],
+        metrics["r2"],
+        metrics["mae"],
+        *FEATURES,
+        *coefs,
+        float(lr.intercept),
+    )
+    return spark.createDataFrame(
+        [row],
+        "model_name string, train_size bigint, test_size bigint, "
+        "rmse double, r2 double, mae double, "
+        "feature_1 string, feature_2 string, feature_3 string, "
+        "coefficient_1 double, coefficient_2 double, coefficient_3 double, "
+        "intercept double",
+    )
+
+
 def save_model(model: PipelineModel, path: str) -> None:
     model.write().overwrite().save(path)  # train_et_model.py:470-485
 

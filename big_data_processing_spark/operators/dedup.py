@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import hash32, normalize_text, shingles, tokenize
+from ..functions.text import hash32, hash60, normalize_text, shingles, tokenize
 from .util import spread
 
 
@@ -144,12 +144,14 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """Per-document SimHash fingerprint (bit-majority of token hashes).
 
-    Row-local computation (token multiset, md5-derived 32-bit hashes,
-    per-bit sign vote). Docs sharing a fingerprint are near-duplicate
-    candidates; returns (id, simhash)."""
+    Row-local computation (token multiset, md5-derived hashes, per-bit
+    sign vote). Docs sharing a fingerprint are near-duplicate
+    candidates; returns (id, simhash). ``bits`` > 32 switches to the
+    60-bit token hash so every fingerprint bit gets a real vote."""
     df = spread(df, id_col)
     toks = tokenize(F.col(text_col))
-    tokhash = F.transform(toks, lambda t: hash32(t, seed="sh:"))
+    hash_fn = hash60 if bits > 32 else hash32
+    tokhash = F.transform(toks, lambda t: hash_fn(t, seed="sh:"))
     # one fold over the token hashes accumulating all per-bit votes at
     # once ((h>>j)&1 expressed as h % 2p >= p so it stays a pure array
     # expression); then one zip to assemble the fingerprint.
@@ -173,3 +175,63 @@ def simhash_fingerprints(
         lambda acc, x: acc + x,
     )
     return df.select(F.col(id_col).alias("id"), simhash.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    radius: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs within SimHash hamming ``radius``, found by
+    the banded bit-block join (Manku et al., WWW'07 §3): the fingerprint
+    splits into ``radius + 1`` contiguous blocks, so any pair within the
+    radius must agree on at least one whole block (pigeonhole) — those
+    block collisions are the ONLY candidates, verified exactly with
+    ``bit_count(a ^ b) <= radius``.
+
+    Scale: fingerprints are row-local; the join shuffles (blocks x docs)
+    tiny (block_idx, block_val, id, fingerprint) rows keyed by 15-bit
+    block values — never all-pairs, never document text. Returns
+    (id_a, id_b, hamming) with id_a < id_b, ordered.
+    """
+    blocks = radius + 1
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    fp = simhash_fingerprints(df, text_col, id_col, bits=bits)
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )

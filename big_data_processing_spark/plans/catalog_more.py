@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import dsum, dsum_sql
+from ..functions.aggregates import davg, davg_sql, dsum, dsum_sql
 from .catalog import _t, query
 
 
@@ -522,12 +522,11 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_sketch"),
-        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90_sketch"),
-        F.expr("percentile(value, 0.4)").alias("p40_exact"),
-        F.expr("percentile(value, 0.6)").alias("p60_exact"),
-        F.expr("percentile(value, 0.85)").alias("p85_exact"),
-        F.expr("percentile(value, 0.95)").alias("p95_exact"),
+        # one sketch buffer + one exact buffer per group (array-arg
+        # forms), not six separate percentile aggregation buffers
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000))
+        .alias("sketch_q"),
+        F.expr("percentile(value, array(0.4, 0.6, 0.85, 0.95))").alias("exact_q"),
     )
     return (
         agg.select(
@@ -538,13 +537,64 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.05 * F.col("exact_users")
             ).alias("hll_ok"),
             (
-                (F.col("p50_sketch") >= F.col("p40_exact"))
-                & (F.col("p50_sketch") <= F.col("p60_exact"))
+                (F.col("sketch_q")[0] >= F.col("exact_q")[0])
+                & (F.col("sketch_q")[0] <= F.col("exact_q")[1])
             ).alias("p50_ok"),
             (
-                (F.col("p90_sketch") >= F.col("p85_exact"))
-                & (F.col("p90_sketch") <= F.col("p95_exact"))
+                (F.col("sketch_q")[1] >= F.col("exact_q")[2])
+                & (F.col("sketch_q")[1] <= F.col("exact_q")[3])
             ).alias("p90_ok"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "district_monthly_rollup",
+    oracle=f"""
+    SELECT n.n_name AS district,
+           CAST(year(o.o_orderdate) AS INT) AS year,
+           CAST(month(o.o_orderdate) AS INT) AS month,
+           (FLOOR(CAST(({dsum_sql('o.o_totalprice', 2)}) AS DOUBLE) * 100 + 0.5) / 100)
+               AS total_price_r2,
+           (FLOOR(CAST(({davg_sql('o.o_totalprice', 2)}) AS DOUBLE) * 100 + 0.5) / 100)
+               AS avg_price_r2,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+    ORDER BY district, year, month
+    """,
+    tags=("weather-shaped", "round2", "broadcast-join"),
+)
+def district_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weather warehouse's district_monthly shape (fact ⋈ broadcast
+    dim → (name, year, month) rollup with HALF_UP 2-decimal rounding,
+    weather_spark_analysis_new.py district_monthly_weather) re-run over
+    the driver-checkable star schema — gives the F7 round2 quirk path
+    (floor(x*100+0.5)/100 over decimal-exact sums, engine-identical at
+    the .xx5 half-cases where native ROUND diverges) a hash-checked
+    CORRECTNESS row, not just a pytest oracle."""
+    from .weather import round2
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("district"),
+            F.year("o_orderdate").cast("int").alias("year"),
+            F.month("o_orderdate").cast("int").alias("month"),
+        )
+        .agg(
+            round2(dsum("o_totalprice", 2)).alias("total_price_r2"),
+            round2(davg("o_totalprice", 2)).alias("avg_price_r2"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("district", "year", "month")
     )

@@ -64,11 +64,8 @@ def run_full_pipeline(
     if with_ml:
         from ..ml import pipeline as ML
 
-        model, _, test = ML.train_et_model(weather)
-        metrics = ML.evaluate(model, test)
-        perf = spark.createDataFrame(
-            [(metrics["rmse"], metrics["r2"], metrics["mae"])], ["rmse", "r2", "mae"]
-        )
+        model, train, test = ML.train_et_model(weather)
+        perf = ML.model_performance_row(spark, model, train, test)
         write_table(perf, f"{out}/ml_model_performance")
         paths["ml_model_performance"] = f"{out}/ml_model_performance"
         ML.save_model(model, f"{out}/et_model")

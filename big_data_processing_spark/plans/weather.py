@@ -278,11 +278,15 @@ def weekly_max_temp_hottest_months(
     )
 
 
-def ml_feature_statistics(weather: DataFrame) -> DataFrame:
-    """MLlib feature stats (train_et_model.py:276-292) — one scan, all
-    features, unpivoted (the reference loops one job per column).
-    sunshine converted seconds→hours exactly as the trainer does
-    (:252-255)."""
+def ml_feature_statistics(weather: DataFrame, by_month: bool = True) -> DataFrame:
+    """MLlib feature stats keyed (month, feature) — the reference's
+    ml_feature_statistics table contract (train_et_model.py:97-108:
+    month UInt8 + feature_name keys, 12 months x 4 features = 48 rows;
+    populated per-month at :168-171). One scan, all features, unpivoted
+    (the reference loops one job per column per month). sunshine
+    converted seconds→hours exactly as the trainer does (:252-255).
+
+    ``by_month=False`` collapses to the 4-row global summary."""
     feats = {
         "sunshine_hours": F.col("sunshine_duration") / 3600.0,
         "precipitation_sum": F.col("precipitation_sum"),
@@ -298,13 +302,17 @@ def ml_feature_statistics(weather: DataFrame) -> DataFrame:
             round2(F.max(c)).alias(f"{name}__max"),
             F.count(c).alias(f"{name}__count"),
         ]
-    wide = weather.agg(*aggs)
+    keys = [F.col("month").cast("int").alias("month")] if by_month else []
+    wide = weather.groupBy(*keys).agg(*aggs) if by_month else weather.agg(*aggs)
     stack = ", ".join(
         f"'{n}', {n}__mean, {n}__stddev, {n}__min, {n}__max, {n}__count" for n in feats
     )
-    return wide.selectExpr(
-        f"stack({len(feats)}, {stack}) as (feature, mean, stddev, min, max, count)"
-    ).orderBy("feature")
+    stacked = wide.selectExpr(
+        *(["month"] if by_month else []),
+        f"stack({len(feats)}, {stack}) as (feature, mean, stddev, min, max, count)",
+    )
+    order = (["month", "feature"] if by_month else ["feature"])
+    return stacked.orderBy(*order)
 
 
 # --- serving-query corpus (the dashboard's ~20 SQL queries) ---

@@ -49,6 +49,51 @@ def _typed_weather(raw: DataFrame) -> DataFrame:
     )
 
 
+def make_ingest_sink(fact_dir: str, derived_dir: str | None = None):
+    """foreachBatch sink closure: append the typed batch to the fact
+    table and its partial aggregate to the derived table, IDEMPOTENTLY.
+
+    foreachBatch is at-least-once — a crash between the write and the
+    checkpoint commit replays the batch — so every write lands in
+    partitions keyed by (…, ingest_batch=batch_id) using dynamic
+    partition overwrite: a replay rewrites exactly its own partitions
+    instead of appending duplicates, which upgrades the end-to-end
+    guarantee to exactly-once. Fresh batch ids never touch existing
+    partitions, so normal appends are unaffected."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            (
+                batch.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("year", "ingest_batch")
+                .parquet(fact_dir)
+            )
+            if derived_dir is not None:
+                # partial (map-side-style) aggregate of JUST this batch;
+                # merged at read time — incremental, never full-history
+                (
+                    batch.groupBy("location_id", "year", "month")
+                    .agg(
+                        F.sum("precipitation_hours").alias("sum_precip_hours"),
+                        F.sum("temperature_2m_mean").alias("sum_temp"),
+                        F.count("temperature_2m_mean").alias("n_temp"),
+                        F.count(F.lit(1)).alias("n_rows"),
+                    )
+                    .withColumn("ingest_batch", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest_batch")
+                    .parquet(derived_dir)
+                )
+        finally:
+            batch.unpersist()
+
+    return sink
+
+
 def stream_ingest_weather(
     spark: SparkSession,
     in_dir: str,
@@ -71,32 +116,10 @@ def stream_ingest_weather(
         .csv(in_dir)
     )
     typed = _typed_weather(raw)
-
-    def sink(batch: DataFrame, batch_id: int) -> None:
-        batch.persist()
-        try:
-            batch.write.mode("append").partitionBy("year").parquet(fact_dir)
-            if derived_dir is not None:
-                # partial (map-side-style) aggregate of JUST this batch;
-                # merged at read time — incremental, never full-history
-                (
-                    batch.groupBy("location_id", "year", "month")
-                    .agg(
-                        F.sum("precipitation_hours").alias("sum_precip_hours"),
-                        F.sum("temperature_2m_mean").alias("sum_temp"),
-                        F.count("temperature_2m_mean").alias("n_temp"),
-                        F.count(F.lit(1)).alias("n_rows"),
-                    )
-                    .write.mode("append")
-                    .parquet(derived_dir)
-                )
-        finally:
-            batch.unpersist()
-
     writer = (
         typed.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
+        .foreachBatch(make_ingest_sink(fact_dir, derived_dir))
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -41,7 +41,7 @@ def test_full_pipeline_builds_warehouse(spark, tmp_path):
         "highest_precipitation": 1,
         "top_temperate_cities": 10,
         "radiation_analysis": n_months,
-        "ml_feature_statistics": 4,
+        "ml_feature_statistics": 12 * 4,  # (month, feature) keyed, ref contract
         "ml_model_performance": 1,
         "locations": 27,
     }
@@ -53,9 +53,20 @@ def test_full_pipeline_builds_warehouse(spark, tmp_path):
     fact = spark.read.parquet(paths["weather_fact"])
     assert set(r.year for r in fact.select("year").distinct().collect()) == {2012, 2013}
 
-    # model performance row carries finite metrics
+    # model performance row carries the full reference contract
+    # (train_et_model.py:72-90): metrics + features + coefficients
     perf = spark.read.parquet(paths["ml_model_performance"]).first()
     assert perf.rmse > 0 and perf.mae > 0 and -1.0 < perf.r2 <= 1.0
+    assert perf.train_size > 0 and perf.test_size > 0
+    assert (perf.feature_1, perf.feature_2, perf.feature_3) == (
+        "sunshine_hours",
+        "precipitation_sum",
+        "wind_speed_10m_max",
+    )
+    import math
+
+    for c in (perf.coefficient_1, perf.coefficient_2, perf.coefficient_3, perf.intercept):
+        assert math.isfinite(c)
 
     # persisted model is loadable and predicts
     from big_data_processing_spark.ml.pipeline import load_model, predict_single

@@ -16,6 +16,7 @@ from big_data_processing_spark.operators.dedup import (
     MINHASH_P,
     minhash_lsh_pairs,
     simhash_fingerprints,
+    simhash_hamming_pairs,
 )
 from big_data_processing_spark.operators.similarity import brute_force_knn
 from big_data_processing_spark.operators.textstats import quality_features
@@ -65,6 +66,29 @@ def test_simhash_deterministic_and_bounded(spark, docs):
     df2 = spark.createDataFrame([(0, docs[0][1]), (1, docs[0][1])], ["doc_id", "text"])
     s = [r.simhash for r in simhash_fingerprints(df2).collect()]
     assert s[0] == s[1]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(documents())
+def test_simhash_hamming_pairs_exact_within_radius(spark, docs):
+    """Banded block join is EXACT within the radius (pigeonhole with
+    radius+1 blocks): it reports the same pair set as a brute-force
+    hamming scan, and a duplicated doc always pairs at distance 0."""
+    dup = docs + [(len(docs), docs[0][1])]
+    df = spark.createDataFrame(dup, ["doc_id", "text"])
+    got = {
+        (p.id_a, p.id_b): p.hamming
+        for p in simhash_hamming_pairs(df, bits=60, radius=3).collect()
+    }
+    fps = {r.id: r.simhash for r in simhash_fingerprints(df, bits=60).collect()}
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == want
+    assert got[(0, len(docs))] == 0
 
 
 def test_minhash_permutation_params_valid():

@@ -169,15 +169,20 @@ def test_weekly_max_temp_hottest_months(tables, wduck):
 
 
 def test_ml_feature_statistics(tables):
+    """Reference contract (train_et_model.py:97-108): keyed
+    (month, feature_name), 12 months x 4 features = 48 rows."""
     weather, _ = tables
     stats = W.ml_feature_statistics(weather).collect()
-    assert len(stats) == 4
-    by_name = {r.feature: r for r in stats}
-    assert by_name["sunshine_hours"].max <= 12.0  # seconds→hours conversion applied
+    assert len(stats) == 12 * 4
+    assert {r.month for r in stats} == set(range(1, 13))
+    by_key = {(r.month, r.feature): r for r in stats}
+    assert all(by_key[(m, "sunshine_hours")].max <= 12.0 for m in range(1, 13))
     for r in stats:
         assert r.min <= r.mean <= r.max
         assert r.stddev >= 0
         assert r["count"] > 0
+    # global 4-row variant still available
+    assert len(W.ml_feature_statistics(weather, by_month=False).collect()) == 4
 
 
 def test_serving_queries_run(spark, tables):
