@@ -286,3 +286,65 @@ def lsh_bucket_knn(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 18,
+    bands: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the semantic-dedup
+    counterpart of MinHash/SimHash text dedup: random-hyperplane LSH
+    buckets the corpus, the banded SELF-join emits only in-bucket
+    candidates, and each candidate is verified with the exact cosine
+    before being reported.
+
+    Scale: signatures are row-local; the self-join shuffles
+    (bands x rows) small (band_idx, band, id, vec) tuples keyed by
+    bucket — never all-pairs. Near-identical vectors agree on nearly
+    every sign bit, so recall at high thresholds is ~1 while random
+    pairs (cosine ~N(0, 1/sqrt(dim))) almost never share a band.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+
+    sig = signature_bits(F.col(vec_col), planes)
+    band_arr = F.array(
+        *[F.shiftright(sig, b * rows).bitwiseAND(F.lit(mask)) for b in range(bands)]
+    )
+    banded = spread(corpus, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(band_arr).alias("band_idx", "band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -29,6 +29,7 @@ from ..operators.multimodal import extract_features, text_as_media
 from ..operators.similarity import (
     brute_force_knn,
     build_ivf_index,
+    embedding_cosine_pairs,
     hyperplanes,
     ivf_knn,
     lsh_bucket_knn,
@@ -495,6 +496,94 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+_ECP_THRESHOLD, _ECP_MOD, _ECP_SHIFT = 0.99, 25, 1000000
+
+
+def _embedding_pairs_oracle() -> str:
+    planes = hyperplanes(_LSH_DIM, _LSH_PLANES, _LSH_SEED)
+    rows = _LSH_PLANES // _LSH_BANDS
+    bit_terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        bit_terms.append(
+            f"(CASE WHEN ({_dot_sql('v', f'{lit}::DOUBLE[]')}) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    sig = " + ".join(bit_terms)
+    band_arr = ", ".join(
+        f"(sig >> {b * rows}) & {(1 << rows) - 1}" for b in range(_LSH_BANDS)
+    )
+    cos = (
+        f"({_dot_sql('a_vec', 'b_vec')}) / "
+        f"(sqrt({_dot_sql('a_vec', 'a_vec')}) * sqrt({_dot_sql('b_vec', 'b_vec')}))"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+        FROM embeddings
+    ),
+    aug AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT vec_id + {_ECP_SHIFT},
+               list_transform(embedding, x -> x + 0.001)
+        FROM base WHERE vec_id % {_ECP_MOD} = 0
+    ),
+    sigs AS (
+        SELECT vec_id, embedding, {sig} AS sig
+        FROM (SELECT vec_id, embedding, embedding AS v FROM aug)
+    ),
+    banded AS (
+        SELECT vec_id, embedding, u.band_idx, [{band_arr}][u.band_idx + 1] AS band
+        FROM sigs, (SELECT UNNEST(generate_series(0, {_LSH_BANDS - 1})) AS band_idx) u
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS a_vec, b.embedding AS b_vec
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+        SELECT id_a, id_b, {cos} AS cosine FROM cand
+    ) WHERE cosine >= {_ECP_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_embedding_pairs_oracle(),
+    tags=("dedup", "similarity", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs by embedding cosine >= 0.99 over LSH
+    band buckets (never all-pairs). The raw test embeddings carry no
+    near-dups (max pairwise cosine 0.51), so the corpus is augmented
+    in-plan with deterministically perturbed copies (+0.001 per
+    element, shifted ids) — both engines build the identical corpus,
+    so the found pair set is exact evidence of the operator's
+    bucket+verify semantics."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") % _ECP_MOD == 0).select(
+        (F.col("vec_id") + _ECP_SHIFT).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.001)).alias(
+            "embedding"
+        ),
+    )
+    return embedding_cosine_pairs(
+        base.unionByName(pert),
+        threshold=_ECP_THRESHOLD,
+        n_planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        seed=_LSH_SEED,
+        dim=_LSH_DIM,
+    )
+
+
 _IVF_CELLS, _IVF_PROBE, _IVF_SEED = 16, 6, 42
 
 
@@ -647,3 +736,202 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "media_type", "n_bytes", "checksum32"
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: direct n-gram Jaccard, repetition filter,
+# deterministic split assignment, quality-ranked selection
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = shingles_sql(_TOKENS, 3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_NORM} AS norm,
+               list_distinct({_SHINGLES_SQL}) AS sset
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_inter,
+               CAST(len(a.sset) + len(b.sset)
+                    - len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_union
+        FROM sh a JOIN sh b
+          ON substr(a.norm, 1, 40) = substr(b.norm, 1, 40)
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, n_inter, n_union,
+           CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+    FROM pairs
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "ngram-jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-3-gram Jaccard on prefix-blocked candidate pairs —
+    the deterministic twin of the MinHash ESTIMATE (dedup_minhash_pairs
+    verifies candidates the same way; here the full set intersection IS
+    the result). Blocking keeps the quadratic set-compare off
+    all-pairs: only docs sharing a 40-char normalized prefix meet."""
+    from ..functions.text import normalize_text, shingles, tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        normalize_text("text").alias("norm"),
+        F.array_distinct(shingles(tokenize(F.col("text")), 3)).alias("sset"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("norm", 1, 40).alias("pfx_a"),
+        F.col("sset").alias("sset_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("norm", 1, 40).alias("pfx_b"),
+        F.col("sset").alias("sset_b"),
+    )
+    inter = F.size(F.array_intersect("sset_a", "sset_b")).cast("long")
+    union = (
+        F.size("sset_a").cast("long") + F.size("sset_b").cast("long") - inter
+    )
+    return (
+        a.join(b, (F.col("pfx_a") == F.col("pfx_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SHINGLES_SQL}) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct({_SHINGLES_SQL})) AS BIGINT) AS n_distinct,
+           CAST(len({_SHINGLES_SQL}) - len(list_distinct({_SHINGLES_SQL})) AS DOUBLE)
+               / CAST(len({_SHINGLES_SQL}) AS DOUBLE) AS dup_ngram_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText repeated
+    n-gram filter): fraction of duplicated token-3-grams per doc —
+    high ratios mark boilerplate/spam for removal before training.
+    Row-local array math, shuffle-free, scales linearly."""
+    from ..functions.text import shingles, tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(tokenize(F.col("text")), 3)
+    n = F.size(sh).cast("long")
+    nd = F.size(F.array_distinct(sh)).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_shingles"),
+        nd.alias("n_distinct"),
+        ((n - nd).cast("double") / n.cast("double")).alias("dup_ngram_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {hash32_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                    THEN 'train'
+                    WHEN {hash32_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                    THEN 'validation'
+                    ELSE 'test' END AS split,
+               doc_id
+        FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM assigned
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    tags=("curation", "split"),
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test assignment by
+    content-stable hash of the doc id — reproducible across engines,
+    sessions, and data relayouts (unlike randomSplit, which depends on
+    partitioning). The 100 TB way to split: a pure column expression,
+    no sampling state, no driver involvement."""
+    from ..functions.text import hash32
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _curation_topk_oracle() -> str:
+    # reuse the exact quality-score expression from the per-doc oracle
+    # (doc_quality_scores hash-matches it, so the ranking inputs are
+    # bit-identical doubles on both engines)
+    quality_sql = _quality_oracle()
+    return f"""
+    WITH scored AS ({quality_sql.replace("ORDER BY doc_id", "")})
+    SELECT lang, doc_id, quality_score, rank FROM (
+        SELECT d.lang, s.doc_id, s.quality_score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+                    ORDER BY s.quality_score DESC, s.doc_id ASC) AS INT) AS rank
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    WHERE rank <= 3
+    ORDER BY lang, rank
+    """
+
+
+@query(
+    "curation_topk_quality",
+    oracle=_curation_topk_oracle(),
+    tags=("curation", "quality", "window"),
+)
+def curation_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked curation: the top-3 documents per language by
+    heuristic quality score (doc_id tie-break) — the select-best step
+    of a data-curation pipeline as a window over row-local features.
+    Scale: rank is per-language partition; WindowGroupLimit prunes to
+    k rows per partition before the final merge."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_features(d).select("doc_id", "quality_score")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "doc_id", "quality_score", "rank")
+        .orderBy("lang", "rank")
+    )
