@@ -293,8 +293,8 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
-    n_planes: int = 18,
-    bands: int = 6,
+    n_planes: int = 24,
+    bands: int = 2,
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
@@ -304,11 +304,15 @@ def embedding_cosine_pairs(
     candidates, and each candidate is verified with the exact cosine
     before being reported.
 
-    Scale: signatures are row-local; the self-join shuffles
-    (bands x rows) small (band_idx, band, id, vec) tuples keyed by
-    bucket — never all-pairs. Near-identical vectors agree on nearly
-    every sign bit, so recall at high thresholds is ~1 while random
-    pairs (cosine ~N(0, 1/sqrt(dim))) almost never share a band.
+    Scale shape: the band self-join carries only slim
+    (band_idx, band, id) tuples — vectors are re-attached AFTER the
+    candidate pairs are deduped, so the bucket shuffle never moves the
+    wide embedding arrays. Bands default WIDE (12 bits → 4096 buckets):
+    near-identical vectors (the only ones above a 0.99 threshold) agree
+    on almost every sign bit so recall stays ~1, while random pairs
+    land in the same 12-bit bucket with probability ~p^12 — the
+    candidate set stays near-linear instead of the near-quadratic blowup
+    a narrow (3-bit, 8-bucket) band would produce.
 
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
     """
@@ -320,9 +324,9 @@ def embedding_cosine_pairs(
     band_arr = F.array(
         *[F.shiftright(sig, b * rows).bitwiseAND(F.lit(mask)) for b in range(bands)]
     )
-    banded = spread(corpus, id_col).select(
+    wide = spread(corpus, id_col)
+    banded = wide.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         F.posexplode(band_arr).alias("band_idx", "band"),
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -333,16 +337,18 @@ def embedding_cosine_pairs(
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = wide.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    paired = (
+        cand.join(vecs, cand.id_a == vecs.vid)
+        .select("id_a", "id_b", F.col("v").alias("vec_a"))
+        .join(vecs, F.col("id_b") == vecs.vid)
+        .select("id_a", "id_b", "vec_a", F.col("v").alias("vec_b"))
+    )
     return (
-        cand.select(
+        paired.select(
             "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)

@@ -43,6 +43,7 @@ from ..operators.textstats import (
     language_id,
     quality_features,
 )
+from ..operators.util import spread
 from .catalog import _t, query
 
 _TOKENS = "regexp_split_to_array(lower(text), '\\s+')"
@@ -188,8 +189,6 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate accounting per source: hash-groupBy dedup on the
     raw digest and on the normalized (lower/collapsed-ws) digest.
     Scale: one shuffle keyed by digest — the canonical exact-dedup plan."""
-    from ..operators.util import spread
-
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return (
@@ -497,11 +496,17 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ECP_THRESHOLD, _ECP_MOD, _ECP_SHIFT = 0.99, 25, 1000000
+# Dedicated WIDE banding for the pairs query (24 planes / 2 bands =
+# 12-bit bands, 4096 buckets): a near-dup self-join wants few random
+# collisions, unlike the kNN query-side probe that wants recall via
+# many narrow bands. With 3-bit bands the self-join degenerates toward
+# all-pairs (8 buckets) — measured 41 s vs ~2 s at sf0.1.
+_ECP_PLANES, _ECP_BANDS = 24, 2
 
 
 def _embedding_pairs_oracle() -> str:
-    planes = hyperplanes(_LSH_DIM, _LSH_PLANES, _LSH_SEED)
-    rows = _LSH_PLANES // _LSH_BANDS
+    planes = hyperplanes(_LSH_DIM, _ECP_PLANES, _LSH_SEED)
+    rows = _ECP_PLANES // _ECP_BANDS
     bit_terms = []
     for j, p in enumerate(planes):
         lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
@@ -511,7 +516,7 @@ def _embedding_pairs_oracle() -> str:
         )
     sig = " + ".join(bit_terms)
     band_arr = ", ".join(
-        f"(sig >> {b * rows}) & {(1 << rows) - 1}" for b in range(_LSH_BANDS)
+        f"(sig >> {b * rows}) & {(1 << rows) - 1}" for b in range(_ECP_BANDS)
     )
     cos = (
         f"({_dot_sql('a_vec', 'b_vec')}) / "
@@ -535,7 +540,7 @@ def _embedding_pairs_oracle() -> str:
     ),
     banded AS (
         SELECT vec_id, embedding, u.band_idx, [{band_arr}][u.band_idx + 1] AS band
-        FROM sigs, (SELECT UNNEST(generate_series(0, {_LSH_BANDS - 1})) AS band_idx) u
+        FROM sigs, (SELECT UNNEST(generate_series(0, {_ECP_BANDS - 1})) AS band_idx) u
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -577,8 +582,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(
         base.unionByName(pert),
         threshold=_ECP_THRESHOLD,
-        n_planes=_LSH_PLANES,
-        bands=_LSH_BANDS,
+        n_planes=_ECP_PLANES,
+        bands=_ECP_BANDS,
         seed=_LSH_SEED,
         dim=_LSH_DIM,
     )
@@ -778,7 +783,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs: only docs sharing a 40-char normalized prefix meet."""
     from ..functions.text import normalize_text, shingles, tokenize
 
-    d = _t(spark, sf_dir, "documents")
+    # spread() parallelizes the CPU-dense shingle projection (a small
+    # local file is one split); the shingle set is materialized in its
+    # own projection so Catalyst evaluates it once per side, and the
+    # intersection is likewise computed once before the derived ratios.
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     sh = d.select(
         "doc_id",
         normalize_text("text").alias("norm"),
@@ -794,21 +803,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("norm", 1, 40).alias("pfx_b"),
         F.col("sset").alias("sset_b"),
     )
-    inter = F.size(F.array_intersect("sset_a", "sset_b")).cast("long")
-    union = (
-        F.size("sset_a").cast("long") + F.size("sset_b").cast("long") - inter
-    )
-    return (
+    base = (
         a.join(b, (F.col("pfx_a") == F.col("pfx_b")) & (F.col("id_a") < F.col("id_b")))
         .select(
             "id_a",
             "id_b",
-            inter.alias("n_inter"),
-            union.alias("n_union"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.size(F.array_intersect("sset_a", "sset_b")).cast("long").alias("n_inter"),
+            F.size("sset_a").cast("long").alias("len_a"),
+            F.size("sset_b").cast("long").alias("len_b"),
         )
-        .orderBy("id_a", "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("len_a") + F.col("len_b") - F.col("n_inter")).alias("n_union"),
+        )
     )
+    return base.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias(
+            "jaccard"
+        ),
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -831,15 +850,25 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-local array math, shuffle-free, scales linearly."""
     from ..functions.text import shingles, tokenize
 
-    d = _t(spark, sf_dir, "documents")
-    sh = shingles(tokenize(F.col("text")), 3)
-    n = F.size(sh).cast("long")
-    nd = F.size(F.array_distinct(sh)).cast("long")
-    return d.select(
+    # Two-step projection: the shingle array is aliased once, then the
+    # counts derive from the column — Catalyst won't collapse a non-cheap
+    # producing expression into multiple consumers, so the interpreted
+    # HOF pipeline runs once per row instead of once per output column.
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    sh = d.select("doc_id", shingles(tokenize(F.col("text")), 3).alias("sh"))
+    counts = sh.select(
         "doc_id",
-        n.alias("n_shingles"),
-        nd.alias("n_distinct"),
-        ((n - nd).cast("double") / n.cast("double")).alias("dup_ngram_ratio"),
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("sh")).cast("long").alias("n_distinct"),
+    )
+    return counts.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        (
+            (F.col("n_shingles") - F.col("n_distinct")).cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("dup_ngram_ratio"),
     ).orderBy("doc_id")
 
 
