@@ -107,7 +107,7 @@ def minhash_lsh_pairs(
         ]
     )
     banded = base.select(
-        "id", "shingle_set", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+        "id", "shingle_set", F.posexplode_outer(band_hashes).alias("band_idx", "band_hash")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -203,7 +203,7 @@ def simhash_hamming_pairs(
     banded = fp.select(
         "id",
         "simhash",
-        F.posexplode(
+        F.posexplode_outer(
             F.array(
                 *[
                     F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(

@@ -1,0 +1,95 @@
+"""Distributed connected components — the cluster-assignment step that
+turns near-duplicate PAIRS (MinHash/SimHash/embedding) into dedup
+CLUSTERS: every document gets the minimum doc id of its component as a
+canonical cluster id, so "keep one per cluster" is a single filter.
+
+Algorithm: iterative min-label propagation over the (symmetrized) edge
+set. Each round every node takes the minimum of its own label and its
+neighbors' labels; the fixpoint assigns each node the component-minimum
+id, reached in at most diameter(G) rounds. Dedup graphs are unions of
+near-clique clusters (diameter 2-3 in practice), so the loop converges
+in a handful of rounds; each round is one shuffle join + one map-side-
+combinable min aggregation, and `localCheckpoint` truncates the lineage
+so the plan stays flat across iterations.
+
+Scale notes: label state is 2 longs per node — orders of magnitude
+smaller than the documents. For adversarial long-path graphs,
+production systems switch to alternating star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) for
+O(log n) rounds; dedup clusters never need it, and the row-shape here
+(node, lbl) is identical, so that variant can slot in behind the same
+signature. The convergence check is a driver-side count of changed
+labels — an O(1) scalar per round, the same pattern MLlib's iterative
+algorithms use (not a data collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Assign each node in ``edges`` the minimum node id reachable from
+    it: returns (node, cluster_id). Only nodes with at least one edge
+    appear (singletons have no dedup decision to make).
+
+    Deterministic under any partitioning/parallelism: the converged
+    min-label fixpoint is unique.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the symmetrized edge list once: it is re-joined every
+    # round, and without the checkpoint the (possibly expensive) pair-
+    # generation plan upstream would re-execute per iteration.
+    sym = fwd.unionByName(rev).distinct().localCheckpoint()
+
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.col("lbl").alias("old_lbl"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = stepped.select("node", "lbl")
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def cluster_summary(components: DataFrame) -> DataFrame:
+    """Per-cluster rollup of a (node, cluster_id) assignment:
+    (cluster_id, n_docs, min_doc, max_doc), ordered."""
+    return (
+        components.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("node").alias("min_doc"),
+            F.max("node").alias("max_doc"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -195,7 +195,7 @@ def ivf_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode_outer(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -257,7 +257,7 @@ def lsh_bucket_knn(
         return df.filter(dim_ok.isNull()).select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
-            F.posexplode(band_arr).alias("band_idx", f"{role}_band"),
+            F.posexplode_outer(band_arr).alias("band_idx", f"{role}_band"),
         )
 
     qb = banded(queries, "q")
@@ -327,7 +327,7 @@ def embedding_cosine_pairs(
     wide = spread(corpus, id_col)
     banded = wide.select(
         F.col(id_col).alias("id"),
-        F.posexplode(band_arr).alias("band_idx", "band"),
+        F.posexplode_outer(band_arr).alias("band_idx", "band"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -20,11 +20,13 @@ from ..functions.text import (
     shingles_sql,
     stopword_hits_sql,
 )
+from ..functions.text import normalize_text
 from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_fingerprints,
     simhash_hamming_pairs,
 )
+from ..operators.graph import cluster_summary, connected_components
 from ..operators.multimodal import extract_features, text_as_media
 from ..operators.similarity import (
     brute_force_knn,
@@ -372,6 +374,75 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(
         _t(spark, sf_dir, "documents"), bits=_SH_PAIR_BITS, radius=_SH_RADIUS
     )
+
+
+def _cluster_oracle() -> str:
+    # Edge set = MinHash near-dup pairs (shared-constant twin of
+    # dedup_minhash_pairs) UNION exact normalized-digest star edges;
+    # components via recursive min-root propagation — the same unique
+    # fixpoint the Spark label-propagation loop converges to.
+    return f"""
+    WITH RECURSIVE
+    mh AS (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+    members AS (SELECT doc_id AS id, md5({_NORM}) AS digest FROM documents),
+    grp AS (SELECT digest, MIN(id) AS keep_id, COUNT(*) AS n
+            FROM members GROUP BY digest),
+    star AS (SELECT g.keep_id AS id_a, m.id AS id_b
+             FROM members m JOIN grp g USING (digest)
+             WHERE g.n > 1 AND m.id != g.keep_id),
+    pairs AS (SELECT id_a, id_b FROM mh UNION SELECT id_a, id_b FROM star),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, root) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id, COUNT(*) AS n_docs,
+           MIN(node) AS min_doc, MAX(node) AS max_doc
+    FROM cc GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+
+@query(
+    "dedup_cluster_assign",
+    oracle=_cluster_oracle(),
+    tags=("dedup", "clusters", "graph"),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER assignment — the step after pair
+    generation in a real dedup pipeline: MinHash near-dup pairs plus
+    exact normalized-digest duplicates form an edge set, distributed
+    min-label propagation (operators/graph.py) resolves connected
+    components, and every cluster reports (cluster_id = min doc id,
+    n_docs, min/max member). "Keep one per cluster" is then a single
+    filter on node == cluster_id.
+
+    Scale: label state is two longs per noded document; each round is
+    one join + a map-side-combinable min; dedup graphs converge in a
+    handful of rounds (diameter of near-clique clusters)."""
+    d = _t(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(
+        d,
+        num_hashes=_MH_NUM,
+        bands=_MH_BANDS,
+        shingle_n=_MH_N,
+        jaccard_threshold=_MH_THRESH,
+    ).select("id_a", "id_b")
+    members = spread(d, "doc_id").select(
+        F.col("doc_id").alias("id"), F.md5(normalize_text("text")).alias("digest")
+    )
+    grp = members.groupBy("digest").agg(
+        F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+    star = (
+        members.join(grp, "digest")
+        .filter((F.col("n") > 1) & (F.col("id") != F.col("keep_id")))
+        .select(F.col("keep_id").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    comp = connected_components(mh.unionByName(star))
+    return cluster_summary(comp)
 
 
 # ---------------------------------------------------------------------------
@@ -870,6 +941,72 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_shingles").cast("double")
         ).alias("dup_ngram_ratio"),
     ).orderBy("doc_id")
+
+
+_DECON_MOD, _DECON_N = 97, 5
+_SHINGLES5_SQL = shingles_sql(_TOKENS, _DECON_N)
+
+
+@query(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest(list_distinct({_SHINGLES5_SQL})) AS s
+        FROM documents WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    tr AS (
+        SELECT doc_id, list_distinct({_SHINGLES5_SQL}) AS sh
+        FROM documents WHERE doc_id % {_DECON_MOD} != 0
+    ),
+    ex AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM tr)
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_hit,
+           CAST(COUNT(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_frac
+    FROM ex JOIN ev USING (s)
+    GROUP BY doc_id, n_shingles
+    ORDER BY doc_id
+    """,
+    tags=("curation", "decontamination"),
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction
+    of its distinct token-5-grams that appear anywhere in the held-out
+    eval set (doc_id % 97 == 0 stands in for the benchmark corpus).
+    Docs with high overlap are eval leakage and must be dropped before
+    training.
+
+    Scale shape: the eval n-gram universe is DISTINCT and broadcast
+    (benchmarks are tiny next to a 100 TB corpus); the training side
+    explodes distinct shingles row-locally and the hit count is a
+    map-side-combinable groupBy on doc_id — no corpus self-join."""
+    from ..functions.text import shingles, tokenize
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    sh5 = F.array_distinct(shingles(tokenize(F.col("text")), _DECON_N))
+    ev = (
+        d.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode_outer(sh5).alias("s"))
+        .distinct()
+    )
+    tr = d.filter(F.col("doc_id") % _DECON_MOD != 0).select("doc_id", sh5.alias("sh"))
+    ex = tr.select(
+        "doc_id", F.size("sh").cast("long").alias("n_shingles"), F.explode_outer("sh").alias("s")
+    )
+    return (
+        ex.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "overlap_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -172,3 +172,38 @@ def test_minhash_jaccard_estimate_tracks_truth(spark):
         # shared 3-shingles are those fully inside w20..w39: starts
         # 20..37 → 18 of 38 per doc → J = 18/(38+38-18)
         assert math.isclose(j, 18 / 58, rel_tol=1e-9)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_equal_union_find(spark, edges):
+    """Min-label propagation must converge to exactly the components a
+    driver-side union-find computes on the same arbitrary edge list."""
+    from big_data_processing_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    expected = {}
+    for n in nodes:
+        root = find(n)
+        expected.setdefault(root, set()).add(n)
+    truth = {n: min(member) for member in expected.values() for n in member}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert got == truth
