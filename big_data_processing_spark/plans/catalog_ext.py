@@ -93,6 +93,23 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _score_sql() -> str:
+    """DuckDB expression for the quality_features composite score —
+    shared by the quality oracle and the curation-pipeline oracle."""
+    stop = stopword_hits_sql(_TOKENS, STOPWORDS["en"])
+    sum_len = f"list_reduce(list_transform({_TOKENS}, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b)"
+    n_tokens = f"CAST(len({_TOKENS}) AS BIGINT)"
+    n_chars = "CAST(length(text) AS BIGINT)"
+    punct = "CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT)"
+    avg_tok = f"(CAST({sum_len} AS DOUBLE) / CAST({n_tokens} AS DOUBLE))"
+    stop_ratio = f"(CAST({stop} AS DOUBLE) / CAST({n_tokens} AS DOUBLE))"
+    punct_ratio = f"(CAST({punct} AS DOUBLE) / CAST({n_chars} AS DOUBLE))"
+    return (
+        f"({W_STOP} * {stop_ratio} + {W_PUNCT} * (1.0 - {punct_ratio})"
+        f" + {W_LEN} * (1.0 / (1.0 + ABS({avg_tok} - {IDEAL_TOKEN_LEN}))))"
+    )
+
+
 def _quality_oracle() -> str:
     stop = stopword_hits_sql(_TOKENS, STOPWORDS["en"])
     sum_len = f"list_reduce(list_transform({_TOKENS}, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b)"
@@ -102,10 +119,7 @@ def _quality_oracle() -> str:
     avg_tok = f"(CAST({sum_len} AS DOUBLE) / CAST({n_tokens} AS DOUBLE))"
     stop_ratio = f"(CAST({stop} AS DOUBLE) / CAST({n_tokens} AS DOUBLE))"
     punct_ratio = f"(CAST({punct} AS DOUBLE) / CAST({n_chars} AS DOUBLE))"
-    score = (
-        f"({W_STOP} * {stop_ratio} + {W_PUNCT} * (1.0 - {punct_ratio})"
-        f" + {W_LEN} * (1.0 / (1.0 + ABS({avg_tok} - {IDEAL_TOKEN_LEN}))))"
-    )
+    score = _score_sql()
     return f"""
     SELECT doc_id,
            {n_chars} AS n_chars,
@@ -1006,6 +1020,228 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# PII scrubbing: the synthetic corpus carries no PII, so deterministic
+# fake PII is planted IN-PLAN (same expression both engines — the
+# planted-corpus pattern of dedup_embedding_cosine) and then redacted;
+# the checked output proves detection counts AND the byte effect of the
+# actual regexp_replace rewrite.
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_URL_RE = r"https?://[^\s]+"
+_PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_EMOD, _PII_UMOD, _PII_PMOD = 11, 13, 17
+
+_PII_AUG_SQL = f"""(text
+    || CASE WHEN doc_id % {_PII_EMOD} = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % {_PII_UMOD} = 0
+            THEN ' ref https://data.example.org/doc/' || CAST(doc_id AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % {_PII_PMOD} = 0
+            THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END)"""
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT source, {_PII_AUG_SQL} AS t FROM documents),
+    scrub AS (
+        SELECT source, t,
+               CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(t, '{_PII_URL_RE}')) AS BIGINT) AS n_url,
+               CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_PII_EMAIL_RE}', '<email>', 'g'),
+                   '{_PII_URL_RE}', '<url>', 'g'),
+                   '{_PII_PHONE_RE}', '<phone>', 'g') AS clean
+        FROM aug
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_url) AS BIGINT) AS n_urls,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(CASE WHEN n_email + n_url + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_redacted,
+           CAST(SUM(length(t) - length(clean)) AS BIGINT) AS redacted_chars
+    FROM scrub
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "pii", "redaction"),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: detect emails / URLs / phone numbers with
+    cross-engine-safe regexes, rewrite them to typed placeholders, and
+    report per-source counts plus the byte delta of the actual rewrite
+    (proof the replacement ran, not just the match count).
+
+    Row-local regex work — shuffle-free scan→rollup, linear at 100 TB.
+    The corpus is augmented in-plan with deterministic fake PII (the
+    synthetic docs contain none) so both engines scrub the identical
+    input."""
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % _PII_EMOD == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % _PII_UMOD == 0,
+            F.concat(F.lit(" ref https://data.example.org/doc/"), did.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % _PII_PMOD == 0,
+            F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("source", aug.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL_RE, "<email>"),
+            _PII_URL_RE,
+            "<url>",
+        ),
+        _PII_PHONE_RE,
+        "<phone>",
+    )
+    scrub = base.select(
+        "source",
+        "t",
+        F.regexp_count("t", F.lit(_PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count("t", F.lit(_PII_URL_RE)).cast("long").alias("n_url"),
+        F.regexp_count("t", F.lit(_PII_PHONE_RE)).cast("long").alias("n_phone"),
+        clean.alias("clean"),
+    )
+    return (
+        scrub.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_url").alias("n_urls"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum(
+                F.when(F.col("n_email") + F.col("n_url") + F.col("n_phone") > 0, 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_docs_redacted"),
+            F.sum(F.length("t").cast("long") - F.length("clean").cast("long")).alias(
+                "redacted_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_CUR_QUALITY_MIN, _CUR_CONTAM_FRAC = 0.45, 0.5
+
+
+@query(
+    "curation_pipeline_summary",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, lang, {_score_sql()} AS score FROM documents),
+    digests AS (
+        SELECT doc_id, md5({_NORM}) AS digest FROM documents
+    ),
+    keepers AS (SELECT digest, MIN(doc_id) AS keep_id FROM digests GROUP BY digest),
+    ev AS (
+        SELECT DISTINCT unnest(list_distinct({_SHINGLES5_SQL})) AS s
+        FROM documents WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    tr AS (
+        SELECT doc_id, list_distinct({_SHINGLES5_SQL}) AS sh
+        FROM documents WHERE doc_id % {_DECON_MOD} != 0
+    ),
+    ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM tr),
+    contam AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) / CAST(n_sh AS DOUBLE) AS frac
+        FROM ex JOIN ev USING (s) GROUP BY doc_id, n_sh
+    ),
+    labeled AS (
+        SELECT q.lang,
+               CASE WHEN q.doc_id % {_DECON_MOD} = 0 THEN 'eval_holdout'
+                    WHEN q.score < {_CUR_QUALITY_MIN} THEN 'low_quality'
+                    WHEN q.doc_id != k.keep_id THEN 'duplicate'
+                    WHEN COALESCE(c.frac, 0.0) >= {_CUR_CONTAM_FRAC} THEN 'contaminated'
+                    ELSE 'kept' END AS status
+        FROM q
+        JOIN digests d ON q.doc_id = d.doc_id
+        JOIN keepers k ON d.digest = k.digest
+        LEFT JOIN contam c ON q.doc_id = c.doc_id
+    )
+    SELECT lang, status, COUNT(*) AS n_docs
+    FROM labeled
+    GROUP BY lang, status
+    ORDER BY lang, status
+    """,
+    tags=("curation", "pipeline"),
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel in one plan — what a reference
+    user actually runs before training: quality gate → exact-dup
+    canonicalization → benchmark decontamination, with per-(lang,
+    status) accounting of every drop reason (precedence: eval_holdout >
+    low_quality > duplicate > contaminated > kept).
+
+    Scale: every stage reuses the scale shape already proven for its
+    standalone operator — row-local scoring, one digest-keyed shuffle,
+    broadcast eval universe. The funnel composes without any new
+    all-pairs or collect step."""
+    from ..functions.text import shingles, tokenize
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    q = quality_features(d).select("doc_id", "quality_score")
+    digests = d.select(
+        "doc_id", "lang", F.md5(normalize_text("text")).alias("digest")
+    )
+    keepers = digests.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+
+    sh5 = F.array_distinct(shingles(tokenize(F.col("text")), _DECON_N))
+    ev = (
+        d.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode_outer(sh5).alias("s"))
+        .distinct()
+    )
+    tr = d.filter(F.col("doc_id") % _DECON_MOD != 0).select("doc_id", sh5.alias("sh"))
+    ex = tr.select(
+        "doc_id", F.size("sh").cast("long").alias("n_sh"), F.explode_outer("sh").alias("s")
+    )
+    contam = (
+        ex.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select(
+            "doc_id",
+            (F.col("n_hit").cast("double") / F.col("n_sh").cast("double")).alias("frac"),
+        )
+    )
+
+    status = (
+        F.when(F.col("doc_id") % _DECON_MOD == 0, F.lit("eval_holdout"))
+        .when(F.col("quality_score") < _CUR_QUALITY_MIN, F.lit("low_quality"))
+        .when(F.col("doc_id") != F.col("keep_id"), F.lit("duplicate"))
+        .when(F.coalesce(F.col("frac"), F.lit(0.0)) >= _CUR_CONTAM_FRAC, F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        digests.join(keepers, "digest")
+        .join(q, "doc_id")
+        .join(contam, "doc_id", "left")
+        .select("lang", status.alias("status"))
+        .groupBy("lang", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "status")
     )
 
 

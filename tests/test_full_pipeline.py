@@ -73,3 +73,74 @@ def test_full_pipeline_builds_warehouse(spark, tmp_path):
 
     model = load_model(paths["et_model"])
     assert isinstance(predict_single(model, spark, 8.0, 5.0, 12.0), float)
+
+
+def test_pii_scrub_leaves_no_matches(spark, sf_dir):
+    """After redaction, re-scanning the scrubbed text with the same
+    regexes must find ZERO matches — the scrub is complete, not just
+    counted."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.plans.catalog_ext import (
+        _PII_EMAIL_RE,
+        _PII_EMOD,
+        _PII_PHONE_RE,
+        _PII_PMOD,
+        _PII_UMOD,
+        _PII_URL_RE,
+        _t,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % _PII_EMOD == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % _PII_UMOD == 0,
+            F.concat(F.lit(" ref https://data.example.org/doc/"), did.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % _PII_PMOD == 0,
+            F.concat(F.lit(" call 555-010-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL_RE, "<email>"), _PII_URL_RE, "<url>"
+        ),
+        _PII_PHONE_RE,
+        "<phone>",
+    )
+    residuals = d.select(
+        (
+            F.regexp_count(clean, F.lit(_PII_EMAIL_RE))
+            + F.regexp_count(clean, F.lit(_PII_URL_RE))
+            + F.regexp_count(clean, F.lit(_PII_PHONE_RE))
+        ).alias("n")
+    ).agg(F.sum("n").alias("total")).first()
+    assert residuals.total == 0
+
+
+def test_curation_pipeline_statuses_partition_corpus(spark, sf_dir):
+    """Every document lands in exactly one funnel status — the summary
+    counts must sum to the corpus size."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        curation_pipeline_summary,
+        _t,
+    )
+
+    total = _t(spark, sf_dir, "documents").count()
+    rows = curation_pipeline_summary(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == total
+    assert {r.status for r in rows} <= {
+        "eval_holdout",
+        "low_quality",
+        "duplicate",
+        "contaminated",
+        "kept",
+    }
+    assert any(r.status == "kept" for r in rows)
