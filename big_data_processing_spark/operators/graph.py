@@ -42,12 +42,23 @@ def connected_components(
     Deterministic under any partitioning/parallelism: the converged
     min-label fixpoint is unique.
     """
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    # Materialize the symmetrized edge list once: it is re-joined every
-    # round, and without the checkpoint the (possibly expensive) pair-
-    # generation plan upstream would re-execute per iteration.
-    sym = fwd.unionByName(rev).distinct().localCheckpoint()
+    # Symmetrize in ONE pass over the input (explode of the two
+    # orientations) — a fwd/rev self-union would execute the possibly
+    # expensive upstream pair-generation plan twice. Then materialize:
+    # the edge list is re-joined every round, and without the checkpoint
+    # the upstream plan would re-execute per iteration as well.
+    both = F.explode_outer(
+        F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )
+    )
+    sym = (
+        edges.select(both.alias("e"))
+        .select("e.u", "e.v")
+        .distinct()
+        .localCheckpoint()
+    )
 
     labels = (
         sym.select("u")

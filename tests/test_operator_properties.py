@@ -207,3 +207,39 @@ def test_connected_components_equal_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r.node: r.cluster_id for r in connected_components(df).collect()}
     assert got == truth
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # left events: (key, time)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(  # right updates: (key, time, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(100, 999)),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda r: (r[0], r[1]),  # unique per (key, time) as the contract requires
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """The union+window as-of composition must equal the brute-force
+    definition: payload of the max right time <= left time per key,
+    inclusive, null when no right row precedes."""
+    from big_data_processing_spark.operators.asof import asof_join_backward
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], ["row_id", "k", "t"]
+    )
+    rdf = spark.createDataFrame(rights, ["k", "t", "payload"]) if rights else (
+        spark.createDataFrame([], "k int, t int, payload int")
+    )
+    got = {
+        r.row_id: r.payload
+        for r in asof_join_backward(
+            ldf, rdf, on=["k"], time_col="t", payload_cols=["payload"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, p) for rk, rt, p in rights if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, got[i], want)
