@@ -71,3 +71,32 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if name in ("knn_bruteforce_cosine",):  # broadcast nested loop by design
             continue
         assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_plan_has_no_join_operator(spark, sf_dir):
+    """The as-of composition is union + window — point-in-time
+    semantics without any join node (the naive inequality join would
+    appear here as a BroadcastNestedLoop/Cartesian blowup)."""
+    plan = _plan(spark, sf_dir, "events_asof_last_purchase")
+    assert "Join" not in plan, "as-of should be a window carry-forward, not a join"
+    assert "Window" in plan
+
+
+def test_embedding_band_join_dedups_ids_before_vectors(spark, sf_dir):
+    """The LSH band self-join must dedup candidate pairs on bare ids —
+    the wide embedding arrays join back only after the aggregate, so
+    the bucket shuffle never moves vectors."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    m = re.search(r"HashAggregate\(keys=\[id_a#\d+L?, id_b#\d+L?\]", plan)
+    assert m, "expected candidate-pair dedup keyed on (id_a, id_b) only"
+
+
+def test_decontamination_broadcasts_eval_universe(spark, sf_dir):
+    """The eval n-gram universe must reach the training side as a
+    broadcast — a shuffled join here would re-partition the full
+    exploded corpus by shingle string."""
+    plan = _plan(spark, sf_dir, "decontamination_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
