@@ -679,3 +679,74 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ATTR_WINDOW_US = 1_800_000_000  # 30-minute attribution lookback
+
+
+@query(
+    "events_range_join_attribution",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id,
+               epoch_us(ts) AS hi_us,
+               epoch_us(ts) - {_ATTR_WINDOW_US} AS lo_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS t_us
+        FROM events WHERE event_type != 'purchase'
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT p.p_id) AS BIGINT) AS n_purchases,
+           {davg_sql('e.value', 9)} AS avg_value
+    FROM p JOIN e
+      ON p.user_id = e.user_id AND e.t_us BETWEEN p.lo_us AND p.hi_us
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("join", "range", "attribution"),
+)
+def events_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — purchases attributed to the same user's
+    activity in the preceding 30 minutes — executed as the bucketized
+    equi-join (operators/rangejoin.py): intervals explode to the <= 2
+    half-hour buckets they touch, points map to one, and the match is
+    a plain hash join on (user_id, bucket) + exact range filter. The
+    DuckDB oracle uses the raw inequality join; hash equality proves
+    the bucketization loses and invents nothing.
+
+    Scale: blowup factor <= 2 rows per interval, shuffle keyed by
+    (user, bucket) — never the nested-loop plan Spark picks for a raw
+    BETWEEN join."""
+    from ..operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        (F.unix_micros("ts") - _ATTR_WINDOW_US).alias("lo_us"),
+        F.unix_micros("ts").alias("hi_us"),
+    )
+    points = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("t_us")
+    )
+    pairs = range_join(
+        purchases,
+        points,
+        key_cols=["user_id"],
+        lo_col="lo_us",
+        hi_col="hi_us",
+        t_col="t_us",
+        bucket_width=_ATTR_WINDOW_US,
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("p_id").alias("n_purchases"),
+            davg("value", 9).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )

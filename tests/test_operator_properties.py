@@ -243,3 +243,43 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         cands = [(rt, p) for rk, rt, p in rights if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # intervals: (key, lo, width)
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 40)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(  # points: (key, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 140)), min_size=1, max_size=30
+    ),
+    st.integers(1, 50),  # bucket width — correctness must not depend on it
+)
+def test_range_join_matches_bruteforce(spark, intervals, points, bucket):
+    """The bucketized range join must produce exactly the pairs of the
+    raw inequality definition, for ANY bucket width."""
+    from big_data_processing_spark.operators.rangejoin import range_join
+
+    idf = spark.createDataFrame(
+        [(i, k, lo, lo + w) for i, (k, lo, w) in enumerate(intervals)],
+        ["iv_id", "k", "lo", "hi"],
+    )
+    pdf = spark.createDataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(points)], ["pt_id", "k", "t"]
+    )
+    got = {
+        (r.iv_id, r.pt_id)
+        for r in range_join(
+            idf, pdf, key_cols=["k"], lo_col="lo", hi_col="hi", t_col="t",
+            bucket_width=bucket,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (ik, lo, w) in enumerate(intervals)
+        for j, (pk, t) in enumerate(points)
+        if ik == pk and lo <= t <= lo + w
+    }
+    assert got == want
