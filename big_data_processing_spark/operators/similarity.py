@@ -42,6 +42,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))
 
 
+def norm(vec: Column) -> Column:
+    """L2 norm over the doubled vector — compute this ONCE per row and
+    carry it through candidate joins: cosine() evaluates three
+    interpreted dot products per PAIR, two of which (the norms) are
+    per-row values. With precomputed norms the pair stage costs one dot."""
+    dv = _to_double(vec)
+    return F.sqrt(dot(dv, dv))
+
+
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine(a, b) given precomputed norms — bit-identical to
+    :func:`cosine` (same expression tree on the same inputs, the norm
+    subtrees are just evaluated at projection sites instead of per pair;
+    the denominator keeps the norm_a * norm_b multiplication order)."""
+    return dot(_to_double(a), _to_double(b)) / (norm_a * norm_b)
+
+
 def brute_force_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,15 +68,25 @@ def brute_force_knn(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -190,18 +217,24 @@ def ivf_knn(
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
         nearest_cells(F.col(vec_col), 1).getItem(0).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         F.explode_outer(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -257,6 +290,7 @@ def lsh_bucket_knn(
         return df.filter(dim_ok.isNull()).select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
+            norm(F.col(vec_col)).alias(f"{role}_norm"),
             F.posexplode_outer(band_arr).alias("band_idx", f"{role}_band"),
         )
 
@@ -274,11 +308,17 @@ def lsh_bucket_knn(
             F.col("c_id").alias("neighbor_id"),
             F.col("q_vec"),
             F.col("c_vec"),
+            F.col("q_norm"),
+            F.col("c_norm"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -340,16 +380,31 @@ def embedding_cosine_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = wide.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    vecs = wide.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("vn"),
+    )
     paired = (
         cand.join(vecs, cand.id_a == vecs.vid)
-        .select("id_a", "id_b", F.col("v").alias("vec_a"))
+        .select("id_a", "id_b", F.col("v").alias("vec_a"), F.col("vn").alias("norm_a"))
         .join(vecs, F.col("id_b") == vecs.vid)
-        .select("id_a", "id_b", "vec_a", F.col("v").alias("vec_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "vec_a",
+            "norm_a",
+            F.col("v").alias("vec_b"),
+            F.col("vn").alias("norm_b"),
+        )
     )
     return (
         paired.select(
-            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
