@@ -95,3 +95,47 @@ def create_csv_table_ddl(
         f"CREATE TABLE IF NOT EXISTS {table} ({columns_ddl}) "
         f"USING csv OPTIONS (header 'true', path '{path}')"
     )
+
+
+DOCUMENTS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    drop_corrupt: bool = True,
+) -> DataFrame:
+    """JSONL document ingest — the de-facto wire format of web-scale
+    text corpora (one JSON object per line, optionally gzipped; Spark
+    splits and decompresses per file automatically).
+
+    A declared schema is strongly preferred at 100 TB: inference costs
+    a full extra pass over every file. PERMISSIVE parsing routes broken
+    lines into ``_corrupt_record`` instead of failing the scan; by
+    default they are counted out (dropped) — pass
+    ``drop_corrupt=False`` to keep them for a quarantine sink.
+    """
+    schema = schema or DOCUMENTS_JSONL_SCHEMA
+    # fresh StructType: StructType.add mutates in place, which would
+    # grow the shared module-level schema on every call
+    with_corrupt = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if drop_corrupt:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return df

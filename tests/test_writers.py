@@ -61,3 +61,32 @@ def test_write_csv_snapshot(spark, tmp_path):
     assert path.endswith("/12345")
     back = spark.read.option("header", "true").csv(path)
     assert back.count() == df.count()
+
+
+def test_read_jsonl_docs(spark, tmp_path):
+    """JSONL ingest: declared schema, corrupt lines dropped (or kept
+    for quarantine with drop_corrupt=False)."""
+    import json as _json
+
+    from big_data_processing_spark.sources.readers import read_jsonl_docs
+
+    p = tmp_path / "docs.jsonl"
+    rows = [
+        {"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web",
+         "meta": {"url": "http://x"}},
+        {"doc_id": 2, "text": "gamma", "lang": "de", "source": "book", "meta": {}},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+        f.write("{this is not json\n")
+
+    clean = read_jsonl_docs(spark, str(p))
+    got = {r.doc_id: r for r in clean.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].meta["url"] == "http://x"
+    assert clean.schema["doc_id"].dataType.typeName() == "long"
+
+    quarantine = read_jsonl_docs(spark, str(p), drop_corrupt=False)
+    corrupt = quarantine.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(corrupt) == 1 and corrupt[0]._corrupt_record.startswith("{this")
