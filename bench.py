@@ -71,6 +71,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()) + sum(setup.values()), 3)
+    ordered = sorted(timings.values())
     print(
         json.dumps(
             {
@@ -79,6 +80,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "setup": setup,
+                "n_queries": len(timings),
+                "sec_per_query_mean": round(sum(ordered) / len(ordered), 3),
+                "sec_per_query_median": round(ordered[len(ordered) // 2], 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1198,6 +1198,20 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone operator — row-local scoring, one digest-keyed shuffle,
     broadcast eval universe. The funnel composes without any new
     all-pairs or collect step."""
+    return (
+        curation_labels(spark, sf_dir)
+        .groupBy("lang", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "status")
+    )
+
+
+def curation_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdict: (doc_id, lang, quality_score,
+    status) with precedence eval_holdout > low_quality > duplicate >
+    contaminated > kept. The doc-level core of the funnel — the catalog
+    summary aggregates it, and plans/curation.py materializes the kept
+    set from it."""
     from ..functions.text import shingles, tokenize
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
@@ -1238,10 +1252,7 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         digests.join(keepers, "digest")
         .join(q, "doc_id")
         .join(contam, "doc_id", "left")
-        .select("lang", status.alias("status"))
-        .groupBy("lang", "status")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang", "status")
+        .select("doc_id", "lang", "quality_score", status.alias("status"))
     )
 
 

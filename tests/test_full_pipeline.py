@@ -144,3 +144,36 @@ def test_curation_pipeline_statuses_partition_corpus(spark, sf_dir):
         "kept",
     }
     assert any(r.status == "kept" for r in rows)
+
+
+def test_curation_pipeline_materializes_consistent_corpus(spark, sf_dir, tmp_path):
+    """The written corpus must agree with the hash-checked summary:
+    kept rows on disk == 'kept' count in the report, splits partition
+    the kept set, and split=train reads prune to the train partition."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.plans.curation import (
+        read_curated_split,
+        run_curation_pipeline,
+    )
+
+    paths = run_curation_pipeline(spark, sf_dir, str(tmp_path / "out"))
+    curated = spark.read.parquet(paths["curated_documents"])
+    report = spark.read.parquet(paths["curation_report"])
+
+    kept_in_report = (
+        report.filter(F.col("status") == "kept").agg(F.sum("n_docs")).first()[0]
+    )
+    assert curated.count() == kept_in_report
+    assert set(r.split for r in curated.select("split").distinct().collect()) <= {
+        "train",
+        "validation",
+        "test",
+    }
+
+    train = read_curated_split(spark, paths["curated_documents"], "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+    assert train.count() > 0
+    # quality gate actually held
+    assert curated.agg(F.min("quality_score")).first()[0] >= 0.45
