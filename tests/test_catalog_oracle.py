@@ -37,3 +37,13 @@ def test_entry_module_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 15
+
+
+def test_registry_names_match_functions():
+    """Guard against decorator mis-attachment during refactors: every
+    catalog entry must be registered under its own function's name
+    (a @query decorator landing on a helper shows up here instantly)."""
+    for name, q in CATALOG.items():
+        assert q.fn.__name__ == name, (
+            f"catalog entry '{name}' is bound to function '{q.fn.__name__}'"
+        )

@@ -106,3 +106,43 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime Bloom-filter join pruning: a selective dim-side filter
+    is turned into a bloom filter applied at the FACT scan, so rows
+    that cannot join are dropped before the shuffle. At 100 TB the
+    default thresholds (10 GB scan / 10 MB creation side) trigger this
+    automatically; the test lowers them to demonstrate the plan shape
+    on test data, and checks the pruned join still returns exact
+    results."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), "expected a runtime bloom filter in the plan"
+
+        got = joined.count()
+        # exactness: bloom pruning is a pre-filter, never drops real matches
+        want = (
+            li.join(o.filter(F.col("o_orderpriority") == "1-URGENT"),
+                    li.l_orderkey == F.col("o_orderkey"), "left_semi").count()
+        )
+        assert got >= want  # inner join w/ dup keys >= semi count
+        for k, v in confs.items():
+            spark.conf.set(k, "10485760" if "Broadcast" in k else saved[k])
+        exact = li.join(sel, li.l_orderkey == sel.o_orderkey).count()
+        assert got == exact
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
