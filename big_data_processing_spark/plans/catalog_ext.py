@@ -1348,3 +1348,122 @@ def curation_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "quality_score", "rank")
         .orderBy("lang", "rank")
     )
+
+
+_SHARD_TOKEN_BUDGET = 2000
+
+
+@query(
+    "curation_shard_plan",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                    / {_SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+        FROM sized
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+    tags=("curation", "sharding"),
+)
+def curation_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing — the write-planning step before a
+    training corpus lands on disk: docs in deterministic doc_id order
+    are packed into ~2000-token shards via a cumulative token sum
+    (shard = floor((cumsum-1)/budget)); output is the per-shard
+    manifest. Contiguous-by-construction: each shard is a doc_id range.
+
+    Scale note: a global ordered cumulative sum is a single-partition
+    window in the worst case; the production variant runs it per
+    partition-key prefix (e.g. per lang or date) exactly like this plan
+    with an extra partitionBy — the fixture corpus is small enough that
+    the deliberate global order IS the contract being checked."""
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    from pyspark.sql import Window
+
+    sized = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = sized.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / _SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# per-language keep fractions for rebalancing (en downsampled hardest —
+# the web-corpus shape); fractions in percent for exact integer compare
+_REBALANCE_PCT = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 100}
+
+
+@query(
+    "curation_lang_rebalance",
+    oracle=f"""
+    WITH marked AS (
+        SELECT lang,
+               CASE WHEN {hash32_sql("'rebal:' || CAST(doc_id AS VARCHAR)")} % 100 <
+                    CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _REBALANCE_PCT.items())}
+                         ELSE 100 END
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
+    FROM marked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("curation", "sampling"),
+)
+def curation_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified rebalancing: deterministic hash-based
+    downsampling to per-language keep fractions (dominant languages
+    thinned, low-resource kept whole) — the mixture-shaping step of
+    corpus assembly. Hash-of-id sampling is reproducible across
+    engines, sessions, and data layout, unlike df.sample; a pure
+    column expression at any scale."""
+    from ..functions.text import hash32
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    bucket = hash32(F.concat(F.lit("rebal:"), F.col("doc_id").cast("string"))) % 100
+    pct = F.lit(100)
+    for k, v in _REBALANCE_PCT.items():
+        pct = F.when(F.col("lang") == k, F.lit(v)).otherwise(pct)
+    kept = F.when(bucket < pct, 1).otherwise(0)
+    return (
+        d.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            (F.sum("kept").cast("double") / F.count(F.lit(1))).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )
