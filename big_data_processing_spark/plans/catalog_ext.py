@@ -1467,3 +1467,91 @@ def curation_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_INCR_SPLIT_PCT = 80  # doc_id hash < 80 → history, else incoming batch
+
+
+def _incr_sets_sql() -> str:
+    h = hash32_sql("'incr:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    hist AS (
+        SELECT doc_id, md5({_NORM}) AS digest, substr({_NORM}, 1, 40) AS pfx
+        FROM documents WHERE {h} % 100 < {_INCR_SPLIT_PCT}
+    ),
+    incoming AS (
+        SELECT doc_id, source, md5({_NORM}) AS digest, substr({_NORM}, 1, 40) AS pfx
+        FROM documents WHERE {h} % 100 >= {_INCR_SPLIT_PCT}
+    )"""
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_incr_sets_sql()},
+    marked AS (
+        SELECT i.doc_id, i.source,
+               CASE WHEN EXISTS (SELECT 1 FROM hist h WHERE h.digest = i.digest)
+                    THEN 'exact_dup'
+                    WHEN EXISTS (SELECT 1 FROM hist h WHERE h.pfx = i.pfx)
+                    THEN 'near_dup_candidate'
+                    ELSE 'novel' END AS verdict
+        FROM incoming i
+    )
+    SELECT source, verdict, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+    FROM marked
+    GROUP BY source, verdict
+    ORDER BY source, verdict
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape: an incoming batch
+    (deterministic 20% hash split standing in for today's crawl) is
+    checked against the HISTORICAL corpus index, not against itself.
+    Verdict precedence: exact digest hit > blocking-prefix hit (the
+    cheap near-dup candidate gate; MinHash verification then runs only
+    on those candidates) > novel.
+
+    Scale: history is touched only through its (digest, prefix) index —
+    two slim columns, not text; the incoming batch is the small side
+    (left_semi probes, broadcast when it fits). This is the join-
+    against-index pattern that keeps daily dedup O(batch), not
+    O(corpus)."""
+    from ..functions.text import hash32
+    from ..functions.text import normalize_text as _nt
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    bucket = hash32(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))) % 100
+    norm = _nt("text")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("digest"),
+        F.substring(norm, 1, 40).alias("pfx"),
+        bucket.alias("bucket"),
+    )
+    hist = base.filter(F.col("bucket") < _INCR_SPLIT_PCT)
+    incoming = base.filter(F.col("bucket") >= _INCR_SPLIT_PCT)
+
+    exact_hit = incoming.join(
+        hist.select("digest").distinct(), "digest", "left_semi"
+    ).select("doc_id")
+    pfx_hit = incoming.join(
+        hist.select("pfx").distinct(), "pfx", "left_semi"
+    ).select("doc_id")
+
+    verdict = (
+        F.when(F.col("is_exact").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("is_pfx").isNotNull(), F.lit("near_dup_candidate"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        incoming.select("doc_id", "source")
+        .join(exact_hit.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(pfx_hit.withColumn("is_pfx", F.lit(1)), "doc_id", "left")
+        .select("source", verdict.alias("verdict"), "doc_id")
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("source", "verdict")
+    )

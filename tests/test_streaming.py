@@ -162,3 +162,56 @@ def test_streaming_hourly_window_with_watermark(spark, tmp_path):
     assert got[("2024-01-01 09:00:00", "click")] == (1, 4.0)  # late row kept (inside watermark)
     assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 11:00:00", "view")] == (1, 3.0)
+
+
+def test_streaming_too_late_rows_dropped_after_watermark(spark, tmp_path):
+    """Append mode: a row arriving BEHIND the advanced watermark targets
+    an already-finalized window and must be dropped — the bounded-state
+    guarantee (kept-late vs dropped-late is the watermark contract)."""
+    import json
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "late_out")
+
+    def run_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .json(str(src))
+        )
+        q = (
+            streaming_hourly_aggregate(stream, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(
+        "b1.json",
+        [
+            {"ts": "2024-01-01 09:10:00", "event_type": "click", "value": 1.0},
+            {"ts": "2024-01-01 12:00:00", "event_type": "click", "value": 2.0},
+        ],
+    )  # watermark after b1: 11:00 → the 09:00 window is finalized
+    run_batch(
+        "b2.json",
+        [
+            {"ts": "2024-01-01 09:20:00", "event_type": "click", "value": 100.0},  # too late
+            {"ts": "2024-01-01 14:30:00", "event_type": "click", "value": 3.0},
+        ],
+    )  # watermark → 13:30: finalizes the 12:00 window; 09:20 dropped
+
+    got = {
+        str(r.window_start): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["2024-01-01 09:00:00"] == (1, 1.0), "too-late row must not mutate a finalized window"
+    assert got["2024-01-01 12:00:00"] == (1, 2.0)
