@@ -1555,3 +1555,53 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
         .orderBy("source", "verdict")
     )
+
+
+_VOCAB_K = 100
+
+
+@query(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKENS}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n_occurrences
+        FROM tok WHERE token != ''
+        GROUP BY token
+    )
+    SELECT token, n_occurrences, rank FROM (
+        SELECT token, n_occurrences,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT)
+                   AS rank
+        FROM counts
+    )
+    WHERE rank <= {_VOCAB_K}
+    ORDER BY rank
+    """,
+    tags=("text", "vocab"),
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: exact corpus-wide token frequencies, top-100
+    with deterministic (count DESC, token ASC) ranking — the seed step
+    of tokenizer training and stopword mining.
+
+    Scale: explode is row-local; the count is a map-side-combinable
+    groupBy on the token, and the final top-k is a TakeOrdered over the
+    (already tiny) distinct-token table — at 100 TB the only real
+    shuffle is token-keyed partial counts. Hot-token skew is absorbed
+    by the partial aggregation (every partition pre-counts 'the')."""
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    from pyspark.sql import Window
+
+    toks = d.select(
+        F.explode_outer(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _VOCAB_K)
+        .orderBy("rank")
+    )
