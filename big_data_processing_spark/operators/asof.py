@@ -36,9 +36,17 @@ def asof_join_backward(
 
     ``right`` must be unique per (on, time_col) — pre-dedupe with a
     row_number if it is not, otherwise the pick among ties is
-    partition-order-dependent. All ``left`` columns are preserved.
+    partition-order-dependent. All ``left`` columns are preserved;
+    ``payload_cols`` must not collide with them (raises — a collision
+    would silently null out the left column).
     """
     lcols = left.columns
+    clash = set(payload_cols) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join_backward: payload columns {sorted(clash)} already "
+            f"exist on the left side — rename one side before joining"
+        )
     l2 = left.withColumn("__side", F.lit(1))
     for p in payload_cols:
         l2 = l2.withColumn(p, F.lit(None).cast(dict(right.dtypes)[p]))

@@ -67,6 +67,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -88,6 +89,15 @@ def connected_components(
         labels = stepped.select("node", "lbl")
         if changed == 0:
             break
+    if changed != 0:
+        # exiting via max_iter would return labels mid-propagation —
+        # one component reported as several clusters, silently
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the graph has a path "
+            f"longer than max_iter — raise max_iter or switch to star "
+            f"contraction for long-chain graphs"
+        )
 
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 

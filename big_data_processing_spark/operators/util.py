@@ -42,6 +42,15 @@ def spread(df: DataFrame, *by: str, cap: int | None = None) -> DataFrame:
         n_splits = len(df.inputFiles())
     except Exception:
         n_splits = 0
+    if n_splits == 0:
+        # no backing files (createDataFrame / foreachBatch / derived
+        # in-memory frame): the file heuristic can't see the current
+        # partitioning — fall back to the RDD count rather than paying
+        # an unconditional shuffle for frames that are already wide.
+        try:
+            n_splits = df.rdd.getNumPartitions()
+        except Exception:
+            n_splits = 0
     if n_splits >= max(2, target // 2):
         return df
     return df.repartition(target, *by) if by else df.repartition(target)

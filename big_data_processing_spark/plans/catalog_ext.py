@@ -687,11 +687,19 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
     import os
 
     emb = _t(spark, sf_dir, "embeddings")
+    # content signature in the key: basename alone would serve stale
+    # centroids if the dataset under the same path were regenerated
+    # (degrading recall with no error). File sizes come from os.stat —
+    # no Spark job.
+    try:
+        sig = sum(os.path.getsize(f.replace("file:", "")) for f in emb.inputFiles())
+    except OSError:
+        sig = 0
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".cache",
         "ivf",
-        f"{os.path.basename(os.path.normpath(sf_dir))}_c{_IVF_CELLS}_s{_IVF_SEED}.json",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_c{_IVF_CELLS}_s{_IVF_SEED}_{sig}.json",
     )
     return emb, build_ivf_index(
         emb, n_cells=_IVF_CELLS, seed=_IVF_SEED, path=cache
@@ -961,6 +969,32 @@ _DECON_MOD, _DECON_N = 97, 5
 _SHINGLES5_SQL = shingles_sql(_TOKENS, _DECON_N)
 
 
+def _contamination_hits(d):
+    """(doc_id, n_shingles, n_hit) for every non-eval doc with at least
+    one distinct token-5-gram found in the eval universe — the single
+    construction shared by decontamination_overlap and curation_labels
+    so the standalone query and the funnel verdict cannot diverge.
+    Eval universe is DISTINCT and broadcast; hit count is a map-side-
+    combinable groupBy."""
+    from ..functions.text import shingles, tokenize
+
+    sh5 = F.array_distinct(shingles(tokenize(F.col("text")), _DECON_N))
+    ev = (
+        d.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode_outer(sh5).alias("s"))
+        .distinct()
+    )
+    tr = d.filter(F.col("doc_id") % _DECON_MOD != 0).select("doc_id", sh5.alias("sh"))
+    ex = tr.select(
+        "doc_id", F.size("sh").cast("long").alias("n_shingles"), F.explode_outer("sh").alias("s")
+    )
+    return (
+        ex.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+
+
 @query(
     "decontamination_overlap",
     oracle=f"""
@@ -994,23 +1028,9 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (benchmarks are tiny next to a 100 TB corpus); the training side
     explodes distinct shingles row-locally and the hit count is a
     map-side-combinable groupBy on doc_id — no corpus self-join."""
-    from ..functions.text import shingles, tokenize
-
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    sh5 = F.array_distinct(shingles(tokenize(F.col("text")), _DECON_N))
-    ev = (
-        d.filter(F.col("doc_id") % _DECON_MOD == 0)
-        .select(F.explode_outer(sh5).alias("s"))
-        .distinct()
-    )
-    tr = d.filter(F.col("doc_id") % _DECON_MOD != 0).select("doc_id", sh5.alias("sh"))
-    ex = tr.select(
-        "doc_id", F.size("sh").cast("long").alias("n_shingles"), F.explode_outer("sh").alias("s")
-    )
     return (
-        ex.join(F.broadcast(ev), "s")
-        .groupBy("doc_id", "n_shingles")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        _contamination_hits(d)
         .select(
             "doc_id",
             "n_shingles",
@@ -1212,8 +1232,6 @@ def curation_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated > kept. The doc-level core of the funnel — the catalog
     summary aggregates it, and plans/curation.py materializes the kept
     set from it."""
-    from ..functions.text import shingles, tokenize
-
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     q = quality_features(d).select("doc_id", "quality_score")
     digests = d.select(
@@ -1221,24 +1239,9 @@ def curation_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keepers = digests.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
 
-    sh5 = F.array_distinct(shingles(tokenize(F.col("text")), _DECON_N))
-    ev = (
-        d.filter(F.col("doc_id") % _DECON_MOD == 0)
-        .select(F.explode_outer(sh5).alias("s"))
-        .distinct()
-    )
-    tr = d.filter(F.col("doc_id") % _DECON_MOD != 0).select("doc_id", sh5.alias("sh"))
-    ex = tr.select(
-        "doc_id", F.size("sh").cast("long").alias("n_sh"), F.explode_outer("sh").alias("s")
-    )
-    contam = (
-        ex.join(F.broadcast(ev), "s")
-        .groupBy("doc_id", "n_sh")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .select(
-            "doc_id",
-            (F.col("n_hit").cast("double") / F.col("n_sh").cast("double")).alias("frac"),
-        )
+    contam = _contamination_hits(d).select(
+        "doc_id",
+        (F.col("n_hit").cast("double") / F.col("n_shingles").cast("double")).alias("frac"),
     )
 
     status = (
@@ -1253,6 +1256,22 @@ def curation_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q, "doc_id")
         .join(contam, "doc_id", "left")
         .select("doc_id", "lang", "quality_score", status.alias("status"))
+    )
+
+
+def split_assignment(doc_id_col=None):
+    """Deterministic 80/10/10 train/validation/test assignment by
+    content-stable hash of the doc id — the single definition shared by
+    the hash-checked catalog query and the materialized corpus writer
+    (plans/curation.py), so the two can never drift apart."""
+    from ..functions.text import hash32
+
+    c = F.col("doc_id") if doc_id_col is None else doc_id_col
+    bucket = hash32(F.concat(F.lit("split:"), c.cast("string"))) % 100
+    return (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
     )
 
 
@@ -1283,17 +1302,9 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions, and data relayouts (unlike randomSplit, which depends on
     partitioning). The 100 TB way to split: a pure column expression,
     no sampling state, no driver involvement."""
-    from ..functions.text import hash32
-
     d = _t(spark, sf_dir, "documents")
-    bucket = hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("validation"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        d.select("lang", split.alias("split"), "doc_id")
+        d.select("lang", split_assignment().alias("split"), "doc_id")
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

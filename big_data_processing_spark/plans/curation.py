@@ -23,27 +23,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import hash32
 from ..sources.readers import load_table
-from .catalog_ext import curation_labels
-
-
-def split_assignment(doc_id_col=F.col("doc_id")):
-    """Deterministic 80/10/10 split by content-stable hash of the doc
-    id (identical to the doc_split_assign catalog query)."""
-    bucket = hash32(F.concat(F.lit("split:"), doc_id_col.cast("string"))) % 100
-    return (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("validation"))
-        .otherwise(F.lit("test"))
-    )
+from .catalog_ext import curation_labels, split_assignment
 
 
 def run_curation_pipeline(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict[str, str]:
     """Run the funnel and write the curated corpus; returns output paths."""
-    labels = curation_labels(spark, sf_dir)
+    # persist: the labels lineage (quality scoring + digest groupBy +
+    # decontamination broadcast join) feeds BOTH writes below — without
+    # this it would execute twice per pipeline run
+    labels = curation_labels(spark, sf_dir).persist()
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars"
     )
@@ -67,6 +58,7 @@ def run_curation_pipeline(
         .orderBy("lang", "status")
     )
     report.write.mode("overwrite").parquet(report_path)
+    labels.unpersist()
 
     return {"curated_documents": curated_path, "curation_report": report_path}
 

@@ -303,7 +303,7 @@ def ml_feature_statistics(weather: DataFrame, by_month: bool = True) -> DataFram
             F.count(c).alias(f"{name}__count"),
         ]
     keys = [F.col("month").cast("int").alias("month")] if by_month else []
-    wide = weather.groupBy(*keys).agg(*aggs) if by_month else weather.agg(*aggs)
+    wide = weather.groupBy(*keys).agg(*aggs)  # groupBy() == global agg
     stack = ", ".join(
         f"'{n}', {n}__mean, {n}__stddev, {n}__min, {n}__max, {n}__count" for n in feats
     )

@@ -119,23 +119,25 @@ def read_jsonl_docs(
     splits and decompresses per file automatically).
 
     A declared schema is strongly preferred at 100 TB: inference costs
-    a full extra pass over every file. PERMISSIVE parsing routes broken
-    lines into ``_corrupt_record`` instead of failing the scan; by
-    default they are counted out (dropped) — pass
-    ``drop_corrupt=False`` to keep them for a quarantine sink.
+    a full extra pass over every file. Broken lines are dropped at the
+    parser (DROPMALFORMED) by default; pass ``drop_corrupt=False`` to
+    keep them in a ``_corrupt_record`` column for a quarantine sink.
+    (The drop path deliberately avoids PERMISSIVE + filter-on-corrupt:
+    Spark forbids queries over raw JSON that reference only the
+    internal corrupt column, so ``reader(...).count()`` would throw
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN unless the frame were cached.)
     """
     schema = schema or DOCUMENTS_JSONL_SCHEMA
+    if drop_corrupt:
+        return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
     # fresh StructType: StructType.add mutates in place, which would
     # grow the shared module-level schema on every call
     with_corrupt = T.StructType(
         [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
     )
-    df = (
+    return (
         spark.read.schema(with_corrupt)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
-    if drop_corrupt:
-        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    return df

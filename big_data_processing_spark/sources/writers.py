@@ -148,7 +148,15 @@ def merge_upsert(
         affected = [
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]
-        pruned = target.filter(F.col(partition_col).isin(affected))
+        # NULL-safe pruning: isin() never matches NULL, but a NULL
+        # partition value in the updates still writes (and swaps) the
+        # __HIVE_DEFAULT_PARTITION__ dir — without this branch the
+        # target's null-partition rows would be silently clobbered.
+        non_null = [v for v in affected if v is not None]
+        cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in affected):
+            cond = cond | F.col(partition_col).isNull()
+        pruned = target.filter(cond)
         kept = pruned.join(updates.select(*key_cols), key_cols, "left_anti")
         merged = kept.unionByName(updates.select(*target.columns))
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)

@@ -137,3 +137,21 @@ def test_merge_upsert_is_distributed(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 1000
     assert out.filter("v = -1.0").count() == 500
+
+
+def test_merge_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """An update landing in the NULL partition must not clobber the
+    target's other null-partition rows (isin() never matches NULL, so
+    naive pruning would exclude them from 'kept' while the staging
+    __HIVE_DEFAULT_PARTITION__ dir still swaps in)."""
+    path = str(tmp_path / "null_part_table")
+    v1 = spark.createDataFrame(
+        [(1, None, 10.0), (2, "2024-01", 20.0)], "id int, month string, score double"
+    )
+    v1.write.partitionBy("month").parquet(path)
+    updates = spark.createDataFrame(
+        [(3, None, 30.0)], "id int, month string, score double"
+    )
+    merge_upsert(spark, path, updates, key_cols=["id"], partition_col="month")
+    got = {(r.id, r.month, r.score) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, None, 10.0), (2, "2024-01", 20.0), (3, None, 30.0)}

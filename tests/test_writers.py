@@ -90,3 +90,20 @@ def test_read_jsonl_docs(spark, tmp_path):
     quarantine = read_jsonl_docs(spark, str(p), drop_corrupt=False)
     corrupt = quarantine.filter("_corrupt_record IS NOT NULL").collect()
     assert len(corrupt) == 1 and corrupt[0]._corrupt_record.startswith("{this")
+
+
+def test_read_jsonl_docs_count_on_drop_path(spark, tmp_path):
+    """.count() on the default drop-corrupt read must work — the
+    PERMISSIVE+filter formulation throws
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN when a query references no data
+    column, which is why the drop path uses DROPMALFORMED."""
+    import json as _json
+
+    from big_data_processing_spark.sources.readers import read_jsonl_docs
+
+    p = tmp_path / "docs2.jsonl"
+    with open(p, "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "a", "lang": "en",
+                             "source": "web", "meta": {}}) + "\n")
+        f.write("not json at all\n")
+    assert read_jsonl_docs(spark, str(p)).count() == 1
