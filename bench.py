@@ -63,30 +63,61 @@ def main() -> None:
     emb.select(cosine(F.col("embedding"), F.col("embedding"))).collect()
     setup["expr_warmup"] = round(time.perf_counter() - t0, 3)
 
+    # Each query runs twice and is charged its min: single-run numbers
+    # at local[32] carry multi-second JVM/GC wobble that made r1->r2
+    # comparisons meaningless (see VERDICT r2 "Pin down bench variance").
+    # The run-to-run spread is recorded in the sidecar so reviewers can
+    # see which timings are stable.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in sorted(CATALOG):
         q = CATALOG[name]
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()) + sum(setup.values()), 3)
     ordered = sorted(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "setup": setup,
-                "n_queries": len(timings),
-                "sec_per_query_mean": round(sum(ordered) / len(ordered), 3),
-                "sec_per_query_median": round(ordered[len(ordered) // 2], 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # Full per-query detail goes to a sidecar: the 64-query inline map
+    # overflowed the driver's stdout tail-capture in r2 ("parsed": null),
+    # so the stdout line stays compact (top-10 slowest only).
+    detail = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "setup": setup,
+        "n_queries": len(timings),
+        "runs_per_query": 2,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "catalog_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "setup": setup,
+            "n_queries": len(timings),
+            "sec_per_query_mean": round(sum(ordered) / len(ordered), 3),
+            "sec_per_query_median": round(ordered[len(ordered) // 2], 3),
+            "detail": "BENCH_DETAIL.json",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    assert len(line) <= 2000, f"bench line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 

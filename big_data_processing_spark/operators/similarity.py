@@ -118,15 +118,53 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+IVF_MAX_TRAIN = 16384  # bound on the driver-side training sample
+
+
+def lloyd_kmeans(
+    train: "list[list[float]]", n_cells: int, seed: int = 42, n_iter: int = 20
+) -> list[list[float]]:
+    """Deterministic seeded Lloyd's k-means over a training sample.
+
+    Pure numpy, driver-side, bounded input (:data:`IVF_MAX_TRAIN`
+    rows) — the FAISS/ScaNN pattern of training the coarse quantizer on
+    a sample, never the full corpus. Determinism rules (same input →
+    bit-identical centroids, so a SQL oracle can embed them as
+    literals): seeded init by sorted sample indices, argmin ties to the
+    lowest centroid index, empty cells keep their previous centroid,
+    fixed iteration count, final round to 6 decimals.
+    """
+    import numpy as np
+
+    x = np.asarray(train, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    init = np.sort(rng.choice(x.shape[0], size=n_cells, replace=False))
+    cents = x[init].copy()
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_cells):
+            mask = assign == j
+            if mask.any():
+                cents[j] = x[mask].mean(axis=0)
+    return [[round(float(v), 6) for v in c] for c in cents]
+
+
+def _train_stride(n_total: int, max_train: int = IVF_MAX_TRAIN) -> int:
+    return max(1, -(-n_total // max_train))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
     path: str | None = None,
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
-    """Explicit IVF index build: fit a seeded MLlib KMeans coarse
-    quantizer over the corpus and return the centroid list.
+    """Explicit IVF index build: fit the deterministic coarse quantizer
+    (:func:`lloyd_kmeans`) on a bounded, deterministic sample of the
+    corpus and return the centroid list.
 
     This is the offline index-build step of a real IVF system — run it
     once, persist the (tiny) centroid table, and hand the result to
@@ -134,6 +172,12 @@ def build_ivf_index(
     there as JSON and subsequent calls load instead of refitting, so a
     fresh session never silently charges a clustering job to whichever
     query arrives first.
+
+    The training sample is every ``stride``-th id (stride sized so the
+    sample stays under :data:`IVF_MAX_TRAIN`), sorted by id — a bounded
+    collect regardless of corpus size, and reproducible by any other
+    reader of the same data (see ``fit_ivf_centroids_parquet``, which
+    the DuckDB oracle uses to derive the identical index without Spark).
     """
     if path is not None:
         import json
@@ -143,14 +187,14 @@ def build_ivf_index(
             with open(path) as f:
                 return json.load(f)
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
-        array_to_vector(_to_double(F.col(vec_col))).alias("features")
+    stride = _train_stride(corpus.count())
+    rows = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("_v"))
+        .orderBy("_id")
+        .collect()
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+    centroids = lloyd_kmeans([list(r["_v"]) for r in rows], n_cells, seed=seed)
 
     if path is not None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -159,6 +203,32 @@ def build_ivf_index(
             json.dump(centroids, f)
         os.replace(tmp, path)
     return centroids
+
+
+def fit_ivf_centroids_parquet(
+    parquet_path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spark-free twin of :func:`build_ivf_index`: same sample rule,
+    same :func:`lloyd_kmeans`, reading the parquet via pyarrow. Used by
+    the DuckDB oracle builder so both engines search the identical
+    index. float32 → float64 widening is exact on both paths."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t[id_col].to_pylist()
+    vecs = t[vec_col].to_pylist()
+    stride = _train_stride(len(ids))
+    train = [
+        [float(x) for x in v]
+        for _, v in sorted(
+            (i, v) for i, v in zip(ids, vecs) if i % stride == 0
+        )
+    ]
+    return lloyd_kmeans(train, n_cells, seed=seed)
 
 
 def ivf_knn(

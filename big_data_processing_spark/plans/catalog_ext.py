@@ -30,8 +30,8 @@ from ..operators.graph import cluster_summary, connected_components
 from ..operators.multimodal import extract_features, text_as_media
 from ..operators.similarity import (
     brute_force_knn,
-    build_ivf_index,
     embedding_cosine_pairs,
+    fit_ivf_centroids_parquet,
     hyperplanes,
     ivf_knn,
     lsh_bucket_knn,
@@ -677,42 +677,137 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CELLS, _IVF_PROBE, _IVF_SEED = 16, 6, 42
 
 
-def _ivf_index_for(spark: SparkSession, sf_dir: str):
-    """Load-or-build the persisted IVF centroid index for this sf dir.
-
-    The index build is an explicit offline step (build_ivf_index) whose
-    product — a tiny centroid table — is persisted under the repo cache
-    keyed by (dataset, n_cells, seed). Queries only ever pay the load,
-    never a hidden KMeans fit; a fresh session reuses the same file."""
+def _ivf_parquet_path(sf_dir: str) -> str:
     import os
 
-    emb = _t(spark, sf_dir, "embeddings")
-    # content signature in the key: basename alone would serve stale
-    # centroids if the dataset under the same path were regenerated
-    # (degrading recall with no error). File sizes come from os.stat —
-    # no Spark job.
+    return os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+
+
+def _ivf_centroids_for(sf_dir: str) -> list[list[float]]:
+    """Load-or-build the persisted IVF centroid index for this sf dir.
+
+    The index build is an explicit offline step (a deterministic seeded
+    Lloyd's fit on a bounded sample — see similarity.lloyd_kmeans)
+    whose product, a tiny centroid table, is persisted under the repo
+    cache keyed by (dataset, n_cells, seed, content signature). The
+    content signature (file bytes via os.stat, no Spark job) prevents
+    serving stale centroids if the dataset under the same path is
+    regenerated. Because the fit is deterministic and Spark-free, the
+    DuckDB oracle builder derives the IDENTICAL index and embeds it as
+    SQL literals — the same seeded-literal pattern as the LSH oracle."""
+    import json
+    import os
+
+    pq_path = _ivf_parquet_path(sf_dir)
     try:
-        sig = sum(os.path.getsize(f.replace("file:", "")) for f in emb.inputFiles())
+        if os.path.isdir(pq_path):
+            sig = sum(
+                os.path.getsize(os.path.join(pq_path, f))
+                for f in sorted(os.listdir(pq_path))
+                if f.endswith(".parquet")
+            )
+        else:
+            sig = os.path.getsize(pq_path)
     except OSError:
         sig = 0
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".cache",
         "ivf",
-        f"{os.path.basename(os.path.normpath(sf_dir))}_c{_IVF_CELLS}_s{_IVF_SEED}_{sig}.json",
+        # v2: deterministic Lloyd's fit (v1 files hold MLlib centroids)
+        f"{os.path.basename(os.path.normpath(sf_dir))}_v2_c{_IVF_CELLS}_s{_IVF_SEED}_{sig}.json",
     )
-    return emb, build_ivf_index(
-        emb, n_cells=_IVF_CELLS, seed=_IVF_SEED, path=cache
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    centroids = fit_ivf_centroids_parquet(
+        pq_path, n_cells=_IVF_CELLS, seed=_IVF_SEED
     )
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = cache + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(centroids, f)
+    os.replace(tmp, cache)
+    return centroids
 
 
-@query("knn_ivf_cosine", oracle=None, tags=("similarity", "knn", "ivf"))
+def _ivf_index_for(spark: SparkSession, sf_dir: str):
+    return _t(spark, sf_dir, "embeddings"), _ivf_centroids_for(sf_dir)
+
+
+def _ivf_knn_oracle(sf_dir: str) -> str:
+    """DuckDB twin of knn_ivf_cosine, resolved lazily per sf_dir: the
+    deterministic centroids are embedded as literals, cell assignment
+    is argmin squared-L2 with ties to the lowest cell id (mirroring
+    nearest_cells' array_sort on (distance, index)), each query probes
+    its _IVF_PROBE nearest cells, and in-cell candidates are exact
+    cosine re-ranked — identical fold order to the Spark side, so the
+    doubles are bit-identical."""
+    centroids = _ivf_centroids_for(sf_dir)
+    cent_rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for j, c in enumerate(centroids)
+    )
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, len(b.v)), "
+        "i -> (b.v[i]::DOUBLE - c.cvec[i]) * (b.v[i]::DOUBLE - c.cvec[i])), "
+        "(x, y) -> x + y)"
+    )
+    cos = (
+        f"({_dot_sql('q_vec', 'c_vec')}) / "
+        f"(sqrt({_dot_sql('q_vec', 'q_vec')}) * sqrt({_dot_sql('c_vec', 'c_vec')}))"
+    )
+    return f"""
+    WITH cent(cid, cvec) AS (VALUES {cent_rows}),
+    dists AS (
+        SELECT b.vec_id, c.cid, {d2} AS d2
+        FROM (SELECT vec_id, embedding AS v FROM embeddings) b, cent c
+    ),
+    corpus_cell AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dists WHERE vec_id % {_KNN_QMOD} = 0
+        ) WHERE rn <= {_IVF_PROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM probe q JOIN corpus_cell c ON c.cell = q.cell
+                    AND c.vec_id != q.vec_id
+    ),
+    pairs AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               qe.embedding AS q_vec, ce.embedding AS c_vec
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    ),
+    scored AS (SELECT query_id, neighbor_id, {cos} AS cosine FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_KNN_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("knn_ivf_cosine", oracle=_ivf_knn_oracle, tags=("similarity", "knn", "ivf"))
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (k-means coarse quantizer, 16 cells,
-    probe 6) against the PREBUILT persisted index: each query
-    exact-ranks only ~3/8 of the corpus — the second ANN scale path
-    beside LSH. Rows-only check (k-means cell assignments aren't
-    reproducible in a SQL oracle); the hash-checked recall gate is
+    """IVF approximate top-5 (deterministic Lloyd's coarse quantizer,
+    16 cells, probe 6) against the PREBUILT persisted index: each query
+    exact-ranks only ~probe/cells of the corpus — the second ANN scale
+    path beside LSH. Hash-checked against a DuckDB oracle that derives
+    the identical index (deterministic sample fit) and embeds the
+    centroids as literals; the recall envelope is separately gated by
     knn_ivf_recall_gate."""
     emb, index = _ivf_index_for(spark, sf_dir)
     return ivf_knn(
@@ -734,8 +829,11 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible IVF quality gate: recall@5 of the IVF search vs
-    the exact brute-force baseline, asserted >= 0.7 (the documented
-    envelope for 16 cells / probe 4). If the index or search regresses,
+    the exact brute-force baseline, asserted >= 0.7 — a conservative
+    floor for the 16 cells / probe 6 configuration actually run
+    (measured ~0.8+ on the test embeddings; probe 4 also clears it, so
+    the gate tolerates retuning probe without recalibration). If the
+    index or search regresses,
     recall_ok flips to FALSE and the driver hash mismatches — hard
     evidence for the approximate path, same pattern as
     approx_aggregates' sketch tolerance gate."""

@@ -34,15 +34,25 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types for engine use.
 
-    The ``events`` table stores TIMESTAMP(NANOS) which Spark cannot map
-    natively; we read it as raw nanos (legacy conf) and floor-convert to
-    microsecond timestamps — identical to what DuckDB's parquet reader
-    does when it narrows ns → us precision.
+    Timestamp normalization (the testdata's physical encoding has varied
+    between driver rounds, so both branches stay):
+
+    - TIMESTAMP(NANOS) parquet cannot map natively; read as raw nanos
+      (legacy conf) and floor-convert to microsecond timestamps —
+      identical to DuckDB's ns → us narrowing.
+    - TIMESTAMP(MICROS) without timezone reads as TIMESTAMP_NTZ under
+      Spark's NTZ inference; cast to TIMESTAMP (LTZ). The session runs
+      in UTC so the instant is unchanged, and the engine's time
+      functions (``unix_micros``, tz-aware comparisons) expect LTZ —
+      matching how DuckDB treats the same column as plain TIMESTAMP.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 

@@ -23,6 +23,9 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# Callable oracles embed data-dependent literals (IVF centroids) and
+# must be resolved against the sf the replay actually runs.
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )

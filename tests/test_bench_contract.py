@@ -25,9 +25,20 @@ def test_bench_emits_single_json_line():
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
     assert len(lines) == 1, f"expected one stdout line, got {len(lines)}"
+    # r2 lesson: a valid-but-long line overflowed the driver's stdout
+    # tail capture ("parsed": null) — the line must stay compact.
+    assert len(lines[0]) <= 2000, f"bench line too long ({len(lines[0])} chars)"
     d = json.loads(lines[0])
     assert d["unit"] == "sec"
     assert d["sf"] == 0.001
     assert isinstance(d["value"], (int, float)) and d["value"] > 0
-    assert len(d["queries"]) >= 40
+    # stdout carries only the top-10 slowest; the full map is in the sidecar
+    assert 1 <= len(d["queries"]) <= 10
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
+    assert d["n_queries"] >= 40
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    assert len(detail["queries"]) == d["n_queries"]
+    assert set(detail["spread"]) == set(detail["queries"])
+    assert detail["runs_per_query"] == 2
