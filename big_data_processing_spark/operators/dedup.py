@@ -18,11 +18,60 @@ Python UDFs), so they stay in whole-stage codegen and scale to 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash32, hash60, normalize_text, shingles, tokenize
 from .util import spread
+
+
+def cap_bucket_size(
+    banded: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Drop rows belonging to over-populated buckets before a band
+    self-join.
+
+    A band self-join emits ~B^2/2 candidates for a bucket of B rows; on
+    web corpora a degenerate bucket (boilerplate, empty docs, a hot
+    template) can hold millions of rows and go quadratic on one
+    reducer. The cap bounds every bucket's contribution to
+    max_bucket_size^2 pairs at the cost of recall INSIDE dropped
+    buckets only — members of a degenerate bucket are near-duplicates
+    of half the corpus and still collide in their other bands, so the
+    practical recall loss is on pairs you almost certainly still catch
+    elsewhere (and at this scale you'd route dropped-bucket membership
+    to a separate boilerplate-cluster report, not pairwise dedup).
+
+    Cost: one linear window count over the already-shuffled slim band
+    rows (same partitioning the self-join needs) — never quadratic.
+    Use :func:`bucket_skew_stats` to observe what a cap would drop."""
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
+def bucket_skew_stats(
+    banded: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """One-row observability summary for a banded layout: bucket count,
+    max/p99-ish bucket size, and how many buckets/rows a given cap
+    would drop. Run it alongside a capped dedup to LOG what the cap
+    cost (the scale pipeline's sanity check that capping is trimming a
+    degenerate tail, not the signal)."""
+    sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("bsz"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("bsz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("bsz") > max_bucket_size, 1).otherwise(0))
+        .cast("long")
+        .alias("n_buckets_over_cap"),
+        F.sum(F.when(F.col("bsz") > max_bucket_size, F.col("bsz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_dropped"),
+    )
 
 
 def exact_dedup_groups(
@@ -74,12 +123,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding,
     verified with exact shingle-set Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    """
+
+    ``max_bucket_size`` bounds the self-join's per-bucket fan-out (see
+    :func:`cap_bucket_size`) — the skew guard for degenerate buckets at
+    corpus scale."""
     rows = num_hashes // bands
     toks = tokenize(F.col(text_col))
     sh = shingles(toks, shingle_n)
@@ -109,6 +162,8 @@ def minhash_lsh_pairs(
     banded = base.select(
         "id", "shingle_set", F.posexplode_outer(band_hashes).alias("band_idx", "band_hash")
     )
+    if max_bucket_size is not None:
+        banded = cap_bucket_size(banded, ["band_idx", "band_hash"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -183,6 +238,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     bits: int = 60,
     radius: int = 3,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs within SimHash hamming ``radius``, found by
     the banded bit-block join (Manku et al., WWW'07 §3): the fingerprint
@@ -200,7 +256,7 @@ def simhash_hamming_pairs(
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
     fp = simhash_fingerprints(df, text_col, id_col, bits=bits)
-    banded = fp.select(
+    banded_raw = fp.select(
         "id",
         "simhash",
         F.posexplode_outer(
@@ -213,6 +269,11 @@ def simhash_hamming_pairs(
                 ]
             )
         ).alias("block_idx", "block_val"),
+    )
+    banded = (
+        cap_bucket_size(banded_raw, ["block_idx", "block_val"], max_block_size)
+        if max_block_size is not None
+        else banded_raw
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -407,6 +407,7 @@ def embedding_cosine_pairs(
     bands: int = 2,
     seed: int = 42,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS — the semantic-dedup
     counterpart of MinHash/SimHash text dedup: random-hyperplane LSH
@@ -439,6 +440,10 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("id"),
         F.posexplode_outer(band_arr).alias("band_idx", "band"),
     )
+    if max_bucket_size is not None:
+        from .dedup import cap_bucket_size
+
+        banded = cap_bucket_size(banded, ["band_idx", "band"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

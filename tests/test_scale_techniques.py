@@ -146,3 +146,82 @@ def test_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Band self-join skew caps
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_docs(spark, n_hot=40, n_pairs=3):
+    """n_hot identical documents (every band bucket degenerate) plus a
+    few distinct near-dup pairs that do NOT share the hot text."""
+    hot = [(i, "the same boilerplate text repeated across the corpus") for i in range(n_hot)]
+    pairs = []
+    for j in range(n_pairs):
+        base = 1000 + 10 * j
+        txt = f"unique document number {j} with its own words alpha beta gamma delta"
+        pairs.append((base, txt))
+        pairs.append((base + 1, txt + " tail"))
+    return spark.createDataFrame(hot + pairs, ["doc_id", "text"])
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    from big_data_processing_spark.operators.dedup import (
+        bucket_skew_stats,
+        minhash_lsh_pairs,
+    )
+
+    docs = _adversarial_docs(spark)
+    uncapped = minhash_lsh_pairs(docs, jaccard_threshold=0.3).count()
+    capped_df = minhash_lsh_pairs(docs, jaccard_threshold=0.3, max_bucket_size=8)
+    capped = capped_df.collect()
+    # uncapped: the 40 identical docs alone produce 40*39/2 = 780 pairs
+    assert uncapped >= 780
+    # capped: the degenerate buckets (40 rows each) are dropped whole;
+    # only the small near-dup pairs survive — bounded, not quadratic
+    assert len(capped) <= 3 * 8 * 8
+    surviving = {(r.id_a, r.id_b) for r in capped}
+    for j in range(3):
+        assert (1000 + 10 * j, 1000 + 10 * j + 1) in surviving
+
+
+def test_simhash_block_cap_bounds_candidates(spark):
+    from big_data_processing_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = _adversarial_docs(spark)
+    uncapped = simhash_hamming_pairs(docs, radius=3).count()
+    capped = simhash_hamming_pairs(docs, radius=3, max_block_size=8).count()
+    assert uncapped >= 780
+    assert capped < 780
+
+
+def test_embedding_bucket_cap(spark):
+    from big_data_processing_spark.operators.similarity import embedding_cosine_pairs
+
+    # 30 identical vectors (all buckets degenerate) + one distinct near-dup pair
+    base = [float((i * 7) % 13 - 6) / 6.0 for i in range(16)]
+    other = [float((i * 5) % 11 - 5) / 5.0 for i in range(16)]
+    rows = [(i, base) for i in range(30)]
+    rows += [(100, other), (101, [x + 0.0005 for x in other])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    uncapped = embedding_cosine_pairs(emb, threshold=0.99, dim=16).count()
+    capped_rows = embedding_cosine_pairs(
+        emb, threshold=0.99, dim=16, max_bucket_size=5
+    ).collect()
+    assert uncapped >= 30 * 29 / 2
+    assert {(r.id_a, r.id_b) for r in capped_rows} == {(100, 101)}
+
+
+def test_bucket_skew_stats_reports_drops(spark):
+    from big_data_processing_spark.operators.dedup import bucket_skew_stats
+
+    banded = spark.createDataFrame(
+        [(0, "hot", i) for i in range(20)] + [(0, "cold", 0), (0, "cold2", 1)],
+        ["band_idx", "band_hash", "id"],
+    )
+    row = bucket_skew_stats(banded, ["band_idx", "band_hash"], 8).collect()[0]
+    assert row.n_buckets == 3
+    assert row.max_bucket == 20
+    assert row.n_buckets_over_cap == 1
+    assert row.n_rows_dropped == 20
