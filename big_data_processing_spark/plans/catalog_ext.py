@@ -244,7 +244,7 @@ def dedup_fingerprint_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFra
 _MH_NUM, _MH_BANDS, _MH_ROWS, _MH_N, _MH_THRESH = 12, 4, 3, 3, 0.3
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(max_bucket: int | None = None) -> str:
     from ..operators.dedup import MINHASH_AB, MINHASH_P
 
     sh = shingles_sql(_TOKENS, _MH_N)
@@ -259,6 +259,20 @@ def _minhash_oracle() -> str:
         "FROM sigs"
         for b in range(_MH_BANDS)
     )
+    # skew-cap twin: drop whole buckets above the cap, mirroring
+    # operators/dedup.cap_bucket_size
+    cap_cte = (
+        f""",
+    bands_capped AS (
+        SELECT id, sset, band_idx, band_hash FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+            FROM bands
+        ) WHERE bsz <= {max_bucket}
+    )"""
+        if max_bucket is not None
+        else ""
+    )
+    band_src = "bands_capped" if max_bucket is not None else "bands"
     return f"""
     WITH sh AS (
         SELECT doc_id AS id, {sh} AS sh
@@ -274,11 +288,11 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
 {band_selects}
-    ),
+    ){cap_cte},
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sset AS set_a, b.sset AS set_b
-        FROM bands a
-        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+        FROM {band_src} a
+        JOIN {band_src} b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
     )
     SELECT id_a, id_b,
            CAST(len(list_intersect(set_a, set_b)) AS DOUBLE)
@@ -306,6 +320,38 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_MH_BANDS,
         shingle_n=_MH_N,
         jaccard_threshold=_MH_THRESH,
+    )
+
+
+# Deliberately small so the cap BITES on the testdata (the largest
+# band bucket at sf0.01 holds 3 docs): the capped result provably
+# differs from the uncapped one, so the oracle match is evidence of
+# the cap's drop semantics, not a no-op.
+_MH_CAP = 2
+
+
+@query(
+    "dedup_minhash_pairs_capped",
+    oracle=_minhash_oracle(max_bucket=_MH_CAP),
+    tags=("dedup", "minhash", "lsh", "skew"),
+)
+def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the skew guard engaged: band
+    buckets holding more than _MH_CAP docs are dropped whole before the
+    self-join (operators/dedup.cap_bucket_size), bounding any bucket's
+    fan-out to cap^2 pairs — the protection that keeps a degenerate
+    boilerplate bucket on a web corpus from going quadratic on one
+    reducer. Cost is one linear window count over the slim band rows;
+    recall inside dropped buckets is sacrificed knowingly (members
+    still collide in their other bands; see bucket_skew_stats for the
+    observability side)."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MH_NUM,
+        bands=_MH_BANDS,
+        shingle_n=_MH_N,
+        jaccard_threshold=_MH_THRESH,
+        max_bucket_size=_MH_CAP,
     )
 
 
@@ -1494,10 +1540,11 @@ def curation_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest. Contiguous-by-construction: each shard is a doc_id range.
 
     Scale note: a global ordered cumulative sum is a single-partition
-    window in the worst case; the production variant runs it per
-    partition-key prefix (e.g. per lang or date) exactly like this plan
-    with an extra partitionBy — the fixture corpus is small enough that
-    the deliberate global order IS the contract being checked."""
+    window in the worst case; the production variant
+    (curation_shard_plan_by_lang, hash-checked below) runs it per
+    partition-key prefix with an extra partitionBy — the fixture corpus
+    is small enough that the deliberate global order here IS the
+    contract being checked."""
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     from pyspark.sql import Window
 
@@ -1522,6 +1569,73 @@ def curation_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("shard_id")
+    )
+
+
+@query(
+    "curation_shard_plan_by_lang",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                    / {_SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+        FROM sized
+    )
+    SELECT lang, shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY lang, shard_id
+    ORDER BY lang, shard_id
+    """,
+    tags=("curation", "sharding"),
+)
+def curation_shard_plan_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prefix shard packing — the PRODUCTION variant of
+    curation_shard_plan: the token-budget cumulative sum runs inside
+    each lang partition (Window.partitionBy(lang).orderBy(doc_id)), so
+    no single-partition global sort exists anywhere in the plan. At
+    100 TB the prefix (lang, or lang x date) bounds every window
+    partition to one shard-group's rows, shuffled once by prefix —
+    shards stay contiguous doc_id ranges WITHIN each prefix, which is
+    what training-data loaders actually consume (per-language shard
+    directories)."""
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    from pyspark.sql import Window
+
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / _SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "shard_id")
     )
 
 
