@@ -64,6 +64,18 @@ def asof_join_backward(
         .orderBy(F.col(time_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry ONE struct guarded by side, not per-column last(): a
+    # per-column carry would let a NULL payload value fall through to
+    # an OLDER right row — and stitch different payload columns from
+    # different right rows. The struct is non-null for every right row
+    # (even when all its fields are null), so last(ignorenulls) always
+    # stops at the single matched row and preserves its NULL fields —
+    # true as-of semantics (what a native ASOF JOIN returns).
+    u = u.withColumn(
+        "__p",
+        F.when(F.col("__side") == 0, F.struct(*[F.col(p) for p in payload_cols])),
+    )
+    u = u.withColumn("__p", F.last("__p", ignorenulls=True).over(w))
     for p in payload_cols:
-        u = u.withColumn(p, F.last(p, ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__side")
+        u = u.withColumn(p, F.col("__p").getField(p))
+    return u.filter(F.col("__side") == 1).drop("__side", "__p")

@@ -68,6 +68,7 @@ def connected_components(
     )
 
     changed = -1
+    prev_ckpt = labels
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -85,10 +86,16 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        # the changed-count action materialized `stepped`; the previous
+        # round's checkpointed blocks are now dead — unpersist them or
+        # executor storage grows linearly with rounds on long chains
         changed = stepped.filter(F.col("lbl") != F.col("old_lbl")).count()
+        prev_ckpt.unpersist()
+        prev_ckpt = stepped
         labels = stepped.select("node", "lbl")
         if changed == 0:
             break
+    sym.unpersist()
     if changed != 0:
         # exiting via max_iter would return labels mid-propagation —
         # one component reported as several clusters, silently

@@ -4,6 +4,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark byte-size conf string ('128MB', '4m', '134217728') → int."""
+    s = str(s).strip().lower()
+    if s.endswith("b") and not s[:-1].isdigit():
+        s = s[:-1]  # 'mb' -> 'm'
+    if s and s[-1] in _BYTE_SUFFIX and not s[-1].isdigit():
+        return int(float(s[:-1]) * _BYTE_SUFFIX[s[-1]])
+    return int(float(s))
+
 
 def spread(df: DataFrame, *by: str, cap: int | None = None) -> DataFrame:
     """Repartition narrow inputs so CPU-dense per-row stages use every
@@ -34,12 +46,32 @@ def spread(df: DataFrame, *by: str, cap: int | None = None) -> DataFrame:
     # Estimate the scan's split count from public file metadata instead
     # of df.rdd.getNumPartitions(): the RDD conversion forces a full
     # physical-plan translation per call (planner overhead on every
-    # query using spread). len(inputFiles()) lower-bounds the number of
-    # scan splits — small local files are 1 split each, and at real
-    # scale a table has far more files than cores, so this returns the
-    # frame untouched exactly when the shuffle buys nothing.
+    # query using spread). A bare len(inputFiles()) OVERESTIMATES when
+    # files are tiny — Spark packs small files many-per-partition
+    # (openCostInBytes), so 100 x 1 KB files is ~1 task, not 100 — and
+    # spread() would skip the repartition it exists to provide. Combine
+    # the file count with the byte-based packing bound Spark itself
+    # uses: splits ≈ (total_bytes + n_files * open_cost) /
+    # maxPartitionBytes, capped by the file count. Unstat-able files
+    # (object stores) fall back to the RDD partition count below.
     try:
-        n_splits = len(df.inputFiles())
+        files = df.inputFiles()
+        n_files = len(files)
+        if n_files:
+            import os
+
+            conf = df.sparkSession.conf
+            max_pb = _parse_bytes(
+                conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            open_cost = _parse_bytes(
+                conf.get("spark.sql.files.openCostInBytes", "4194304")
+            )
+            total = sum(os.path.getsize(f.replace("file:", "")) for f in files)
+            est = -(-(total + n_files * open_cost) // max(max_pb, 1))
+            n_splits = min(n_files, est)
+        else:
+            n_splits = 0
     except Exception:
         n_splits = 0
     if n_splits == 0:

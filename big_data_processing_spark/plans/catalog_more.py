@@ -750,3 +750,89 @@ def events_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "merge_upsert_partition_move",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               o_orderpriority AS priority,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    upd AS (
+        SELECT o_custkey AS custkey,
+               'MOVED' AS priority,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 2 AS BIGINT)
+                   AS total_cents
+        FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT * FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.custkey = b.custkey)
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT priority,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_keys,
+           CAST(SUM(total_cents) AS BIGINT) AS sum_cents
+    FROM merged
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    tags=("merge", "upsert", "writer"),
+)
+def merge_upsert_partition_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MERGE evidence through the real writer (S8-adjacent;
+    reference reload semantics per src/clickhouse loader): a per-
+    (custkey, priority) rollup of orders is written partitionBy
+    (priority), then an update batch MOVES every custkey % 100 == 0 to
+    a new 'MOVED' partition via merge_upsert — exercising the
+    partition-pruned rewrite, key-move stale-row removal, and
+    emptied-partition cleanup paths. merge_upsert's anti-join on
+    custkey removes ALL of a matched key's rows in any partition; the
+    read-back per-priority summary is hash-checked against a pure-SQL
+    NOT EXISTS + UNION ALL twin, so a stale or lost row anywhere
+    changes the counts and mismatches.
+
+    All money flows as integer cents (ROUND(x*100) cast to BIGINT —
+    exact, order-independent sums on both engines). The query does real
+    filesystem work in a per-call tmp dir — deliberate: the MERGE
+    contract is only provable through the files it leaves behind; the
+    result is localCheckpoint()ed so it survives the tmp dir."""
+    import tempfile
+
+    from ..sources.writers import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.sum(cents).cast("long").alias("total_cents"))
+    upd = (
+        o.filter(F.col("o_custkey") % 100 == 0)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.lit("MOVED").alias("priority"),
+        )
+        .agg((F.sum(cents) * 2).cast("long").alias("total_cents"))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/merge_target"
+        base.write.partitionBy("priority").parquet(path)
+        merge_upsert(spark, path, upd, key_cols=["custkey"], partition_col="priority")
+        return (
+            spark.read.parquet(path)
+            .groupBy("priority")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("custkey").cast("long").alias("n_keys"),
+                F.sum("total_cents").cast("long").alias("sum_cents"),
+            )
+            .orderBy("priority")
+            .localCheckpoint()
+        )

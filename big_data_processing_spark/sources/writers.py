@@ -148,6 +148,25 @@ def merge_upsert(
         affected = [
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]
+        # Key-move pruning: an update may carry a DIFFERENT partition
+        # value than the target's current row for the same key. Pruning
+        # only by the updates' partition values would leave the stale
+        # row alive in its old (unpruned) partition — duplicate keys
+        # with no error. So also prune every partition that currently
+        # CONTAINS an updated key (two-column column-pruned scan +
+        # semi-join — the data-skipping step of any MERGE planner).
+        moved = [
+            r[0]
+            for r in target.select(partition_col, *key_cols)
+            .join(updates.select(*key_cols).distinct(), key_cols, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
+        seen = set()
+        affected = [
+            v for v in affected + moved if not (v in seen or seen.add(v))
+        ]
         # NULL-safe pruning: isin() never matches NULL, but a NULL
         # partition value in the updates still writes (and swaps) the
         # __HIVE_DEFAULT_PARTITION__ dir — without this branch the
@@ -160,16 +179,49 @@ def merge_upsert(
         kept = pruned.join(updates.select(*key_cols), key_cols, "left_anti")
         merged = kept.unionByName(updates.select(*target.columns))
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        # Target partition dirs the merge covered: the target listing
+        # filtered to the affected values (unescape the Hive dir name,
+        # string-compare — partition values here render identically via
+        # str(); exotic types like booleans whose Spark rendering
+        # differs from Python's should not be partition columns).
+        # NB: pruned.inputFiles() can NOT provide this — it reports the
+        # whole relation's files, ignoring the partition filter.
+        import urllib.parse
+
+        tgt_prefix = target_path.rstrip("/")
+        affected_strs = {str(v) for v in affected if v is not None}
+        affected_null = any(v is None for v in affected)
+        fs, tgt_p = _hadoop_fs(spark, tgt_prefix)
+        read_dirs = set()
+        for status in fs.listStatus(tgt_p):
+            name = status.getPath().getName()
+            if not name.startswith(f"{partition_col}="):
+                continue
+            raw = name[len(partition_col) + 1 :]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                if affected_null:
+                    read_dirs.add(name)
+            elif urllib.parse.unquote(raw) in affected_strs:
+                read_dirs.add(name)
         # swap only the rewritten partition dirs (new partitions rename in)
         fs, staging_p = _hadoop_fs(spark, staging)
+        staged = set()
         for status in fs.listStatus(staging_p):
             name = status.getPath().getName()
             if name.startswith(f"{partition_col}="):
+                staged.add(name)
                 _swap_dir(
                     spark,
                     f"{staging}/{name}",
                     f"{target_path.rstrip('/')}/{name}",
                 )
+        # A covered partition absent from staging was emptied by the
+        # merge (its only rows moved partitions) — delete it, or the
+        # stale rows would survive the swap.
+        for name in sorted(read_dirs - staged):
+            fs2, dir_p = _hadoop_fs(spark, f"{tgt_prefix}/{name}")
+            if fs2.exists(dir_p):
+                fs2.delete(dir_p, True)
         fs.delete(staging_p, True)
     else:
         kept = target.join(updates.select(*key_cols), key_cols, "left_anti")

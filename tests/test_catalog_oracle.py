@@ -17,7 +17,9 @@ ROWS_ONLY_QUERIES = sorted(n for n, q in CATALOG.items() if q.oracle is None)
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     q = CATALOG[name]
     result = q.fn(spark, sf_dir)
-    oracle = duck.sql(q.oracle).df()
+    # callable oracles embed data-dependent literals per sf_dir
+    sql = q.oracle(sf_dir) if callable(q.oracle) else q.oracle
+    oracle = duck.sql(sql).df()
     assert_frames_match(result, oracle)
 
 

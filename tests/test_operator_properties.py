@@ -283,3 +283,23 @@ def test_range_join_matches_bruteforce(spark, intervals, points, bucket):
         if ik == pk and lo <= t <= lo + w
     }
     assert got == want
+
+
+def test_asof_join_null_payload_not_stitched(spark):
+    """A matched right row's NULL payload field must come through as
+    NULL (true as-of semantics) — not fall through to an older right
+    row; and multi-column payloads must all come from the SAME matched
+    row, never stitched across rows."""
+    from big_data_processing_spark.operators.asof import asof_join_backward
+
+    ldf = spark.createDataFrame([(1, 0, 30)], ["row_id", "k", "t"])
+    rdf = spark.createDataFrame(
+        [(0, 10, 100, "old"), (0, 20, None, "new")],
+        "k int, t int, a int, b string",
+    )
+    row = asof_join_backward(
+        ldf, rdf, on=["k"], time_col="t", payload_cols=["a", "b"]
+    ).collect()[0]
+    # matched row is t=20: a must be its NULL, b its 'new' — a per-
+    # column carry would wrongly produce (100, 'new'), mixing rows
+    assert row.a is None and row.b == "new", (row.a, row.b)

@@ -155,3 +155,46 @@ def test_merge_upsert_preserves_null_partition_rows(spark, tmp_path):
     merge_upsert(spark, path, updates, key_cols=["id"], partition_col="month")
     got = {(r.id, r.month, r.score) for r in spark.read.parquet(path).collect()}
     assert got == {(1, None, 10.0), (2, "2024-01", 20.0), (3, None, 30.0)}
+
+
+def test_merge_upsert_key_moves_partition(spark, tmp_path):
+    """An update that carries a NEW partition value for an existing key
+    must remove the stale row from its old partition (key-move pruning:
+    partitions containing matched keys are rewritten even when the
+    updates never name them)."""
+    path = str(tmp_path / "move_table")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-01", 20.0), (3, "2024-02", 30.0)],
+        ["id", "month", "v"],
+    )
+    merge_upsert(spark, path, base, ["id"], partition_col="month")
+    # key 3 moves 2024-02 -> 2024-03; its old partition empties out
+    upd = spark.createDataFrame([(3, "2024-03", 33.0)], ["id", "month", "v"])
+    merge_upsert(spark, path, upd, ["id"], partition_col="month")
+    got = {(r.id, r.month, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "2024-01", 10.0), (2, "2024-01", 20.0), (3, "2024-03", 33.0)}
+    import os
+
+    assert not os.path.exists(os.path.join(path, "month=2024-02"))
+
+
+def test_merge_upsert_key_moves_partition_with_survivors(spark, tmp_path):
+    """Key-move where the old partition keeps OTHER rows: the stale row
+    is gone, the survivors stay, and unrelated partitions are never
+    rewritten."""
+    import os
+
+    path = str(tmp_path / "move_table2")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-01", 20.0), (3, "2024-02", 30.0)],
+        ["id", "month", "v"],
+    )
+    merge_upsert(spark, path, base, ["id"], partition_col="month")
+    untouched = os.path.join(path, "month=2024-02")
+    before = sorted(os.listdir(untouched))
+    # key 2 moves 2024-01 -> 2024-03; key 1 stays behind in 2024-01
+    upd = spark.createDataFrame([(2, "2024-03", 22.0)], ["id", "month", "v"])
+    merge_upsert(spark, path, upd, ["id"], partition_col="month")
+    got = {(r.id, r.month, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "2024-01", 10.0), (2, "2024-03", 22.0), (3, "2024-02", 30.0)}
+    assert sorted(os.listdir(untouched)) == before
