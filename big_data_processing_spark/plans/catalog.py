@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "knn_ivf_cosine",  # oracle added this round (was rows-only)
     "curation_shard_plan_by_lang",
     "multimodal_decode_stats",
+    "multimodal_audio_stats",
     "dedup_minhash_pairs_capped",
     "merge_upsert_partition_move",
     # r1-green but pushed out of the r2 window

@@ -27,7 +27,14 @@ from ..operators.dedup import (
     simhash_hamming_pairs,
 )
 from ..operators.graph import cluster_summary, connected_components
-from ..operators.multimodal import extract_features, text_as_media
+from ..operators.multimodal import (
+    extract_audio_features,
+    extract_features,
+    extract_image_features,
+    synthesize_png_media,
+    synthesize_wav_media,
+    text_as_media,
+)
 from ..operators.similarity import (
     brute_force_knn,
     embedding_cosine_pairs,
@@ -978,6 +985,76 @@ def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "media_type", "n_bytes", "checksum32"
     ).orderBy("media_id")
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    px AS (
+        SELECT doc_id, w, h, UNNEST(range(0, w * h * 3)) AS j FROM sel
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           AVG(CASE WHEN j % 3 = 0 THEN (j + doc_id) % 256 END) AS mean_r,
+           AVG(CASE WHEN j % 3 = 1 THEN (j + doc_id) % 256 END) AS mean_g,
+           AVG(CASE WHEN j % 3 = 2 THEN (j + doc_id) % 256 END) AS mean_b
+    FROM px GROUP BY 1, 2, 3 ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "decode"),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, hash-checked: deterministic RGB PNGs (pixel
+    byte i = (i + id) % 256, sizes varying per id, scanline filters
+    cycling None/Sub/Up) are encoded then DECODED — chunk parse,
+    zlib inflate, defilter — by operators/mediacodec.py in Arrow
+    batches, emitting true dimensions and exact per-channel means. The
+    DuckDB oracle cannot read PNG, so it computes the same stats from
+    the closed-form pixel rule: the hash only matches if the decoder
+    reproduced every pixel byte. This replaces the round-1/2 'decode is
+    a labeled stub' caveat for images with a tested real codec (JPEG/
+    video remain stubbed behind MediaCodecError)."""
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = synthesize_png_media(ids)
+    return extract_image_features(media).orderBy("media_id")
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    smp AS (
+        SELECT doc_id, n, ((UNNEST(range(0, n)) * 31 + doc_id * 7) % 65536)
+               - 32768 AS s
+        FROM sel
+    )
+    SELECT doc_id AS media_id,
+           CAST(16000 AS INT) AS rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_sample,
+           CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM smp GROUP BY doc_id, n ORDER BY media_id
+    """,
+    tags=("multimodal", "audio", "decode"),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-checked: deterministic PCM16 WAVs
+    (sample j = ((j*31 + id*7) % 65536) - 32768) round-trip through the
+    stdlib wave writer/reader in Arrow batches; true rate, sample
+    count, exact mean (integer sum / count — both engines' doubles are
+    exact for these magnitudes) and absolute peak, verified against the
+    closed-form signal in SQL."""
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = synthesize_wav_media(ids)
+    return extract_audio_features(media).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------

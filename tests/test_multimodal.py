@@ -55,3 +55,122 @@ def test_frame_sampling_fans_out(spark):
         assert total_frames == -(-sizes[mid] // 32)  # ceil division
         assert len(fr) == len(range(0, total_frames, 4))
         assert sorted(r.frame_idx for r in fr) == [i * 4 for i in range(len(fr))]
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (mediacodec.py)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_supported_shapes():
+    import random
+
+    from big_data_processing_spark.operators.mediacodec import decode_png, encode_png
+
+    rng = random.Random(11)
+    for _ in range(30):
+        w, h, ch = rng.randint(1, 12), rng.randint(1, 12), rng.choice([1, 2, 3, 4])
+        raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        assert decode_png(encode_png(w, h, ch, raw)) == (w, h, ch, raw)
+
+
+def test_png_decode_average_and_paeth_filters():
+    """The encoder emits filters 0/1/2; hand-build scanlines with 3
+    (Average) and 4 (Paeth) so decode's full filter set is covered."""
+    import struct
+    import zlib
+
+    from big_data_processing_spark.operators.mediacodec import (
+        _PNG_SIG,
+        _chunk,
+        decode_png,
+    )
+
+    w, h, ch = 3, 2, 3
+    raw = bytes(range(w * h * ch))
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    # row 0 with Average (prev row = zeros), row 1 with Paeth
+    row0, row1 = raw[:stride], raw[stride:]
+    enc0 = bytes(
+        (row0[x] - ((row0[x - ch] if x >= ch else 0) + 0) // 2) & 0xFF
+        for x in range(stride)
+    )
+    enc1 = bytes(
+        (
+            row1[x]
+            - paeth(
+                row1[x - ch] if x >= ch else 0,
+                row0[x],
+                row0[x - ch] if x >= ch else 0,
+            )
+        )
+        & 0xFF
+        for x in range(stride)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x03" + enc0 + b"\x04" + enc1))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (w, h, ch, raw)
+
+
+def test_png_rejects_unsupported():
+    import pytest
+
+    from big_data_processing_spark.operators.mediacodec import (
+        MediaCodecError,
+        decode_png,
+    )
+
+    with pytest.raises(MediaCodecError):
+        decode_png(b"\xff\xd8\xff\xe0 not a png")
+
+
+def test_wav_roundtrip_and_reject():
+    import pytest
+
+    from big_data_processing_spark.operators.mediacodec import (
+        MediaCodecError,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    s = [((j * 31 + 5) % 65536) - 32768 for j in range(128)]
+    rate, ch, back = decode_wav_pcm16(encode_wav_pcm16(s))
+    assert (rate, ch, back) == (16000, 1, s)
+    with pytest.raises(MediaCodecError):
+        decode_wav_pcm16(b"RIFFxxxxWAVE not really")
+
+
+def test_resize_images_real_roundtrip(spark):
+    """resize_images output payloads are valid PNGs of the target
+    geometry whose pixels equal the numpy nearest-neighbor resample of
+    the source."""
+    from big_data_processing_spark.operators.mediacodec import (
+        decode_png,
+        resize_nearest,
+    )
+    from big_data_processing_spark.operators.multimodal import (
+        resize_images,
+        synthesize_png_media,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 200, 25)], ["doc_id"])
+    media = synthesize_png_media(ids)
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    out = resize_images(media, out_w=3, out_h=2).collect()
+    assert len(out) == len(src)
+    for r in out:
+        w, h, ch, raw = decode_png(bytes(r.payload))
+        assert (w, h, ch) == (3, 2, 3)
+        sw, sh, sch, sraw = decode_png(src[r.media_id])
+        assert raw == resize_nearest(sw, sh, sch, sraw, 3, 2)
