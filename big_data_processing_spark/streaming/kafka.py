@@ -74,19 +74,49 @@ def typed_rows(routed: DataFrame, table: str, schema: T.StructType) -> DataFrame
     return parsed.filter(F.col(key).isNotNull())
 
 
+def kafka_source_options(
+    brokers: str,
+    topic: str = "weather-data-stream",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 10000,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """Assemble the Kafka source option map (pure, unit-testable
+    without a broker — the wiring the sandbox can't execute is reduced
+    to this dict plus one ``format("kafka")`` call).
+
+    ``max_offsets_per_trigger`` bounds each micro-batch — without it a
+    restart after downtime reads the whole backlog into one giant batch
+    (executor OOM at scale); ``failOnDataLoss=false`` keeps an aged-out
+    (retention-expired) offset range from killing the query — the
+    standard production posture, the gap is logged."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    return opts
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,
     topic: str = "weather-data-stream",
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 10000,
 ) -> DataFrame:
     """Streaming envelope source (requires a live broker + the
-    spark-sql-kafka package; everything downstream of it is the
-    batch-testable functions above)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    spark-sql-kafka package; option assembly and everything downstream
+    are the batch/file-stream-testable functions in this module)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        brokers,
+        topic,
+        starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()

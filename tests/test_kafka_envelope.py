@@ -65,3 +65,73 @@ def test_malformed_envelope_tolerated(spark):
     assert len(rows) == 2
     assert rows[0].msg_type is None  # from_json nulls malformed input
     assert route_table(parsed).count() == 1
+
+
+def test_kafka_source_option_assembly():
+    """The broker wiring the sandbox can't execute reduces to this
+    option map — assert the production posture: bounded micro-batches,
+    data-loss tolerance off by default from the gap-killing side."""
+    from big_data_processing_spark.streaming.kafka import kafka_source_options
+
+    opts = kafka_source_options("b1:9092,b2:9092", "weather-data-stream")
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "weather-data-stream"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    opts2 = kafka_source_options(
+        "b:9092", "t", starting_offsets="latest", max_offsets_per_trigger=None,
+        fail_on_data_loss=True,
+    )
+    assert "maxOffsetsPerTrigger" not in opts2
+    assert opts2["failOnDataLoss"] == "true"
+    assert opts2["startingOffsets"] == "latest"
+
+
+def test_envelope_pipeline_end_to_end_streaming(spark, tmp_path):
+    """The full envelope pipeline — parse → route → type — executed as
+    an actual Structured Streaming query over a file-backed source
+    standing in for the broker (same value-bytes column shape), with
+    new files arriving between micro-batches: proves the S6/S7 column
+    expressions run under streaming semantics, not only on batch
+    frames."""
+    import os
+
+    src = tmp_path / "kafka_sim"
+    os.makedirs(src)
+    location_line = "3,6.9,79.8,10,19800,Asia/Colombo,+0530,Colombo"
+    with open(src / "batch1.jsonl", "w") as f:
+        f.write(_envelope("metadata", "location.csv", 0, "header-info") + "\n")
+        f.write(_envelope("data", "location.csv", 1, location_line) + "\n")
+
+    raw = spark.readStream.format("text").load(str(src)).select(
+        F.encode(F.col("value"), "utf-8").alias("value")
+    )
+    typed = typed_rows(
+        route_table(parse_envelope(raw)), "location", LOCATION_SCHEMA
+    )
+    q = (
+        typed.writeStream.format("memory")
+        .queryName("kafka_e2e")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM kafka_e2e").collect()
+        assert len(first) == 1
+
+        location_line2 = "4,7.3,80.6,300,19900,Asia/Colombo,+0530,Kandy"
+        with open(src / "batch2.jsonl", "w") as f:
+            f.write(_envelope("data", "location.csv", 2, location_line2) + "\n")
+            f.write(_envelope("data", "weather_2013.csv", 1, "ignored-here") + "\n")
+            f.write(_envelope("end", "location.csv", 3, "") + "\n")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM kafka_e2e ORDER BY line_number"
+        ).collect()
+    finally:
+        q.stop()
+    ids = [r[LOCATION_SCHEMA.fields[0].name] for r in rows]
+    assert ids == [3, 4]
+    assert all(r.filename == "location.csv" for r in rows)
