@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_stats",
     "dedup_minhash_pairs_capped",
     "merge_upsert_partition_move",
+    "txnlog_merge_snapshot",
     # r1-green but pushed out of the r2 window
     "rollup_revenue",
     "cube_status_priority",

@@ -836,3 +836,70 @@ def merge_upsert_partition_move(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("priority")
             .localCheckpoint()
         )
+
+
+@query(
+    "txnlog_merge_snapshot",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS tc
+        FROM orders GROUP BY 1
+    ),
+    merged AS (
+        SELECT ck, tc FROM base WHERE ck % 100 != 0
+        UNION ALL
+        SELECT ck, CAST(tc * 2 AS BIGINT) FROM base WHERE ck % 100 = 0
+    )
+    SELECT CAST(0 AS INT) AS version, CAST(ck % 10 AS BIGINT) AS bucket,
+           COUNT(*) AS n_keys, CAST(SUM(tc) AS BIGINT) AS sum_cents
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT CAST(1 AS INT), CAST(ck % 10 AS BIGINT),
+           COUNT(*), CAST(SUM(tc) AS BIGINT)
+    FROM merged GROUP BY 2
+    ORDER BY version, bucket
+    """,
+    tags=("merge", "txnlog", "writer"),
+)
+def txnlog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log MERGE with time travel, hash-checked end to end
+    (sources/txnlog.py — the Delta/Iceberg-style commit protocol that
+    upgrades writers.merge_upsert's staging+swap): a per-custkey rollup
+    of orders is committed as version 0 across 4 range-partitioned data
+    files, an update batch doubles every custkey % 100 == 0 via
+    txn_merge (metadata range-prune → exact file prune → rewrite of
+    only matched files), and BOTH snapshots are read back — version 0
+    must still show the pre-merge state (time travel over immutable
+    files). Any isolation leak, lost row, or stale row in either
+    snapshot changes the per-bucket counts/sums and fails the hash.
+    Money flows as integer cents throughout (exact on both engines)."""
+    import tempfile
+
+    from ..sources.txnlog import txn_create, txn_merge, txn_read
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(cents).cast("long").alias("tc")
+    )
+    upd = base.filter(F.col("ck") % 100 == 0).select(
+        "ck", (F.col("tc") * 2).cast("long").alias("tc")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = f"{tmp}/txn_table"
+        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+        txn_merge(spark, t, upd, key_cols=["ck"])
+        v0 = txn_read(spark, t, version=0).withColumn("version", F.lit(0).cast("int"))
+        v1 = txn_read(spark, t, version=1).withColumn("version", F.lit(1).cast("int"))
+        return (
+            v0.unionByName(v1)
+            .groupBy("version", (F.col("ck") % 10).cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("tc").cast("long").alias("sum_cents"),
+            )
+            .orderBy("version", "bucket")
+            .localCheckpoint()
+        )

@@ -1,0 +1,267 @@
+"""Transaction-log table format: log-structured parquet with atomic
+MERGE, snapshot isolation, and time travel — the missing piece the
+plain-directory ``merge_upsert`` (writers.py) cannot give, because a
+bare parquet dir has no commit protocol (reference parity: the
+ClickHouse TRUNCATE+reload flow, upgraded to what Delta/Iceberg do).
+
+Layout::
+
+    table/
+      _txnlog/00000000.json   # manifest: list of live data files + stats
+      _txnlog/00000001.json   # next version — manifests are immutable
+      data/part-<uuid>.parquet
+
+Protocol (the Delta/Iceberg core, minimally):
+
+- Data files are immutable; every commit writes NEW files and a NEW
+  manifest listing the live set. Readers resolve one manifest — they
+  never see a half-committed mix (snapshot isolation), and pinning an
+  old version is time travel.
+- A commit is one atomic create of ``_txnlog/<v+1>.json`` (write tmp +
+  rename-without-overwrite). A concurrent writer racing to the same
+  version loses the rename and gets :class:`TxnConflict` — optimistic
+  concurrency, no locks.
+- Manifests carry per-file min/max stats of the merge key, so MERGE
+  prunes untouched files from metadata alone (data skipping); only
+  files that may contain matched keys are read, anti-joined, and
+  rewritten. A 100 TB table with updates clustered in 3 files rewrites
+  3 files.
+
+Everything data-sized is a DataFrame op; driver-side state is manifest
+JSON (file names + scalar stats — KB-scale, like any table format's
+metadata layer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_txnlog"
+_DATA_DIR = "data"
+
+
+class TxnConflict(RuntimeError):
+    """Another writer committed this version first — re-read and retry."""
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:08d}.json")
+
+
+def latest_version(table: str) -> int:
+    """Highest committed version, -1 if the table does not exist."""
+    log = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log):
+        return -1
+    versions = [
+        int(f[:-5])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ]
+    return max(versions, default=-1)
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    with open(_log_path(table, version)) as f:
+        return json.load(f)
+
+
+def _commit(table: str, version: int, manifest: dict) -> None:
+    """Atomic put-if-absent of the manifest for ``version``."""
+    path = _log_path(table, version)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    try:
+        # os.link + unlink = create-exclusive even on filesystems where
+        # rename silently overwrites (POSIX rename does!); on HDFS/S3
+        # this maps to create-with-overwrite=false / If-None-Match.
+        os.link(tmp, path)
+    except FileExistsError as e:
+        raise TxnConflict(
+            f"version {version} of {table} was committed concurrently"
+        ) from e
+    finally:
+        os.unlink(tmp)
+
+
+def _write_data_files(
+    spark: SparkSession, table: str, df: DataFrame, stat_col: str
+) -> list[dict]:
+    """Write ``df`` as new immutable parquet files under data/ and
+    return their manifest entries with per-file (min, max, rows) stats
+    of ``stat_col`` — one extra scan of only the new files, the price
+    of data skipping forever after."""
+    batch = uuid.uuid4().hex[:12]
+    out = os.path.join(table, _DATA_DIR, batch)
+    df.write.mode("error").parquet(out)
+    stats = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(stat_col).alias("lo"),
+            F.max(stat_col).alias("hi"),
+        )
+        .collect()
+    )
+    return [
+        {
+            "path": os.path.relpath(r["file"].replace("file:", ""), table),
+            "rows": r["rows"],
+            "stat_col": stat_col,
+            "lo": r["lo"],
+            "hi": r["hi"],
+        }
+        for r in stats
+    ]
+
+
+def txn_create(
+    spark: SparkSession, table: str, df: DataFrame, stat_col: str
+) -> int:
+    """Create version 0 of a txnlog table (errors if it exists)."""
+    if latest_version(table) >= 0:
+        raise FileExistsError(f"txnlog table already exists: {table}")
+    files = _write_data_files(spark, table, df, stat_col)
+    _commit(
+        table,
+        0,
+        {
+            "version": 0,
+            "op": "create",
+            "files": files,
+            "schema": df.schema.json(),
+        },
+    )
+    return 0
+
+
+def txn_read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: latest manifest, or ``version`` for time travel.
+    Only the files the manifest lists are scanned — a reader never sees
+    another writer's in-flight files."""
+    v = latest_version(table) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no txnlog table at {table}")
+    m = _read_manifest(table, v)
+    paths = [os.path.join(table, e["path"]) for e in m["files"]]
+    if not paths:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*paths)
+
+
+def txn_merge(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE with snapshot isolation: matched keys replaced, new keys
+    appended, committed as one new version.
+
+    File-level planning (the scale path):
+
+    1. metadata prune: drop files whose [lo, hi] range of the first key
+       column cannot contain any update key (no IO at all);
+    2. exact prune: scan only range-candidates, semi-join the update
+       keys, and collect the NAMES of files actually holding matches
+       (bounded driver list, standard MERGE planning);
+    3. rewrite: anti-join just those files and write kept ∪ updates as
+       new files; every other live file is carried into the new
+       manifest untouched.
+    """
+    read_v = latest_version(table)
+    if read_v < 0:
+        raise FileNotFoundError(f"no txnlog table at {table}")
+    m = _read_manifest(table, read_v)
+    stat_col = m["files"][0]["stat_col"] if m["files"] else key_cols[0]
+
+    krange = updates.agg(
+        F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
+    ).collect()[0]
+    candidates = [
+        e
+        for e in m["files"]
+        if krange["lo"] is not None
+        and not (e["hi"] < krange["lo"] or e["lo"] > krange["hi"])
+    ]
+    untouched = [e for e in m["files"] if e not in candidates]
+
+    hit_files: set[str] = set()
+    if candidates:
+        cand_paths = [os.path.join(table, e["path"]) for e in candidates]
+        cand_df = spark.read.parquet(*cand_paths)
+        hits = (
+            cand_df.select(*key_cols, F.input_file_name().alias("__f"))
+            .join(F.broadcast(updates.select(*key_cols).distinct()), key_cols)
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        hit_files = {
+            os.path.relpath(r["__f"].replace("file:", ""), table) for r in hits
+        }
+    rewrite = [e for e in candidates if e["path"] in hit_files]
+    carry = untouched + [e for e in candidates if e["path"] not in hit_files]
+
+    update_cols = txn_read(spark, table, read_v).columns
+    if rewrite:
+        old = spark.read.parquet(
+            *[os.path.join(table, e["path"]) for e in rewrite]
+        )
+        kept = old.join(updates.select(*key_cols), key_cols, "left_anti")
+        new_rows = kept.unionByName(updates.select(*update_cols))
+    else:
+        new_rows = updates.select(*update_cols)
+    new_files = _write_data_files(spark, table, new_rows, stat_col)
+
+    _commit(
+        table,
+        read_v + 1,
+        {
+            "version": read_v + 1,
+            "op": "merge",
+            "read_version": read_v,
+            "files": carry + new_files,
+            "schema": _read_manifest(table, read_v)["schema"],
+            "rewrote": sorted(e["path"] for e in rewrite),
+        },
+    )
+    return read_v + 1
+
+
+def txn_vacuum(table: str, keep_versions: int = 2) -> list[str]:
+    """Delete data files referenced by no retained manifest (old
+    versions beyond ``keep_versions`` lose time travel). Returns the
+    deleted paths."""
+    v = latest_version(table)
+    retained = range(max(0, v - keep_versions + 1), v + 1)
+    live = {
+        e["path"] for rv in retained for e in _read_manifest(table, rv)["files"]
+    }
+    removed = []
+    data_root = os.path.join(table, _DATA_DIR)
+    for dirpath, _dirs, files in os.walk(data_root):
+        for f in files:
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, table)
+            if f.endswith(".parquet") and rel not in live:
+                os.unlink(full)
+                removed.append(rel)
+    for rv in range(0, retained.start):
+        p = _log_path(table, rv)
+        if os.path.exists(p):
+            os.unlink(p)
+    return sorted(removed)

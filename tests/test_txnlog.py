@@ -1,0 +1,127 @@
+"""Transaction-log table format: atomic commit, snapshot isolation,
+time travel, file-pruned MERGE, conflict detection, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.sources.txnlog import (
+    TxnConflict,
+    _log_path,
+    latest_version,
+    txn_create,
+    txn_merge,
+    txn_read,
+    txn_vacuum,
+)
+
+
+def _rows(df):
+    return {(r.k, r.v) for r in df.collect()}
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    assert txn_create(spark, t, df, stat_col="k") == 0
+    assert latest_version(t) == 0
+    assert _rows(txn_read(spark, t)) == {(i, 2 * i) for i in range(100)}
+
+
+def test_merge_updates_inserts_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    upd = spark.createDataFrame(
+        [(5, -1), (50, -1), (200, -1)], ["k", "v"]
+    )
+    assert txn_merge(spark, t, upd, key_cols=["k"]) == 1
+    got = _rows(txn_read(spark, t))
+    want = {(i, 2 * i) for i in range(100) if i not in (5, 50)} | {
+        (5, -1),
+        (50, -1),
+        (200, -1),
+    }
+    assert got == want
+    # time travel: version 0 still shows the pre-merge snapshot
+    assert _rows(txn_read(spark, t, version=0)) == {(i, 2 * i) for i in range(100)}
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """Files whose key range can't contain an update key are carried
+    into the new manifest verbatim — no rewrite, no read."""
+    t = str(tmp_path / "t")
+    low = spark.createDataFrame([(i, i) for i in range(10)], ["k", "v"]).repartition(1)
+    txn_create(spark, t, low, stat_col="k")
+    high = spark.createDataFrame([(i, i) for i in range(1000, 1010)], ["k", "v"]).repartition(1)
+    txn_merge(spark, t, high, key_cols=["k"])  # pure insert, new file
+    m1 = json.load(open(_log_path(t, 1)))
+    assert m1["rewrote"] == []
+    files_v1 = {e["path"] for e in m1["files"]}
+
+    # update a high key only: the low file must carry over untouched
+    upd = spark.createDataFrame([(1005, -5)], ["k", "v"])
+    txn_merge(spark, t, upd, key_cols=["k"])
+    m2 = json.load(open(_log_path(t, 2)))
+    low_files = {e["path"] for e in m1["files"] if e["hi"] < 1000}
+    assert low_files and low_files <= {e["path"] for e in m2["files"]}
+    assert all(p not in m2["rewrote"] for p in low_files)
+    # and the rewritten file is the high one
+    assert m2["rewrote"] and all(p in files_v1 for p in m2["rewrote"])
+    got = _rows(txn_read(spark, t))
+    assert (1005, -5) in got and (1005, 1005) not in got
+    assert all((i, i) in got for i in range(10))
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers racing to the same version: the second commit must
+    fail atomically (put-if-absent), and the loser's merge must NOT
+    have corrupted the winner's manifest chain."""
+    from big_data_processing_spark.sources.txnlog import _commit
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1)], ["k", "v"])
+    txn_create(spark, t, df, stat_col="k")
+    schema = df.schema.json()
+    # writer A commits version 1
+    _commit(t, 1, {"version": 1, "op": "merge", "files": [], "schema": schema})
+    # writer B, which had also read version 0, tries to commit its own v1
+    with pytest.raises(TxnConflict):
+        _commit(t, 1, {"version": 1, "op": "merge", "files": [], "schema": schema})
+    # winner's manifest intact, no stray tmp files in the log dir
+    assert json.load(open(_log_path(t, 1)))["version"] == 1
+    logdir = os.path.dirname(_log_path(t, 1))
+    assert all(f.endswith(".json") for f in os.listdir(logdir))
+
+
+def test_vacuum_keeps_referenced_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    for i in range(3):
+        txn_merge(
+            spark, t, spark.createDataFrame([(5, -i)], ["k", "v"]), ["k"]
+        )
+    before = _rows(txn_read(spark, t))
+    removed = txn_vacuum(t, keep_versions=2)
+    assert removed  # old rewritten files went away
+    assert _rows(txn_read(spark, t)) == before
+    assert _rows(txn_read(spark, t, version=latest_version(t) - 1))  # retained
+    with pytest.raises(FileNotFoundError):
+        txn_read(spark, t, version=0)  # beyond retention: manifest gone
+
+
+def test_merge_composite_key(spark, tmp_path):
+    t = str(tmp_path / "t2")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30)], ["k", "k2", "x"]
+    )
+    txn_create(spark, t, df, stat_col="k")
+    upd = spark.createDataFrame([(1, "b", -1), (3, "c", 99)], ["k", "k2", "x"])
+    txn_merge(spark, t, upd, key_cols=["k", "k2"])
+    got = {(r.k, r.k2, r.x) for r in txn_read(spark, t).collect()}
+    assert got == {(1, "a", 10), (1, "b", -1), (2, "a", 30), (3, "c", 99)}
