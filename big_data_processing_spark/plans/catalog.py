@@ -86,6 +86,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_pairs_capped",
     "merge_upsert_partition_move",
     "txnlog_merge_snapshot",
+    "doc_tfidf_top_terms",
+    "curation_domain_caps",
+    "full_outer_nation_balance",
     # r1-green but pushed out of the r2 window
     "rollup_revenue",
     "cube_status_priority",

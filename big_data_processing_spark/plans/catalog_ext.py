@@ -1905,3 +1905,161 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _VOCAB_K)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style term salience + per-domain caps
+# ---------------------------------------------------------------------------
+
+_TFIDF_K, _TFIDF_DOCMOD = 3, 5
+
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok WHERE term != '' GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok WHERE term != '' GROUP BY term
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+        SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, df.df,
+               CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                    ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+                             tf.term ASC) AS INT) AS rank
+        FROM tf JOIN df USING (term)
+        WHERE tf.doc_id % {_TFIDF_DOCMOD} = 0
+    )
+    WHERE rank <= {_TFIDF_K}
+    ORDER BY doc_id, rank
+    """,
+    tags=("text", "tfidf", "salience"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-salience extraction (TF-IDF family): top-3 terms per
+    document scored by term frequency over corpus document frequency.
+    The score is tf/df — one exact IEEE division of two integers, so
+    the ranking is bit-deterministic cross-engine; a log-scaled idf
+    would hit the engines' non-correctly-rounded ln() and is
+    deliberately avoided (same reasoning as the no-ROUND invariant).
+
+    Scale: explode is row-local; tf is a map-combinable (doc, term)
+    count; df is a token-keyed count-distinct whose hot-token skew is
+    absorbed by partial aggregation; the join broadcasts nothing and
+    shuffles by term once. Output restricted to doc_id % 5 == 0 while
+    df still sees the whole corpus."""
+    from pyspark.sql import Window
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tok = d.select(
+        "doc_id",
+        F.explode_outer(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    scored = (
+        tf.filter(F.col("doc_id") % _TFIDF_DOCMOD == 0)
+        .join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "df",
+            (F.col("tf").cast("double") / F.col("df").cast("double")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .orderBy("doc_id", "rank")
+    )
+
+
+# 15 bites at every sf (the smallest source holds ~25 docs at sf0.01)
+_DOMAIN_CAP = 15
+
+
+def _domain_caps_oracle() -> str:
+    quality_sql = _quality_oracle()
+    return f"""
+    WITH scored AS ({quality_sql.replace("ORDER BY doc_id", "")}),
+    ranked AS (
+        SELECT d.source, s.doc_id, s.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                    ORDER BY s.quality_score DESC, s.doc_id ASC) AS rn
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           MIN(CASE WHEN rn <= {_DOMAIN_CAP} THEN quality_score END)
+               AS min_kept_quality,
+           MAX(quality_score) AS max_quality
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "curation_domain_caps",
+    oracle=_domain_caps_oracle(),
+    tags=("curation", "domain", "cap"),
+)
+def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the web-corpus curation stage that
+    keeps any one source from dominating the training mix: rank docs
+    within each source by quality (doc_id tie-break), keep the top
+    _DOMAIN_CAP, report kept/dropped counts and the kept-quality floor
+    per source. Aggregates are count/min/max — order-independent, so no
+    decimal machinery is needed despite the float scores.
+
+    Scale: one shuffle by source for the window (WindowGroupLimit does
+    NOT apply — ranks beyond the cap are still counted — but the
+    per-source partitions are bounded by the domain cap policy itself
+    at curation time; a trillion-doc source would be pre-sampled by the
+    ingest tier before ranking)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_features(d).select("doc_id", "quality_score")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = (
+        d.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= _DOMAIN_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > _DOMAIN_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.min(
+                F.when(F.col("rn") <= _DOMAIN_CAP, F.col("quality_score"))
+            ).alias("min_kept_quality"),
+            F.max("quality_score").alias("max_quality"),
+        )
+        .orderBy("source")
+    )

@@ -903,3 +903,77 @@ def txnlog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("version", "bucket")
             .localCheckpoint()
         )
+
+
+@query(
+    "full_outer_nation_balance",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nationkey,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS cust_cents
+        FROM customer WHERE c_nationkey < 15 GROUP BY 1
+    ),
+    s AS (
+        SELECT s_nationkey AS nationkey,
+               COUNT(*) AS n_supp,
+               CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS supp_cents
+        FROM supplier WHERE s_nationkey >= 10 GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp,
+           COALESCE(c.cust_cents, 0) AS cust_cents,
+           COALESCE(s.supp_cents, 0) AS supp_cents
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    tags=("join", "full_outer"),
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type absent from both the
+    reference and the rest of the catalog: customer balances from
+    nations 0-14 vs supplier balances from nations 10-24, so nations
+    0-9 are left-only and 15-24 right-only BY CONSTRUCTION at every
+    scale factor (both null-extension directions always exercised).
+    Money as integer cents.
+
+    Scale: both sides pre-aggregate to |nations| rows BEFORE the join —
+    the full-outer shuffle moves two tiny aggregates, never the fact
+    tables (aggregate-then-join, the standard rewrite when the join key
+    is the group key)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("cust_cents"),
+        )
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("supp_cents"),
+        )
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("cust_cents", F.lit(0)).alias("cust_cents"),
+            F.coalesce("supp_cents", F.lit(0)).alias("supp_cents"),
+        )
+        .orderBy("nationkey")
+    )
