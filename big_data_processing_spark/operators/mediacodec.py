@@ -117,7 +117,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise MediaCodecError("PNG missing IHDR/IDAT")
-    flat = zlib.decompress(bytes(idat))
+    return width, height, channels, _defilter(bytes(idat), width, height, channels)
+
+
+def _defilter(compressed: bytes, width: int, height: int, channels: int) -> bytes:
+    """Inflate + undo all five PNG scanline filters → raw pixel bytes.
+    Shared by still-PNG decode and APNG per-frame decode."""
+    import numpy as np
+
+    flat = zlib.decompress(compressed)
     stride = width * channels
     if len(flat) != (stride + 1) * height:
         raise MediaCodecError("PNG scanline size mismatch")
@@ -149,7 +157,103 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise MediaCodecError(f"unknown PNG filter {f}")
         out[y] = row
         prev = row
-    return width, height, channels, out.tobytes()
+    return out.tobytes()
+
+
+def encode_apng(
+    width: int, height: int, channels: int, frames: list[bytes]
+) -> bytes:
+    """Minimal APNG writer (the PNG animation extension — a real,
+    public 'video' container parsable with the same chunk machinery):
+    acTL declares the frame count, each frame gets an fcTL control
+    chunk, frame 0 rides in IDAT and the rest in fdAT. Full-size
+    frames, no offsets, filter 0 scanlines."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    for fr in frames:
+        if len(fr) != stride * height:
+            raise MediaCodecError("encode_apng: frame size mismatch")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = bytearray(_PNG_SIG)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, fr in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, width, height, 0, 0, 1, 10, 0, 0
+        )
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        lines = b"".join(
+            b"\x00" + fr[y * stride : (y + 1) * stride] for y in range(height)
+        )
+        z = zlib.compress(lines, 6)
+        if i == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Real APNG decode: (width, height, channels, raw frame list).
+    Parses acTL/fcTL/fdAT chunk sequencing and runs the shared
+    inflate+defilter per frame. A plain PNG (no acTL) decodes as a
+    single-frame animation."""
+    if data[:8] != _PNG_SIG:
+        raise MediaCodecError("not a PNG/APNG payload")
+    pos = 8
+    width = height = channels = None
+    n_frames = 1
+    frames_z: list[bytearray] = []
+    cur: bytearray | None = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _CHANNELS or interlace != 0:
+                raise MediaCodecError("unsupported APNG subset")
+            channels = _CHANNELS[color]
+        elif tag == b"acTL":
+            (n_frames, _plays) = struct.unpack(">II", body)
+        elif tag == b"fcTL":
+            fw, fh, fx, fy = struct.unpack(">IIII", body[4:20])
+            if (fw, fh, fx, fy) != (width, height, 0, 0):
+                raise MediaCodecError(
+                    "unsupported APNG: sub-region frames (offsets/partial)"
+                )
+            cur = bytearray()
+            frames_z.append(cur)
+        elif tag == b"IDAT":
+            if cur is None:  # plain PNG without animation control
+                cur = bytearray()
+                frames_z.append(cur)
+            cur.extend(body)
+        elif tag == b"fdAT":
+            if cur is None:
+                raise MediaCodecError("fdAT before fcTL")
+            cur.extend(body[4:])  # strip sequence number
+        elif tag == b"IEND":
+            break
+    if width is None or not frames_z:
+        raise MediaCodecError("APNG missing IHDR/frames")
+    if len(frames_z) != n_frames:
+        raise MediaCodecError(
+            f"APNG declared {n_frames} frames, found {len(frames_z)}"
+        )
+    return (
+        width,
+        height,
+        channels,
+        [_defilter(bytes(z), width, height, channels) for z in frames_z],
+    )
 
 
 def resize_nearest(

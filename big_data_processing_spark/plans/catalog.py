@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "curation_shard_plan_by_lang",
     "multimodal_decode_stats",
     "multimodal_audio_stats",
+    "multimodal_frame_sample_stats",
     "dedup_minhash_pairs_capped",
     "merge_upsert_partition_move",
     "txnlog_merge_snapshot",

@@ -31,6 +31,8 @@ from ..operators.multimodal import (
     extract_audio_features,
     extract_features,
     extract_image_features,
+    sample_apng_frames,
+    synthesize_apng_media,
     synthesize_png_media,
     synthesize_wav_media,
     text_as_media,
@@ -2063,3 +2065,41 @@ def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "multimodal_frame_sample_stats",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+               4 + doc_id % 5 AS nf
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    fr AS (
+        SELECT doc_id, w, h, nf, UNNEST(range(0, nf)) AS f FROM sel
+    ),
+    px AS (
+        SELECT doc_id, f, nf, w, h, UNNEST(range(0, w * h * 3)) AS i
+        FROM fr WHERE f % 2 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(nf AS INT) AS n_frames,
+           AVG((i + doc_id + 97 * f) % 256) AS mean_byte
+    FROM px GROUP BY doc_id, f, nf ORDER BY media_id, frame_idx
+    """,
+    tags=("multimodal", "video", "frames"),
+)
+def multimodal_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over a real animation container,
+    hash-checked: deterministic APNGs (acTL/fcTL/fdAT chunk sequencing,
+    frame f pixel byte i = (i + id + 97f) % 256) are encoded then
+    DECODED per frame by operators/mediacodec.py, every 2nd frame kept,
+    exact per-frame byte means emitted. The oracle computes the same
+    stats from the closed-form rule — the hash only matches if chunk
+    sequencing AND per-frame defilter reproduced every frame byte.
+    This retires the last stub family (video) for container formats the
+    sandbox can express; ffmpeg-class codecs remain out of scope."""
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = synthesize_apng_media(ids)
+    return sample_apng_frames(media, every_n=2).orderBy("media_id", "frame_idx")

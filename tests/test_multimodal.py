@@ -174,3 +174,48 @@ def test_resize_images_real_roundtrip(spark):
         assert (w, h, ch) == (3, 2, 3)
         sw, sh, sch, sraw = decode_png(src[r.media_id])
         assert raw == resize_nearest(sw, sh, sch, sraw, 3, 2)
+
+
+def test_apng_roundtrip_and_plain_png_fallback():
+    import random
+
+    from big_data_processing_spark.operators.mediacodec import (
+        decode_apng,
+        encode_apng,
+        encode_png,
+    )
+
+    rng = random.Random(7)
+    for _ in range(15):
+        w, h, ch = rng.randint(1, 8), rng.randint(1, 8), rng.choice([1, 3, 4])
+        n = rng.randint(1, 6)
+        frames = [
+            bytes(rng.randrange(256) for _ in range(w * h * ch)) for _ in range(n)
+        ]
+        assert decode_apng(encode_apng(w, h, ch, frames)) == (w, h, ch, frames)
+    raw = bytes(range(12))
+    assert decode_apng(encode_png(2, 2, 3, raw)) == (2, 2, 3, [raw])
+
+
+def test_sample_apng_frames_real_decode(spark):
+    """Frame sampling fan-out with a real container decode: every 2nd
+    frame, exact means, n_frames from the acTL declaration."""
+    from big_data_processing_spark.operators.multimodal import (
+        sample_apng_frames,
+        synthesize_apng_media,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 100, 25)], ["doc_id"])
+    out = sample_apng_frames(synthesize_apng_media(ids), every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_id.items():
+        nf = 4 + mid % 5
+        assert rows[0].n_frames == nf
+        assert sorted(r.frame_idx for r in rows) == list(range(0, nf, 2))
+        w, h = 3 + mid % 4, 2 + mid % 3
+        n = w * h * 3
+        for r in rows:
+            want = sum((i + mid + 97 * r.frame_idx) % 256 for i in range(n)) / n
+            assert r.mean_byte == want
