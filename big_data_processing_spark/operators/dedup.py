@@ -115,24 +115,18 @@ def minhash_signature_cols(hash_set_col, num_hashes: int) -> list:
     ]
 
 
-def minhash_lsh_pairs(
+def minhash_band_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash signatures + LSH banding,
-    verified with exact shingle-set Jaccard.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-
-    ``max_bucket_size`` bounds the self-join's per-bucket fan-out (see
-    :func:`cap_bucket_size`) — the skew guard for degenerate buckets at
-    corpus scale."""
+    """The banded layout feeding the LSH self-join: one slim
+    (id, shingle_set, band_idx, band_hash) row per (doc, band). Shared
+    by :func:`minhash_lsh_pairs` and :func:`bucket_skew_stats`-based
+    observability (same buckets the join would shuffle on)."""
     rows = num_hashes // bands
     toks = tokenize(F.col(text_col))
     sh = shingles(toks, shingle_n)
@@ -159,8 +153,36 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = base.select(
+    return base.select(
         "id", "shingle_set", F.posexplode_outer(band_hashes).alias("band_idx", "band_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding,
+    verified with exact shingle-set Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``max_bucket_size`` bounds the self-join's per-bucket fan-out (see
+    :func:`cap_bucket_size`) — the skew guard for degenerate buckets at
+    corpus scale."""
+    banded = minhash_band_rows(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
     )
     if max_bucket_size is not None:
         banded = cap_bucket_size(banded, ["band_idx", "band_hash"], max_bucket_size)

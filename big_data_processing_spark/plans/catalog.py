@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_stats",
     "multimodal_frame_sample_stats",
     "dedup_minhash_pairs_capped",
+    "dedup_bucket_skew_report",
     "merge_upsert_partition_move",
     "txnlog_merge_snapshot",
     "doc_tfidf_top_terms",

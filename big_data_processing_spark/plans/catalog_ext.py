@@ -253,7 +253,9 @@ def dedup_fingerprint_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFra
 _MH_NUM, _MH_BANDS, _MH_ROWS, _MH_N, _MH_THRESH = 12, 4, 3, 3, 0.3
 
 
-def _minhash_oracle(max_bucket: int | None = None) -> str:
+def _minhash_bands_cte() -> str:
+    """The sh→hashed→sigs→bands CTE chain shared by the pair oracles
+    and the skew-report oracle (identical banding on both engines)."""
     from ..operators.dedup import MINHASH_AB, MINHASH_P
 
     sh = shingles_sql(_TOKENS, _MH_N)
@@ -268,6 +270,24 @@ def _minhash_oracle(max_bucket: int | None = None) -> str:
         "FROM sigs"
         for b in range(_MH_BANDS)
     )
+    return f"""sh AS (
+        SELECT doc_id AS id, {sh} AS sh
+        FROM (SELECT doc_id, text FROM documents)
+    ),
+    hashed AS (
+        SELECT id, list_distinct(list_transform(sh, s -> {hash32_sql('s')})) AS hs
+        FROM sh
+    ),
+    sigs AS (
+        SELECT id, hs AS sset, [{sig_items}] AS sig
+        FROM hashed
+    ),
+    bands AS (
+{band_selects}
+    )"""
+
+
+def _minhash_oracle(max_bucket: int | None = None) -> str:
     # skew-cap twin: drop whole buckets above the cap, mirroring
     # operators/dedup.cap_bucket_size
     cap_cte = (
@@ -283,21 +303,7 @@ def _minhash_oracle(max_bucket: int | None = None) -> str:
     )
     band_src = "bands_capped" if max_bucket is not None else "bands"
     return f"""
-    WITH sh AS (
-        SELECT doc_id AS id, {sh} AS sh
-        FROM (SELECT doc_id, text FROM documents)
-    ),
-    hashed AS (
-        SELECT id, list_distinct(list_transform(sh, s -> {hash32_sql('s')})) AS hs
-        FROM sh
-    ),
-    sigs AS (
-        SELECT id, hs AS sset, [{sig_items}] AS sig
-        FROM hashed
-    ),
-    bands AS (
-{band_selects}
-    ){cap_cte},
+    WITH {_minhash_bands_cte()}{cap_cte},
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sset AS set_a, b.sset AS set_b
         FROM {band_src} a
@@ -362,6 +368,42 @@ def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=_MH_THRESH,
         max_bucket_size=_MH_CAP,
     )
+
+
+@query(
+    "dedup_bucket_skew_report",
+    oracle=f"""
+    WITH {_minhash_bands_cte()},
+    sizes AS (
+        SELECT band_idx, band_hash, COUNT(*) AS bsz
+        FROM bands GROUP BY band_idx, band_hash
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(bsz) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN bsz > {_MH_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_over_cap,
+           CAST(SUM(CASE WHEN bsz > {_MH_CAP} THEN bsz ELSE 0 END) AS BIGINT)
+               AS n_rows_dropped
+    FROM sizes
+    """,
+    tags=("dedup", "skew", "observability"),
+)
+def dedup_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability half of the skew guard: what would the
+    _MH_CAP bucket cap drop? Bucket count, max bucket size, over-cap
+    buckets, and rows removed — the report a production pipeline LOGS
+    alongside every capped dedup run so capping degenerate boilerplate
+    buckets (not signal) is verifiable, over exactly the banded layout
+    the self-join shuffles on (dedup.minhash_band_rows)."""
+    from ..operators.dedup import bucket_skew_stats, minhash_band_rows
+
+    banded = minhash_band_rows(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MH_NUM,
+        bands=_MH_BANDS,
+        shingle_n=_MH_N,
+    )
+    return bucket_skew_stats(banded, ["band_idx", "band_hash"], _MH_CAP)
 
 
 _SH_BITS = 16
