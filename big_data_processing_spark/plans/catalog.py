@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_tfidf_top_terms",
     "curation_domain_caps",
     "full_outer_nation_balance",
+    "lineitem_winsorized_stats",
     # r1-green but pushed out of the r2 window
     "rollup_revenue",
     "cube_status_priority",

@@ -977,3 +977,103 @@ def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "lineitem_winsorized_stats",
+    oracle="""
+    WITH priced AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT flag, cents,
+               ROW_NUMBER() OVER (PARTITION BY flag
+                    ORDER BY cents ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM priced
+    ),
+    cuts AS (
+        SELECT flag,
+               MAX(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT) THEN cents END)
+                   AS lo,
+               MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN cents END)
+                   AS hi
+        FROM ranked GROUP BY flag
+    )
+    SELECT p.flag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN p.cents < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN p.cents > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(SUM(LEAST(GREATEST(p.cents, c.lo), c.hi)) AS BIGINT)
+               AS winsorized_cents
+    FROM priced p JOIN cuts c USING (flag)
+    GROUP BY p.flag
+    ORDER BY p.flag
+    """,
+    tags=("curation", "outlier", "quantile"),
+)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping) — the numeric-feature curation
+    step that clamps a distribution's tails before training: per
+    returnflag, find the position-based P1/P99 of extendedprice (type-1
+    quantiles — deterministic cross-engine, never interpolated), clip
+    every value into [P1, P99], and report clip counts plus the
+    winsorized sum in exact integer cents.
+
+    Scale: one shuffle by group for the ranking window, a broadcast-
+    sized cuts table joined back, and order-independent integer
+    aggregates — the clip thresholds per group are 2 scalars however
+    large the fact is."""
+    li = _t(spark, sf_dir, "lineitem")
+    priced = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("flag").orderBy(
+        F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    wc = Window.partitionBy("flag")
+    ranked = priced.select(
+        "flag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    cuts = ranked.groupBy("flag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.01 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        priced.join(F.broadcast(cuts), "flag")
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")))
+            .cast("long")
+            .alias("winsorized_cents"),
+        )
+        .orderBy("flag")
+    )
