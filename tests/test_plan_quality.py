@@ -100,3 +100,28 @@ def test_decontamination_broadcasts_eval_universe(spark, sf_dir):
     plan = _plan(spark, sf_dir, "decontamination_overlap")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_winsorized_cuts_broadcast(spark, sf_dir):
+    """The per-group clip-threshold table (3 rows) must broadcast back
+    to the fact — a sort-merge here would shuffle the fact twice."""
+    plan = _plan(spark, sf_dir, "lineitem_winsorized_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_partial_aggregation(spark, sf_dir):
+    """tf and df counts must partial-aggregate before their shuffles
+    (hot tokens pre-counted per partition)."""
+    plan = _plan(spark, sf_dir, "doc_tfidf_top_terms")
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf AND df
+
+
+def test_full_outer_joins_aggregates_not_facts(spark, sf_dir):
+    """full_outer_nation_balance must aggregate BOTH sides before the
+    full-outer join: the join's inputs are HashAggregates, and the scan
+    only reads the 2 columns each side needs."""
+    plan = _plan(spark, sf_dir, "full_outer_nation_balance")
+    assert "FullOuter" in plan
+    start = plan.index("ReadSchema")
+    assert "c_comment" not in plan and "c_name" not in plan[start:]
