@@ -1025,10 +1025,14 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every value into [P1, P99], and report clip counts plus the
     winsorized sum in exact integer cents.
 
-    Scale: one shuffle by group for the ranking window, a broadcast-
-    sized cuts table joined back, and order-independent integer
-    aggregates — the clip thresholds per group are 2 scalars however
-    large the fact is."""
+    Scale: a broadcast-sized cuts table joined back and order-
+    independent integer aggregates — the clip thresholds per group are
+    2 scalars however large the fact is. CAVEAT at 100 TB: with only 3
+    groups the exact ranking window is a single-reducer sort per group;
+    the production variant finds the cut positions with a histogram +
+    narrowing pass (or approx_percentile when ±ε is acceptable) and
+    keeps everything else here unchanged — the exact window IS the
+    contract being hash-checked at test scale."""
     li = _t(spark, sf_dir, "lineitem")
     priced = li.select(
         F.col("l_returnflag").alias("flag"),
