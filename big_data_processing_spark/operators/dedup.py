@@ -277,7 +277,10 @@ def simhash_hamming_pairs(
     blocks = radius + 1
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
-    fp = simhash_fingerprints(df, text_col, id_col, bits=bits)
+    # persist barrier: the fingerprint is an interpreted HOF fold that
+    # CollapseProject would otherwise substitute into every block term
+    # and both join sides (recomputed ~blocks x 2 times per row)
+    fp = simhash_fingerprints(df, text_col, id_col, bits=bits).persist()
     banded_raw = fp.select(
         "id",
         "simhash",

@@ -105,7 +105,14 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit LSH signature as a packed long (one bit per plane)."""
+    """Sign-bit LSH signature as a packed long (one bit per plane).
+
+    Kept as compact HOF folds (NOT the unrolled dot_literal form): the
+    signature column gets substituted into every band term and both
+    self-join sides, and an unrolled 18x64-term tree duplicated 12+
+    ways OOMs Catalyst under a default-heap driver. The interpreted
+    cost is paid ONCE per row instead — callers materialize the
+    signature projection (persist barrier) before banding."""
     dv = _to_double(vec)
     sig = None
     for j, p in enumerate(planes):
@@ -261,7 +268,10 @@ def ivf_knn(
     )
 
     def cell_dists(vec: Column) -> Column:
-        """Array of squared L2 distances to every centroid."""
+        """Array of squared L2 distances to every centroid. Compact HOF
+        folds on purpose: unrolling to 16x64 literal terms was measured
+        ~15x SLOWER end-to-end — Catalyst/codegen time on the giant
+        duplicated trees dwarfs the interpreted-fold cost it saves."""
         dv = _to_double(vec)
         return F.array(
             *[
@@ -343,13 +353,6 @@ def lsh_bucket_knn(
     rows = n_planes // bands
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = signature_bits(F.col(vec_col), planes)
-        band_arr = F.array(
-            *[
-                F.shiftright(sig, b * rows).bitwiseAND(F.lit((1 << rows) - 1))
-                for b in range(bands)
-            ]
-        )
         dim_ok = F.assert_true(
             F.size(F.col(vec_col)) == dim,
             F.concat(
@@ -357,10 +360,31 @@ def lsh_bucket_knn(
                 F.size(F.col(vec_col)).cast("string"),
             ),
         )
-        return df.filter(dim_ok.isNull()).select(
+        # Materialize the signature ONCE per row before banding: without
+        # the persist barrier, CollapseProject substitutes the (costly,
+        # interpreted-HOF) signature tree into every band term and both
+        # join sides — the signature would be recomputed ~bands x 2
+        # times per row. This barrier IS the LSH index build; at
+        # warehouse scale persist the signature table explicitly (same
+        # pattern as the IVF centroid index).
+        sigs = df.filter(dim_ok.isNull()).select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
             norm(F.col(vec_col)).alias(f"{role}_norm"),
+            signature_bits(F.col(vec_col), planes).alias("_sig"),
+        ).persist()
+        band_arr = F.array(
+            *[
+                F.shiftright(F.col("_sig"), b * rows).bitwiseAND(
+                    F.lit((1 << rows) - 1)
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(
+            f"{role}_id",
+            f"{role}_vec",
+            f"{role}_norm",
             F.posexplode_outer(band_arr).alias("band_idx", f"{role}_band"),
         )
 
@@ -431,13 +455,21 @@ def embedding_cosine_pairs(
     rows = n_planes // bands
     mask = (1 << rows) - 1
 
-    sig = signature_bits(F.col(vec_col), planes)
-    band_arr = F.array(
-        *[F.shiftright(sig, b * rows).bitwiseAND(F.lit(mask)) for b in range(bands)]
-    )
     wide = spread(corpus, id_col)
-    banded = wide.select(
+    # persist barrier: signature computed once per row, not once per
+    # band term (see lsh_bucket_knn.banded)
+    sigs = wide.select(
         F.col(id_col).alias("id"),
+        signature_bits(F.col(vec_col), planes).alias("_sig"),
+    ).persist()
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("_sig"), b * rows).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "id",
         F.posexplode_outer(band_arr).alias("band_idx", "band"),
     )
     if max_bucket_size is not None:
