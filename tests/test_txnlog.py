@@ -125,3 +125,82 @@ def test_merge_composite_key(spark, tmp_path):
     txn_merge(spark, t, upd, key_cols=["k", "k2"])
     got = {(r.k, r.k2, r.x) for r in txn_read(spark, t).collect()}
     assert got == {(1, "a", 10), (1, "b", -1), (2, "a", 30), (3, "c", 99)}
+
+
+def test_txn_merge_property_random(spark, tmp_path):
+    """Randomized merge sequences must match plain dict upsert
+    semantics, and every historical version must remain readable with
+    its exact pre-merge content (snapshot immutability)."""
+    import random
+
+    rng = random.Random(17)
+    t = str(tmp_path / "prop")
+    state = {k: rng.randint(0, 99) for k in range(0, 40, 2)}
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame(sorted(state.items()), ["k", "v"]),
+        stat_col="k",
+    )
+    history = [dict(state)]
+    for _ in range(4):
+        upd = {
+            rng.randint(0, 60): rng.randint(100, 199)
+            for _ in range(rng.randint(1, 8))
+        }
+        txn_merge(
+            spark,
+            t,
+            spark.createDataFrame(sorted(upd.items()), ["k", "v"]),
+            ["k"],
+        )
+        state.update(upd)
+        history.append(dict(state))
+    for v, want in enumerate(history):
+        got = {r.k: r.v for r in txn_read(spark, t, version=v).collect()}
+        assert got == want, f"version {v}"
+
+
+def test_txnlog_as_streaming_merge_sink(spark, tmp_path):
+    """txn_merge as a foreachBatch sink: each micro-batch MERGEs into
+    the transaction-log table — the exactly-once-content upsert sink
+    pattern (a replayed batch rewrites identical rows; content is
+    idempotent even though it burns a version number)."""
+    import json
+    import os
+
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    t = str(tmp_path / "sink")
+    base = spark.createDataFrame([(k, 0) for k in range(10)], ["k", "v"])
+    txn_create(spark, t, base, stat_col="k")
+
+    with open(src / "b1.json", "w") as f:
+        for k, v in [(1, 11), (2, 12), (100, 100)]:
+            f.write(json.dumps({"k": k, "v": v}) + "\n")
+
+    stream = spark.readStream.schema("k long, v long").json(str(src))
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        txn_merge(spark, t, batch_df, key_cols=["k"])
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"k": 1, "v": 21}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.k: r.v for r in txn_read(spark, t).collect()}
+    want = {k: 0 for k in range(10)}
+    want.update({1: 21, 2: 12, 100: 100})
+    assert got == want
