@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 from ..functions.text import hash32, hash60, normalize_text, shingles, tokenize
 from .util import spread
 
+# Default skew guard for every band/block self-join: buckets beyond
+# this size are dropped whole before candidate generation, bounding any
+# bucket's contribution to cap^2 pairs.  1000 is far above anything the
+# oracle-scale corpora produce (max observed bucket: 4 at sf0.1) but
+# turns a degenerate web-corpus bucket (empty docs, boilerplate) from a
+# quadratic reducer-killer into a bounded, observable drop — the
+# 100 TB-safe plan is the default; pass ``None`` to opt out explicitly.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
 
 def cap_bucket_size(
     banded: DataFrame, bucket_cols: list[str], max_bucket_size: int
@@ -166,7 +175,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding,
     verified with exact shingle-set Jaccard.
@@ -175,7 +184,8 @@ def minhash_lsh_pairs(
 
     ``max_bucket_size`` bounds the self-join's per-bucket fan-out (see
     :func:`cap_bucket_size`) — the skew guard for degenerate buckets at
-    corpus scale."""
+    corpus scale.  Capped BY DEFAULT (:data:`DEFAULT_MAX_BUCKET_SIZE`);
+    pass ``None`` to opt out."""
     banded = minhash_band_rows(
         df,
         text_col=text_col,
@@ -260,7 +270,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     bits: int = 60,
     radius: int = 3,
-    max_block_size: int | None = None,
+    max_block_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-duplicate pairs within SimHash hamming ``radius``, found by
     the banded bit-block join (Manku et al., WWW'07 §3): the fingerprint
@@ -271,8 +281,9 @@ def simhash_hamming_pairs(
 
     Scale: fingerprints are row-local; the join shuffles (blocks x docs)
     tiny (block_idx, block_val, id, fingerprint) rows keyed by 15-bit
-    block values — never all-pairs, never document text. Returns
-    (id_a, id_b, hamming) with id_a < id_b, ordered.
+    block values — never all-pairs, never document text. Block buckets
+    are capped BY DEFAULT (:data:`DEFAULT_MAX_BUCKET_SIZE`; ``None``
+    opts out). Returns (id_a, id_b, hamming) with id_a < id_b, ordered.
     """
     blocks = radius + 1
     block_bits = bits // blocks

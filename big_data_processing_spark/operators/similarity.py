@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size
 from .util import spread
 
 
@@ -431,7 +432,7 @@ def embedding_cosine_pairs(
     bands: int = 2,
     seed: int = 42,
     dim: int = 64,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS — the semantic-dedup
     counterpart of MinHash/SimHash text dedup: random-hyperplane LSH
@@ -448,6 +449,10 @@ def embedding_cosine_pairs(
     land in the same 12-bit bucket with probability ~p^12 — the
     candidate set stays near-linear instead of the near-quadratic blowup
     a narrow (3-bit, 8-bucket) band would produce.
+
+    Band buckets are capped BY DEFAULT (``DEFAULT_MAX_BUCKET_SIZE``
+    from operators.dedup — a degenerate bucket of identical vectors
+    can no longer go B² on one reducer); pass ``None`` to opt out.
 
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
     """
@@ -473,8 +478,6 @@ def embedding_cosine_pairs(
         F.posexplode_outer(band_arr).alias("band_idx", "band"),
     )
     if max_bucket_size is not None:
-        from .dedup import cap_bucket_size
-
         banded = cap_bucket_size(banded, ["band_idx", "band"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -1932,10 +1932,15 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     of tokenizer training and stopword mining.
 
     Scale: explode is row-local; the count is a map-side-combinable
-    groupBy on the token, and the final top-k is a TakeOrdered over the
-    (already tiny) distinct-token table — at 100 TB the only real
-    shuffle is token-keyed partial counts. Hot-token skew is absorbed
-    by the partial aggregation (every partition pre-counts 'the')."""
+    groupBy on the token, and the final top-k is an
+    ``orderBy().limit(k)`` — planned as TakeOrderedAndProject, a
+    per-partition heap of k rows merged on the driver, NEVER a global
+    window sort (a 10⁸-row web-scale vocab through one WindowExec
+    reducer was exactly the r3 plan bug). The rank is then assigned by
+    a row_number over the already-materialized k-row result, where a
+    partitionless window is a 100-row no-op. Hot-token skew is
+    absorbed by the partial aggregation (every partition pre-counts
+    'the')."""
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     from pyspark.sql import Window
 
@@ -1943,10 +1948,10 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    topk = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(_VOCAB_K)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _VOCAB_K)
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .orderBy("rank")
     )
 

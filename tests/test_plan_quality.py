@@ -55,6 +55,19 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_vocab_topk_take_ordered_not_global_window(spark, sf_dir):
+    """vocab_top_tokens' top-100 must be a TakeOrderedAndProject (a
+    per-partition heap) — the r3 plan pushed the WHOLE distinct-token
+    table through one partitionless WindowExec reducer. The rank window
+    that remains operates on the ≤100-row limit result, after the
+    TakeOrdered, never before it."""
+    plan = _plan(spark, sf_dir, "vocab_top_tokens")
+    assert "TakeOrderedAndProject" in plan
+    # the Window node (rank assignment) must sit ABOVE the TakeOrdered,
+    # i.e. appear earlier in the top-down plan string
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_semi_join_is_semi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semi_join_building_orders")
     assert "LeftSemi" in plan

@@ -173,7 +173,7 @@ def test_minhash_bucket_cap_bounds_candidates(spark):
     )
 
     docs = _adversarial_docs(spark)
-    uncapped = minhash_lsh_pairs(docs, jaccard_threshold=0.3).count()
+    uncapped = minhash_lsh_pairs(docs, jaccard_threshold=0.3, max_bucket_size=None).count()
     capped_df = minhash_lsh_pairs(docs, jaccard_threshold=0.3, max_bucket_size=8)
     capped = capped_df.collect()
     # uncapped: the 40 identical docs alone produce 40*39/2 = 780 pairs
@@ -190,7 +190,7 @@ def test_simhash_block_cap_bounds_candidates(spark):
     from big_data_processing_spark.operators.dedup import simhash_hamming_pairs
 
     docs = _adversarial_docs(spark)
-    uncapped = simhash_hamming_pairs(docs, radius=3).count()
+    uncapped = simhash_hamming_pairs(docs, radius=3, max_block_size=None).count()
     capped = simhash_hamming_pairs(docs, radius=3, max_block_size=8).count()
     assert uncapped >= 780
     assert capped < 780
@@ -205,7 +205,7 @@ def test_embedding_bucket_cap(spark):
     rows = [(i, base) for i in range(30)]
     rows += [(100, other), (101, [x + 0.0005 for x in other])]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    uncapped = embedding_cosine_pairs(emb, threshold=0.99, dim=16).count()
+    uncapped = embedding_cosine_pairs(emb, threshold=0.99, dim=16, max_bucket_size=None).count()
     capped_rows = embedding_cosine_pairs(
         emb, threshold=0.99, dim=16, max_bucket_size=5
     ).collect()
@@ -225,3 +225,30 @@ def test_bucket_skew_stats_reports_drops(spark):
     assert row.max_bucket == 20
     assert row.n_buckets_over_cap == 1
     assert row.n_rows_dropped == 20
+
+
+def test_band_join_caps_default_on():
+    """The 100 TB-safe plan must be the DEFAULT: every band/block
+    self-join ships with the skew cap engaged unless the caller opts
+    out with None (r3 verdict item 6)."""
+    import inspect
+
+    from big_data_processing_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        minhash_lsh_pairs,
+        simhash_hamming_pairs,
+    )
+    from big_data_processing_spark.operators.similarity import embedding_cosine_pairs
+
+    assert (
+        inspect.signature(minhash_lsh_pairs).parameters["max_bucket_size"].default
+        == DEFAULT_MAX_BUCKET_SIZE
+    )
+    assert (
+        inspect.signature(simhash_hamming_pairs).parameters["max_block_size"].default
+        == DEFAULT_MAX_BUCKET_SIZE
+    )
+    assert (
+        inspect.signature(embedding_cosine_pairs).parameters["max_bucket_size"].default
+        == DEFAULT_MAX_BUCKET_SIZE
+    )
