@@ -906,6 +906,105 @@ def txnlog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txnlog_compacted_read",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS tc
+        FROM orders GROUP BY 1
+    ),
+    merged AS (
+        SELECT ck, tc FROM base WHERE ck % 100 != 0
+        UNION ALL
+        SELECT ck, CAST(tc * 2 AS BIGINT) FROM base WHERE ck % 100 = 0
+    ),
+    agg AS (
+        SELECT CAST(ck % 10 AS BIGINT) AS bucket,
+               COUNT(*) AS n_keys, CAST(SUM(tc) AS BIGINT) AS sum_cents
+        FROM merged GROUP BY 1
+    )
+    SELECT phase, bucket, n_keys, sum_cents
+    FROM agg CROSS JOIN (SELECT 'post' AS phase UNION ALL SELECT 'pre') p
+    ORDER BY phase, bucket
+    """,
+    tags=("merge", "txnlog", "optimize", "writer"),
+)
+def txnlog_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE/compaction end to end, hash-checked: a txnlog table is
+    deliberately fragmented (create + 4 insert MERGEs + 1 update MERGE,
+    each commit appending its own small files), then txn_optimize
+    bin-packs every live file into one, and BOTH the pre-compaction and
+    post-compaction snapshots are read back and aggregated. The query
+    RAISES unless compaction actually reduced the live file count to 1,
+    so a green hash is evidence that (a) OPTIMIZE ran, (b) it preserved
+    the content bit-for-bit (pre == post per-bucket sums in exact
+    integer cents), and (c) time travel across the compaction boundary
+    still resolves the fragmented manifest.
+
+    Scale: bin planning is manifest metadata (KB); each bin rewrite is
+    one bounded Spark job over only that bin's files — a 100 TB table
+    compacts incrementally without ever touching files already at
+    target size (see test_optimize_respects_target_and_big_files)."""
+    import tempfile
+
+    from ..sources.txnlog import (
+        _read_manifest,
+        latest_version,
+        txn_create,
+        txn_merge,
+        txn_optimize,
+        txn_read,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(cents).cast("long").alias("tc")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = f"{tmp}/txn_table"
+        txn_create(
+            spark,
+            t,
+            base.filter(F.col("ck") % 5 == 0).repartitionByRange(2, "ck"),
+            stat_col="ck",
+        )
+        for i in range(1, 5):  # fragmenting pure inserts
+            txn_merge(
+                spark, t, base.filter(F.col("ck") % 5 == i), key_cols=["ck"]
+            )
+        upd = base.filter(F.col("ck") % 100 == 0).select(
+            "ck", (F.col("tc") * 2).cast("long").alias("tc")
+        )
+        txn_merge(spark, t, upd, key_cols=["ck"])
+        pre_v = latest_version(t)
+        n_before = len(_read_manifest(t, pre_v)["files"])
+        opt_v = txn_optimize(spark, t, target_rows=10_000_000)
+        n_after = len(_read_manifest(t, latest_version(t))["files"])
+        if opt_v != pre_v + 1 or n_after != 1 or n_before <= n_after:
+            raise RuntimeError(
+                f"compaction did not engage: {n_before} -> {n_after} files"
+            )
+        pre = txn_read(spark, t, version=pre_v).withColumn(
+            "phase", F.lit("pre")
+        )
+        post = txn_read(spark, t, version=opt_v).withColumn(
+            "phase", F.lit("post")
+        )
+        return (
+            pre.unionByName(post)
+            .groupBy("phase", (F.col("ck") % 10).cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("tc").cast("long").alias("sum_cents"),
+            )
+            .orderBy("phase", "bucket")
+            .localCheckpoint()
+        )
+
+
+@query(
     "full_outer_nation_balance",
     oracle="""
     WITH c AS (

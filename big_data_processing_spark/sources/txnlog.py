@@ -49,6 +49,26 @@ class TxnConflict(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
 
+# Spark SQL type names whose min/max stats survive a JSON round-trip
+# with value and ordering semantics intact.  Dates, timestamps and
+# decimals do NOT (json.dump would stringify them and a later merge
+# would compare a manifest string against a native value); stat
+# columns of those types are rejected at txn_create time rather than
+# corrupting pruning silently.
+_JSON_NATIVE_STAT_TYPES = (
+    "byte",
+    "short",
+    "int",
+    "integer",
+    "bigint",
+    "long",
+    "float",
+    "double",
+    "string",
+    "boolean",
+)
+
+
 def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:08d}.json")
 
@@ -77,7 +97,10 @@ def _commit(table: str, version: int, manifest: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, default=str)
+        # no default=str: a non-JSON-native value reaching a manifest is
+        # a bug (it would silently stringify min/max stats and poison
+        # range pruning) — fail loudly instead
+        json.dump(manifest, f, indent=1)
     try:
         # os.link + unlink = create-exclusive even on filesystems where
         # rename silently overwrites (POSIX rename does!); on HDFS/S3
@@ -126,9 +149,24 @@ def _write_data_files(
 def txn_create(
     spark: SparkSession, table: str, df: DataFrame, stat_col: str
 ) -> int:
-    """Create version 0 of a txnlog table (errors if it exists)."""
+    """Create version 0 of a txnlog table (errors if it exists).
+
+    ``stat_col`` must be of a JSON-native type (int/float/string/bool):
+    its per-file min/max live in the JSON manifests and drive range
+    pruning, so a type that JSON would stringify (date, timestamp,
+    decimal) is rejected here instead of mis-pruning later."""
     if latest_version(table) >= 0:
         raise FileExistsError(f"txnlog table already exists: {table}")
+    stat_type = dict(df.dtypes).get(stat_col)
+    if stat_type is None:
+        raise ValueError(f"stat_col {stat_col!r} not in {df.columns}")
+    if stat_type not in _JSON_NATIVE_STAT_TYPES:
+        raise TypeError(
+            f"stat_col {stat_col!r} has type {stat_type}, whose min/max "
+            "stats do not survive a JSON manifest round-trip; use an "
+            "int/float/string/boolean column (e.g. a day-number or "
+            "epoch-seconds derivation of a date)"
+        )
     files = _write_data_files(spark, table, df, stat_col)
     _commit(
         table,
@@ -173,8 +211,14 @@ def txn_merge(
 
     File-level planning (the scale path):
 
-    1. metadata prune: drop files whose [lo, hi] range of the first key
-       column cannot contain any update key (no IO at all);
+    1. metadata prune: drop files whose [lo, hi] range of the stat
+       column cannot contain any update key — SOUND ONLY when the stat
+       column is itself a merge key (then an update's stat value is the
+       value the matched rows hold); when it is not, an update may
+       change a row's stat value and the range says nothing about where
+       the matched KEYS live, so pruning is skipped and every file is a
+       candidate (correctness over speed — exact pruning in step 2
+       still bounds the rewrite);
     2. exact prune: scan only range-candidates, semi-join the update
        keys, and collect the NAMES of files actually holding matches
        (bounded driver list, standard MERGE planning);
@@ -188,15 +232,18 @@ def txn_merge(
     m = _read_manifest(table, read_v)
     stat_col = m["files"][0]["stat_col"] if m["files"] else key_cols[0]
 
-    krange = updates.agg(
-        F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
-    ).collect()[0]
-    candidates = [
-        e
-        for e in m["files"]
-        if krange["lo"] is not None
-        and not (e["hi"] < krange["lo"] or e["lo"] > krange["hi"])
-    ]
+    if stat_col in key_cols:
+        krange = updates.agg(
+            F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
+        ).collect()[0]
+        candidates = [
+            e
+            for e in m["files"]
+            if krange["lo"] is not None
+            and not (e["hi"] < krange["lo"] or e["lo"] > krange["hi"])
+        ]
+    else:
+        candidates = list(m["files"])
     untouched = [e for e in m["files"] if e not in candidates]
 
     hit_files: set[str] = set()
@@ -237,6 +284,79 @@ def txn_merge(
             "files": carry + new_files,
             "schema": _read_manifest(table, read_v)["schema"],
             "rewrote": sorted(e["path"] for e in rewrite),
+        },
+    )
+    return read_v + 1
+
+
+def txn_optimize(
+    spark: SparkSession,
+    table: str,
+    target_rows: int = 1_000_000,
+    min_files_per_bin: int = 2,
+) -> int | None:
+    """OPTIMIZE (compaction): bin-pack small live files into fewer,
+    larger ones and commit the rewritten file set as one new version —
+    the small-file remedy every log-structured table needs under steady
+    MERGE traffic (each commit appends new files; Delta/Iceberg ship
+    OPTIMIZE for exactly this).
+
+    Files holding >= ``target_rows`` rows are left alone; the rest are
+    first-fit-decreasing packed into bins of <= ``target_rows`` rows,
+    and every bin with at least ``min_files_per_bin`` members is
+    rewritten as a single file (a bin that would map 1 file -> 1 file
+    is carried untouched — no write amplification without gain).
+
+    The data content is byte-identical before and after: snapshot
+    readers of the new version see the same rows, and time travel to
+    any pre-optimize version still resolves the old manifests over the
+    old (immutable, still-present) files until ``txn_vacuum`` retires
+    them. Returns the committed version, or None when nothing needed
+    compacting. Bin planning is manifest metadata only (KB-scale);
+    each bin rewrite is one bounded Spark job."""
+    read_v = latest_version(table)
+    if read_v < 0:
+        raise FileNotFoundError(f"no txnlog table at {table}")
+    m = _read_manifest(table, read_v)
+    if not m["files"]:
+        return None
+    small = [e for e in m["files"] if e["rows"] < target_rows]
+    keep = [e for e in m["files"] if e["rows"] >= target_rows]
+
+    bins: list[list[dict]] = []
+    fill: list[int] = []
+    for e in sorted(small, key=lambda e: -e["rows"]):
+        for i, used in enumerate(fill):
+            if used + e["rows"] <= target_rows:
+                bins[i].append(e)
+                fill[i] += e["rows"]
+                break
+        else:
+            bins.append([e])
+            fill.append(e["rows"])
+    rewrite_bins = [b for b in bins if len(b) >= min_files_per_bin]
+    if not rewrite_bins:
+        return None
+    carry = keep + [e for b in bins if len(b) < min_files_per_bin for e in b]
+
+    stat_col = m["files"][0]["stat_col"]
+    new_files: list[dict] = []
+    for b in rewrite_bins:
+        merged = spark.read.parquet(
+            *[os.path.join(table, e["path"]) for e in b]
+        ).coalesce(1)
+        new_files.extend(_write_data_files(spark, table, merged, stat_col))
+
+    _commit(
+        table,
+        read_v + 1,
+        {
+            "version": read_v + 1,
+            "op": "optimize",
+            "read_version": read_v,
+            "files": carry + new_files,
+            "schema": m["schema"],
+            "compacted": sorted(e["path"] for b in rewrite_bins for e in b),
         },
     )
     return read_v + 1

@@ -204,3 +204,175 @@ def test_txnlog_as_streaming_merge_sink(spark, tmp_path):
     want = {k: 0 for k in range(10)}
     want.update({1: 21, 2: 12, 100: 100})
     assert got == want
+
+
+def _live_files(t):
+    from big_data_processing_spark.sources.txnlog import _read_manifest
+
+    return _read_manifest(t, latest_version(t))["files"]
+
+
+def test_optimize_compacts_and_preserves_snapshots(spark, tmp_path):
+    """OPTIMIZE must shrink the live file count without changing any
+    snapshot: the post-compaction read is identical, every pre-compaction
+    version still time-travels to its exact content, and a later MERGE
+    keeps working on the compacted layout."""
+    from big_data_processing_spark.sources.txnlog import txn_optimize
+
+    t = str(tmp_path / "opt")
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame([(k, 0) for k in range(10)], ["k", "v"]),
+        stat_col="k",
+    )
+    # fragment: 5 pure-insert merges -> at least 6 live files
+    for i in range(1, 6):
+        ins = spark.createDataFrame(
+            [(100 * i + j, i) for j in range(10)], ["k", "v"]
+        )
+        txn_merge(spark, t, ins, key_cols=["k"])
+    before_files = len(_live_files(t))
+    before_rows = _rows(txn_read(spark, t))
+    pre_v = latest_version(t)
+
+    v = txn_optimize(spark, t, target_rows=1000)
+    assert v == pre_v + 1
+    after_files = len(_live_files(t))
+    assert after_files < before_files
+    assert after_files == 1  # everything fits one bin at target 1000
+    assert _rows(txn_read(spark, t)) == before_rows
+    # time travel across the compaction boundary
+    assert _rows(txn_read(spark, t, version=pre_v)) == before_rows
+    assert _rows(txn_read(spark, t, version=0)) == {(k, 0) for k in range(10)}
+    # MERGE after OPTIMIZE
+    txn_merge(
+        spark, t, spark.createDataFrame([(0, 99), (999, 9)], ["k", "v"]), ["k"]
+    )
+    got = _rows(txn_read(spark, t))
+    assert (0, 99) in got and (999, 9) in got and (0, 0) not in got
+    assert len(got) == len(before_rows) + 1
+
+
+def test_optimize_noop_when_compact(spark, tmp_path):
+    from big_data_processing_spark.sources.txnlog import txn_optimize
+
+    t = str(tmp_path / "noop")
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame([(k, 0) for k in range(10)], ["k", "v"]).coalesce(1),
+        stat_col="k",
+    )
+    v = latest_version(t)
+    # single file below target: a 1->1 rewrite would be pure write
+    # amplification — must be a no-op
+    assert txn_optimize(spark, t, target_rows=1000) is None
+    assert latest_version(t) == v
+    # files already at/above target are left alone too
+    assert txn_optimize(spark, t, target_rows=5) is None
+    assert latest_version(t) == v
+
+
+def test_optimize_respects_target_and_big_files(spark, tmp_path):
+    """Files >= target stay untouched; small ones pack to <= target
+    rows per bin."""
+    from big_data_processing_spark.sources.txnlog import txn_optimize
+
+    t = str(tmp_path / "bins")
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame([(k, 0) for k in range(50)], ["k", "v"]).coalesce(1),
+        stat_col="k",
+    )
+    for i in range(4):
+        ins = spark.createDataFrame(
+            [(1000 * (i + 1) + j, i) for j in range(10)], ["k", "v"]
+        ).coalesce(1)
+        txn_merge(spark, t, ins, key_cols=["k"])
+    before_rows = _rows(txn_read(spark, t))
+    assert txn_optimize(spark, t, target_rows=25) is not None
+    files = _live_files(t)
+    # the 50-row file survived verbatim; the 4x10-row files packed into
+    # bins of <= 25 rows (2 bins of 20)
+    assert sorted(e["rows"] for e in files) == [20, 20, 50]
+    assert _rows(txn_read(spark, t)) == before_rows
+
+
+def test_merge_stat_col_not_in_keys_no_stale_rows(spark, tmp_path):
+    """ADVICE regression: when stat_col is NOT a merge key, an update
+    that moves a row's stat value outside the updates' stat range must
+    still rewrite the file holding the matched key (range pruning is
+    skipped) — r3's prune left the stale row alive as a duplicate."""
+    t = str(tmp_path / "statmove")
+    # stat col v; keys k. File A holds k=1 with v=1000 (stat range
+    # [1000, 1009]); the update sets k=1 to v=5 (update stat range
+    # [5, 5]) — disjoint from A's, so a stat-range prune would carry A
+    # untouched and duplicate k=1.
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame([(k, 1000 + k) for k in range(10)], ["k", "v"]),
+        stat_col="v",
+    )
+    txn_merge(spark, t, spark.createDataFrame([(1, 5)], ["k", "v"]), ["k"])
+    got = sorted((r.k, r.v) for r in txn_read(spark, t).collect())
+    assert got.count((1, 5)) == 1
+    assert all(not (k == 1 and v != 5) for k, v in got)
+    assert len(got) == 10
+
+
+def test_create_rejects_non_json_native_stat_col(spark, tmp_path):
+    import datetime
+
+    t = str(tmp_path / "badstat")
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1))], ["k", "d"]
+    )
+    with pytest.raises(TypeError, match="JSON manifest"):
+        txn_create(spark, t, df, stat_col="d")
+    # nothing half-created
+    assert latest_version(t) == -1
+
+
+def test_optimize_random_history_property(spark, tmp_path):
+    """Randomized interleaving of MERGE and OPTIMIZE must match dict
+    upsert semantics at every version, with OPTIMIZE versions content-
+    equal to their predecessors."""
+    import random
+
+    from big_data_processing_spark.sources.txnlog import txn_optimize
+
+    rng = random.Random(23)
+    t = str(tmp_path / "prop_opt")
+    state = {k: rng.randint(0, 99) for k in range(0, 30, 3)}
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame(sorted(state.items()), ["k", "v"]),
+        stat_col="k",
+    )
+    history = [dict(state)]
+    for step in range(6):
+        if step % 3 == 2:
+            v = txn_optimize(spark, t, target_rows=500)
+            if v is not None:
+                history.append(dict(state))  # content unchanged
+            continue
+        upd = {
+            rng.randint(0, 50): rng.randint(100, 199)
+            for _ in range(rng.randint(1, 6))
+        }
+        txn_merge(
+            spark,
+            t,
+            spark.createDataFrame(sorted(upd.items()), ["k", "v"]),
+            ["k"],
+        )
+        state.update(upd)
+        history.append(dict(state))
+    assert latest_version(t) == len(history) - 1
+    for v, want in enumerate(history):
+        got = {r.k: r.v for r in txn_read(spark, t, version=v).collect()}
+        assert got == want, f"version {v}"
