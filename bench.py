@@ -68,6 +68,8 @@ def main() -> None:
     # comparisons meaningless (see VERDICT r2 "Pin down bench variance").
     # The run-to-run spread is recorded in the sidecar so reviewers can
     # see which timings are stable.
+    from big_data_processing_spark.operators.util import release_barriers
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in sorted(CATALOG):
@@ -77,6 +79,11 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
+            # the bench owns the cache lifetime of operator persist()
+            # barriers: release after each materialization so 78 x 2
+            # runs don't accumulate signature caches for the session
+            # (release cost is charged to the query, honestly)
+            release_barriers()
         timings[name] = round(min(runs), 3)
         spreads[name] = round(max(runs) - min(runs), 3)
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash32, hash60, normalize_text, shingles, tokenize
-from .util import spread
+from .util import persist_barrier, spread
 
 # Default skew guard for every band/block self-join: buckets beyond
 # this size are dropped whole before candidate generation, bounding any
@@ -290,8 +290,9 @@ def simhash_hamming_pairs(
     mask = (1 << block_bits) - 1
     # persist barrier: the fingerprint is an interpreted HOF fold that
     # CollapseProject would otherwise substitute into every block term
-    # and both join sides (recomputed ~blocks x 2 times per row)
-    fp = simhash_fingerprints(df, text_col, id_col, bits=bits).persist()
+    # and both join sides (recomputed ~blocks x 2 times per row);
+    # caller-released via util.release_barriers
+    fp = persist_barrier(simhash_fingerprints(df, text_col, id_col, bits=bits))
     banded_raw = fp.select(
         "id",
         "simhash",

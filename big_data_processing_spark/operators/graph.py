@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import register_checkpoint_release, release_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -87,15 +89,19 @@ def connected_components(
             .localCheckpoint()
         )
         # the changed-count action materialized `stepped`; the previous
-        # round's checkpointed blocks are now dead — unpersist them or
-        # executor storage grows linearly with rounds on long chains
+        # round's checkpointed blocks are now dead. NOTE they must be
+        # released through the checkpointed RDD handle — a plain
+        # Dataset.unpersist() only clears CacheManager entries and is a
+        # silent no-op for localCheckpoint blocks (r3 advice; verified
+        # against getPersistentRDDs) — or executor storage grows
+        # linearly with rounds on long chains.
         changed = stepped.filter(F.col("lbl") != F.col("old_lbl")).count()
-        prev_ckpt.unpersist()
+        release_local_checkpoint(prev_ckpt)
         prev_ckpt = stepped
         labels = stepped.select("node", "lbl")
         if changed == 0:
             break
-    sym.unpersist()
+    release_local_checkpoint(sym)
     if changed != 0:
         # exiting via max_iter would return labels mid-propagation —
         # one component reported as several clusters, silently
@@ -106,6 +112,9 @@ def connected_components(
             f"contraction for long-chain graphs"
         )
 
+    # the final round's checkpoint blocks back the returned frame —
+    # register them for caller-owned release (util.release_barriers)
+    register_checkpoint_release(prev_ckpt)
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 

@@ -295,3 +295,239 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, int, list[int]]:
             return w.getframerate(), w.getnchannels(), samples
     except wave.Error as e:
         raise MediaCodecError(f"not a PCM WAV payload: {e}") from e
+
+
+# ---------------------------------------------------------------------------
+# JPEG: header metadata always (pure stdlib), pixels behind optional PIL
+# ---------------------------------------------------------------------------
+
+_JPEG_SOI = b"\xff\xd8"
+# SOF0..SOF15 carry frame geometry, EXCEPT the non-frame markers that
+# share the C-range: DHT (C4), JPG (C8), DAC (CC)
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
+    """TRUE (width, height, channels) from a JPEG's SOF marker — pure
+    stdlib marker walk (ITU T.81 B.2), no PIL needed.  The geometry a
+    curation pipeline filters on (min resolution, aspect ratio) never
+    requires pixel decode, so this path works on locked-down clusters;
+    only per-pixel statistics need :func:`decode_jpeg`'s optional
+    dependency.  Raises :class:`MediaCodecError` on non-JPEG payloads
+    and truncated/SOF-less streams."""
+    if len(data) < 4 or data[:2] != _JPEG_SOI:
+        raise MediaCodecError("not a JPEG payload")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise MediaCodecError("JPEG marker stream desynchronized")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST/TEM: no length
+            i += 2
+            continue
+        seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            if i + 2 + seglen > len(data) or seglen < 8:
+                raise MediaCodecError("truncated JPEG SOF segment")
+            _precision, h, w, ncomp = struct.unpack(
+                ">BHHB", data[i + 4 : i + 10]
+            )
+            return w, h, ncomp
+        if marker == 0xDA:  # start of scan: entropy data follows
+            break
+        i += 2 + seglen
+    raise MediaCodecError("JPEG without SOF frame header")
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Full JPEG pixel decode via the OPTIONAL PIL dependency: returns
+    (width, height, channels, raw) like :func:`decode_png`.  Where PIL
+    is absent (this sandbox), raises :class:`MediaCodecError` so
+    callers fall back to :func:`jpeg_dimensions` header metadata — the
+    same labeled-degradation pattern as the Kafka broker path."""
+    try:
+        from PIL import Image  # optional dependency, absent in sandbox
+    except ImportError as e:
+        raise MediaCodecError(
+            "JPEG pixel decode needs the optional PIL dependency "
+            "(header geometry is available via jpeg_dimensions)"
+        ) from e
+    img = Image.open(io.BytesIO(data))
+    img.load()
+    return img.width, img.height, len(img.getbands()), img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) video with uncompressed RGB24 DIB frames — real, stdlib-only
+# ---------------------------------------------------------------------------
+# The uncompressed-AVI container is fully public structure (RIFF chunks,
+# BITMAPINFOHEADER): frames are stored per BMP convention — bottom-up
+# scanlines, BGR byte order, rows padded to 4-byte boundaries — so the
+# round-trip genuinely exercises a container parse + pixel-layout
+# transform, the same decode/frame-sample shape an ffmpeg sampler has.
+# Compressed codecs (H.264 etc.) stay behind MediaCodecError.
+
+
+def _riff(tag: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return tag + struct.pack("<I", len(data)) + data + pad
+
+
+def _dib_rows(width: int, height: int, rgb_topdown: bytes) -> bytes:
+    """Top-down RGB -> bottom-up BGR with 4-byte row padding."""
+    stride = width * 3
+    pad = (-stride) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = rgb_topdown[y * stride : (y + 1) * stride]
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
+        rows.append(bytes(bgr) + b"\x00" * pad)
+    return b"".join(rows)
+
+
+def _undib_rows(width: int, height: int, dib: bytes) -> bytes:
+    stride = width * 3
+    padded = stride + ((-stride) % 4)
+    if len(dib) < padded * height:
+        raise MediaCodecError("AVI frame shorter than geometry requires")
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = dib[y * padded : y * padded + stride]
+        rgb = bytearray(row)
+        rgb[0::3], rgb[2::3] = row[2::3], row[0::3]
+        rows.append(bytes(rgb))
+    return b"".join(rows)
+
+
+def encode_avi_rgb24(
+    width: int, height: int, fps: int, frames: list[bytes]
+) -> bytes:
+    """Encode top-down RGB24 frames as an uncompressed 'DIB ' AVI."""
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise MediaCodecError("encode_avi_rgb24: frame size mismatch")
+    stride_padded = width * 3 + ((-width * 3) % 4)
+    frame_bytes = stride_padded * height
+    avih = struct.pack(
+        "<10I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,
+        1,  # one stream
+        frame_bytes,
+        width,
+        height,
+    ) + bytes(16)
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0,
+            0,
+            0,
+            0,  # flags, prio+lang, initial
+            1,
+            fps,  # scale, rate -> fps = rate/scale
+            0,
+            len(frames),
+            frame_bytes,
+            0xFFFFFFFF,
+            0,
+        )
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        height,  # positive biHeight = bottom-up
+        1,
+        24,
+        0,  # BI_RGB uncompressed
+        frame_bytes,
+        0,
+        0,
+        0,
+        0,
+    )
+    strl = _riff(b"LIST", b"strl" + _riff(b"strh", strh) + _riff(b"strf", strf))
+    hdrl = _riff(b"LIST", b"hdrl" + _riff(b"avih", avih) + strl)
+    movi_chunks = b"".join(
+        _riff(b"00db", _dib_rows(width, height, f)) for f in frames
+    )
+    movi = _riff(b"LIST", b"movi" + movi_chunks)
+    # idx1: one entry per frame (offset relative to movi list start)
+    idx_entries = []
+    off = 4
+    for f in frames:
+        idx_entries.append(
+            b"00db" + struct.pack("<III", 0x10, off, len(f) and frame_bytes)
+        )
+        off += 8 + frame_bytes + (frame_bytes % 2)
+    idx1 = _riff(b"idx1", b"".join(idx_entries))
+    return _riff(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _walk_riff(data: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        tag = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        yield tag, i + 8, size
+        i += 8 + size + (size % 2)
+
+
+def decode_avi_rgb24(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Decode an uncompressed RGB24 AVI: returns (width, height, fps,
+    frames) with frames as top-down RGB24 (padding stripped, BGR and
+    bottom-up order undone).  Raises :class:`MediaCodecError` on
+    non-AVI payloads and on compressed streams (biCompression != 0 or
+    bit depth != 24 — ffmpeg-class codecs are out of scope here)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise MediaCodecError("not an AVI payload")
+    width = height = None
+    rate = scale = None
+    frames: list[bytes] = []
+
+    def walk_list(start: int, end: int) -> None:
+        nonlocal width, height, rate, scale
+        for tag, body, size in _walk_riff(data, start, end):
+            if tag == b"LIST":
+                walk_list(body + 4, body + size)
+            elif tag == b"strh" and data[body : body + 4] == b"vids":
+                scale, rate = struct.unpack(
+                    "<II", data[body + 20 : body + 28]
+                )
+            elif tag == b"strf":
+                (
+                    _bisize,
+                    w,
+                    h,
+                    _planes,
+                    bpp,
+                    compression,
+                ) = struct.unpack("<IiiHHI", data[body : body + 20])
+                if compression != 0 or bpp != 24:
+                    raise MediaCodecError(
+                        "compressed/non-RGB24 AVI needs an external codec"
+                    )
+                width, height = w, abs(h)
+            elif tag in (b"00db", b"00dc"):
+                if width is None:
+                    raise MediaCodecError("AVI frame before format header")
+                frames.append(
+                    _undib_rows(width, height, data[body : body + size])
+                )
+
+    walk_list(12, 8 + struct.unpack("<I", data[4:8])[0])
+    if width is None or not frames:
+        raise MediaCodecError("AVI missing format header or frames")
+    fps = (rate // scale) if rate and scale else 0
+    return width, height, fps, frames

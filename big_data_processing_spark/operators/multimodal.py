@@ -6,13 +6,18 @@ Arrow-batched pandas transforms over ``mapInPandas`` — the Spark-native
 pattern for per-blob Python work (one JVM→Arrow→pandas hop per batch,
 never per row).
 
-PNG image decode, nearest-neighbor resize, and PCM WAV audio decode are
-REAL (operators/mediacodec.py — pure stdlib zlib/struct/wave + numpy, no
-PIL/ffmpeg needed): :func:`extract_image_features` parses actual pixels
-and :func:`resize_images` re-encodes a genuinely resampled PNG. Formats
-needing external codecs (JPEG, video) still flow through the same
-plumbing via :func:`decode_stub_features` / :func:`frame_sample_stub`,
-which are labeled stubs.
+PNG image decode, nearest-neighbor resize, PCM WAV audio decode, APNG
+frame sampling, uncompressed-AVI video decode, and JPEG header
+geometry are REAL (operators/mediacodec.py — pure stdlib
+zlib/struct/wave + numpy, no PIL/ffmpeg needed):
+:func:`extract_image_features` parses actual pixels,
+:func:`resize_images` re-encodes a genuinely resampled PNG,
+:func:`sample_video_frames` walks a real RIFF container, and
+:func:`extract_jpeg_header_features` recovers true JPEG geometry from
+the SOF marker. JPEG *pixel* decode rides behind an OPTIONAL PIL
+import (:func:`extract_jpeg_pixel_stats`); only compressed video
+codecs remain labeled stubs (:func:`decode_stub_features` /
+:func:`frame_sample_stub`).
 
 Scale notes: blobs dominate partition size, so re-partition by
 ``maxRecordsPerFile``-style row budgets, not bytes of the metadata;
@@ -425,3 +430,205 @@ def sample_apng_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 )
 
     return media.mapInPandas(fn, schema=FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: header geometry always (stdlib marker walk), pixels via optional PIL
+# ---------------------------------------------------------------------------
+
+JPEG_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_jpeg_headers(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic minimal JPEG streams per id: SOI + a COM segment of
+    id%7 padding bytes (so the marker walk must actually traverse
+    variable-length segments) + APP0 + SOF0 declaring geometry
+    (4 + id%5) x (3 + id%4) with 3 or 1 components by id parity + EOI.
+    Closed-form, so a SQL oracle can state the expected geometry without
+    parsing JPEG itself (same pattern as synthesize_png_media)."""
+    import struct as _struct
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                ncomp = 3 if mid % 2 == 0 else 1
+                com = b"\xff\xfe" + _struct.pack(">H", 2 + mid % 7) + b"x" * (mid % 7)
+                app0 = b"\xff\xe0" + _struct.pack(">H", 7) + b"JFIF\x00"
+                sof = (
+                    b"\xff\xc0"
+                    + _struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+                    + bytes(3 * ncomp)
+                )
+                out.append((mid, b"\xff\xd8" + com + app0 + sof + b"\xff\xd9"))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return spread(ids.select(id_col), id_col, cap=8).mapInPandas(
+        fn,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_jpeg_header_features(media: DataFrame) -> DataFrame:
+    """TRUE JPEG geometry over Arrow batches via the pure-stdlib SOF
+    marker walk (mediacodec.jpeg_dimensions) — the resolution/aspect
+    metadata a curation filter needs, with NO optional dependency.
+    Output is identical with or without PIL installed (hash-stable
+    across environments); per-pixel statistics live in
+    :func:`extract_jpeg_pixel_stats` behind the optional import."""
+    from .mediacodec import jpeg_dimensions
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, ch = jpeg_dimensions(b)
+                out.append((int(mid), w, h, ch, len(b)))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "channels", "n_bytes"],
+            )
+
+    return media.mapInPandas(fn, schema=JPEG_HEADER_SCHEMA)
+
+
+def extract_jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Full JPEG pixel statistics via mediacodec.decode_jpeg — REAL
+    when the optional PIL dependency is installed, and a clearly-
+    labeled MediaCodecError per row otherwise (this sandbox has no
+    PIL; see COVERAGE.md). Same output contract as
+    extract_image_features for PNG."""
+    from .mediacodec import decode_jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, raw = decode_jpeg(bytes(payload))
+                n = w * h
+                sums = [0, 0, 0]
+                for c in range(min(ch, 3)):
+                    sums[c] = sum(raw[c::ch])
+                out.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        ch,
+                        sums[0] / n,
+                        sums[1] / n if ch >= 2 else None,
+                        sums[2] / n if ch >= 3 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return media.mapInPandas(fn, schema=IMAGE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: uncompressed RGB24 AVI — real container decode + frame sampling
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic uncompressed-AVI fixture per id: (3 + id%4) x
+    (2 + id%3) RGB24, 4 + id%5 frames at 10 + id%7 fps, frame f pixel
+    byte i = (i + id + 131*f) % 256 — through the REAL RIFF writer
+    (bottom-up BGR DIB rows with 4-byte padding), so the closed-form
+    SQL oracle verifies a genuine container round-trip."""
+    from .mediacodec import encode_avi_rgb24
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, nf = 3 + mid % 4, 2 + mid % 3, 4 + mid % 5
+                fps = 10 + mid % 7
+                frames = [
+                    bytes((i + mid + 131 * f) % 256 for i in range(w * h * 3))
+                    for f in range(nf)
+                ]
+                out.append((mid, encode_avi_rgb24(w, h, fps, frames)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return spread(ids.select(id_col), id_col, cap=8).mapInPandas(
+        fn,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: decode the AVI container (RIFF walk,
+    DIB pixel-layout undo), keep every Nth frame, emit exact per-frame
+    byte means + container fps — the 1→N mapInPandas fan-out of an
+    ffmpeg keyframe sampler with an actual decoder underneath.
+    Compressed codecs raise MediaCodecError (route via frame_sample_stub
+    where ffmpeg is unavailable; see COVERAGE.md)."""
+    from .mediacodec import decode_avi_rgb24
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, fps, frames = decode_avi_rgb24(bytes(payload))
+                n = w * h * 3
+                for f in range(0, len(frames), every_n):
+                    out.append(
+                        (int(mid), f, len(frames), fps, sum(frames[f]) / n)
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "media_id",
+                        "frame_idx",
+                        "n_frames",
+                        "fps",
+                        "mean_byte",
+                    ],
+                )
+
+    return media.mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)

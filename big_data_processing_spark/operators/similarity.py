@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import DEFAULT_MAX_BUCKET_SIZE, cap_bucket_size
-from .util import spread
+from .util import persist_barrier, spread
 
 
 def _to_double(arr: Column) -> Column:
@@ -367,13 +367,17 @@ def lsh_bucket_knn(
         # join sides — the signature would be recomputed ~bands x 2
         # times per row. This barrier IS the LSH index build; at
         # warehouse scale persist the signature table explicitly (same
-        # pattern as the IVF centroid index).
-        sigs = df.filter(dim_ok.isNull()).select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            norm(F.col(vec_col)).alias(f"{role}_norm"),
-            signature_bits(F.col(vec_col), planes).alias("_sig"),
-        ).persist()
+        # pattern as the IVF centroid index). Registered with
+        # util.persist_barrier so the session owner can bulk-release
+        # after materializing results (cache lifetime is the CALLER's).
+        sigs = persist_barrier(
+            df.filter(dim_ok.isNull()).select(
+                F.col(id_col).alias(f"{role}_id"),
+                F.col(vec_col).alias(f"{role}_vec"),
+                norm(F.col(vec_col)).alias(f"{role}_norm"),
+                signature_bits(F.col(vec_col), planes).alias("_sig"),
+            )
+        )
         band_arr = F.array(
             *[
                 F.shiftright(F.col("_sig"), b * rows).bitwiseAND(
@@ -462,11 +466,14 @@ def embedding_cosine_pairs(
 
     wide = spread(corpus, id_col)
     # persist barrier: signature computed once per row, not once per
-    # band term (see lsh_bucket_knn.banded)
-    sigs = wide.select(
-        F.col(id_col).alias("id"),
-        signature_bits(F.col(vec_col), planes).alias("_sig"),
-    ).persist()
+    # band term (see lsh_bucket_knn.banded); caller-released via
+    # util.release_barriers
+    sigs = persist_barrier(
+        wide.select(
+            F.col(id_col).alias("id"),
+            signature_bits(F.col(vec_col), planes).alias("_sig"),
+        )
+    )
     band_arr = F.array(
         *[
             F.shiftright(F.col("_sig"), b * rows).bitwiseAND(F.lit(mask))

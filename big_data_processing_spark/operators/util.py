@@ -86,3 +86,64 @@ def spread(df: DataFrame, *by: str, cap: int | None = None) -> DataFrame:
     if n_splits >= max(2, target // 2):
         return df
     return df.repartition(target, *by) if by else df.repartition(target)
+
+
+# ---------------------------------------------------------------------------
+# Cache-lifetime ownership for persist() barriers
+# ---------------------------------------------------------------------------
+# Operators that persist() an intermediate (LSH signatures, SimHash
+# fingerprints) register it here: the barrier must outlive the RETURNED
+# lazy DataFrame's executions, so the operator itself can never
+# unpersist it.  The session owner (bench loop, test fixture, a user's
+# pipeline step) calls release_barriers() once the results are
+# materialized.  Un-released barriers degrade to LRU-evictable blocks —
+# never fatal, but they compete with shuffle/storage memory for the
+# life of the session (r3 advice).
+
+_BARRIERS: list = []  # release callables
+
+
+def persist_barrier(df: DataFrame) -> DataFrame:
+    """persist() a barrier frame and register it for bulk release."""
+    df = df.persist()
+    _BARRIERS.append(df.unpersist)
+    return df
+
+
+def register_checkpoint_release(df: DataFrame) -> DataFrame:
+    """Register a localCheckpoint()ed frame whose blocks back a
+    RETURNED result (so the producing operator cannot free them) for
+    release through the checkpoint RDD handle at the next
+    release_barriers()."""
+    _BARRIERS.append(lambda: release_local_checkpoint(df))
+    return df
+
+
+def release_barriers() -> int:
+    """Release every registered barrier; returns how many. Safe to
+    call anytime — barriers released while a dependent plan is still
+    unexecuted are simply recomputed without the barrier's benefit."""
+    n = 0
+    while _BARRIERS:
+        try:
+            _BARRIERS.pop()()
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the RDD blocks behind a localCheckpoint()ed DataFrame.
+
+    Dataset.unpersist() only uncaches CacheManager-registered plans;
+    a localCheckpoint's blocks live on the checkpointed RDD itself
+    (LogicalRDD), so they must be released through the analyzed plan's
+    RDD handle (verified: getPersistentRDDs drops to zero). No-op for
+    frames that are not checkpoint scans."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 4
     "lineitem_winsorized_hist",
     "txnlog_compacted_read",
+    "multimodal_jpeg_header_stats",
+    "multimodal_video_frame_stats",
     # plan/default changes in round 4 (output contract unchanged, but
     # the changed code path must re-earn its green row)
     "vocab_top_tokens",

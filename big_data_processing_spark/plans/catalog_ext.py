@@ -31,8 +31,12 @@ from ..operators.multimodal import (
     extract_audio_features,
     extract_features,
     extract_image_features,
+    extract_jpeg_header_features,
     sample_apng_frames,
+    sample_video_frames,
     synthesize_apng_media,
+    synthesize_avi_media,
+    synthesize_jpeg_headers,
     synthesize_png_media,
     synthesize_wav_media,
     text_as_media,
@@ -1066,6 +1070,39 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     media = synthesize_png_media(ids)
     return extract_image_features(media).orderBy("media_id")
+
+
+@query(
+    "multimodal_jpeg_header_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+           CAST(4 + (4 + doc_id % 7) + 9
+                + (10 + 3 * CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)
+                AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 25 = 0
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "jpeg", "header"),
+)
+def multimodal_jpeg_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG header parsing, hash-checked WITHOUT the optional PIL
+    dependency: deterministic minimal JPEG marker streams (SOI +
+    variable-length COM + APP0 + SOF0 + EOI, geometry closed-form in
+    the id) are assembled then parsed by the pure-stdlib ITU T.81
+    marker walk (mediacodec.jpeg_dimensions) in Arrow batches — true
+    width/height/channels recovered by traversing segments, which is
+    all a resolution/aspect curation filter needs. The oracle restates
+    the closed-form byte layout (2 SOI + COM(2+2+pad) + APP0(2+7) +
+    SOF(2+8+3c) + 2 EOI), so the hash only matches if the walk honored
+    every segment length. Pixel decode stays behind the optional PIL
+    import (extract_jpeg_pixel_stats; absent in this sandbox — see
+    COVERAGE.md), replacing r3's all-or-nothing JPEG stub."""
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = synthesize_jpeg_headers(ids)
+    return extract_jpeg_header_features(media).orderBy("media_id")
 
 
 @query(
@@ -2150,3 +2187,47 @@ def multimodal_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     media = synthesize_apng_media(ids)
     return sample_apng_frames(media, every_n=2).orderBy("media_id", "frame_idx")
+
+
+@query(
+    "multimodal_video_frame_stats",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+               4 + doc_id % 5 AS nf, 10 + doc_id % 7 AS fps
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    fr AS (
+        SELECT doc_id, w, h, nf, fps, UNNEST(range(0, nf)) AS f FROM sel
+    ),
+    px AS (
+        SELECT doc_id, f, nf, fps, w, h, UNNEST(range(0, w * h * 3)) AS i
+        FROM fr WHERE f % 2 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(nf AS INT) AS n_frames,
+           CAST(fps AS INT) AS fps,
+           AVG((i + doc_id + 131 * f) % 256) AS mean_byte
+    FROM px GROUP BY doc_id, f, nf, fps ORDER BY media_id, frame_idx
+    """,
+    tags=("multimodal", "video", "avi", "frames"),
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode + frame sampling, hash-checked:
+    deterministic uncompressed AVIs (RIFF chunk tree, DIB frames stored
+    bottom-up/BGR/4-byte-padded, frame f pixel byte i =
+    (i + id + 131f) % 256) are encoded then DECODED by
+    operators/mediacodec.py — every 2nd frame kept, exact per-frame
+    byte means plus the container's fps emitted. The oracle restates
+    the closed-form pixel rule in top-down RGB, so the hash only
+    matches if the RIFF walk AND the pixel-layout undo (row flip, BGR
+    swap, padding strip) reproduced every byte of every sampled frame.
+    Together with the APNG entry this makes video a real decode
+    family; only compressed codecs (H.264-class) remain stubbed
+    behind MediaCodecError."""
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = synthesize_avi_media(ids)
+    return sample_video_frames(media, every_n=2).orderBy(
+        "media_id", "frame_idx"
+    )

@@ -296,19 +296,26 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-1 (position-based) quantiles via ranking — deterministic
     across engines, unlike interpolated percentile_cont whose float
-    arithmetic differs in the last ulp. Scale: one shuffle; for
-    approximate needs at 100 TB use approx_quantiles (below)."""
+    arithmetic differs in the last ulp.
+
+    Plan: ONE ranking WindowExec; the per-group counts come from a
+    map-combinable groupBy broadcast back onto the ranked rows instead
+    of a second windowed pass over the sorted data (r3's plan ran two
+    window functions over the partition — measured ~1.5x slower).
+    Scale: the per-group sort caps parallelism at |groups|; the exact
+    scale path is the histogram + narrowing cut-finder
+    (histogram_quantile_cuts / lineitem_winsorized_hist), and
+    approx_quantiles (below) when ±ε is acceptable."""
     o = _t(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.asc("o_totalprice"), F.asc("o_orderkey")
     )
-    wc = Window.partitionBy("o_orderpriority")
     ranked = o.select(
         "o_orderpriority",
         "o_totalprice",
         F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
+    ).join(F.broadcast(cnt), "o_orderpriority")
     return (
         ranked.groupBy(F.col("o_orderpriority").alias("orderpriority"))
         .agg(
@@ -1078,9 +1085,11 @@ def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lineitem_winsorized_stats",
-    oracle="""
+# Shared by the exact-window and histogram-narrowing winsorization
+# entries: both must produce the identical 3-row contract, so a green
+# hash on BOTH proves the scale-safe cut-finder computes the same
+# type-1 P1/P99 as the reference ranking formulation.
+_WINSOR_ORACLE = """
     WITH priced AS (
         SELECT l_returnflag AS flag,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -1113,7 +1122,12 @@ def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM priced p JOIN cuts c USING (flag)
     GROUP BY p.flag
     ORDER BY p.flag
-    """,
+    """
+
+
+@query(
+    "lineitem_winsorized_stats",
+    oracle=_WINSOR_ORACLE,
     tags=("curation", "outlier", "quantile"),
 )
 def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1128,10 +1142,10 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent integer aggregates — the clip thresholds per group are
     2 scalars however large the fact is. CAVEAT at 100 TB: with only 3
     groups the exact ranking window is a single-reducer sort per group;
-    the production variant finds the cut positions with a histogram +
-    narrowing pass (or approx_percentile when ±ε is acceptable) and
-    keeps everything else here unchanged — the exact window IS the
-    contract being hash-checked at test scale."""
+    ``lineitem_winsorized_hist`` (below) is the production cut-finder
+    (histogram + narrowing pass, no per-group full sort) hash-checked
+    against this SAME oracle — the reference formulation here IS the
+    contract being verified at test scale."""
     li = _t(spark, sf_dir, "lineitem")
     priced = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -1180,3 +1194,178 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+def _winsor_priced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+
+
+def _winsor_clip_report(priced: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Broadcast the tiny per-group (lo, hi) cut table back to the fact
+    and aggregate clip counts + winsorized sum (order-independent
+    integer arithmetic — the scale-safe half both variants share)."""
+    return (
+        priced.join(F.broadcast(cuts), "flag")
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")))
+            .cast("long")
+            .alias("winsorized_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+_WINSOR_BINS = 256
+
+
+def histogram_quantile_cuts(
+    priced: DataFrame,
+    positions: dict[str, float],
+    n_bins: int = _WINSOR_BINS,
+) -> DataFrame:
+    """EXACT per-group type-1 quantile cut values via histogram +
+    narrowing pass — the production cut-finder that replaces a
+    per-group full-sort ranking window:
+
+    1. one map-combinable groupBy computes each group's (n, min, max)
+       and each fixed-width bin's row count (integer bin index — no
+       floats, so both passes agree bit-for-bit on bin membership);
+    2. bounded driver-side planning (groups × bins rows of scalar
+       counts — metadata scale, like any histogram equi-depth planner)
+       walks the cumulative counts to find, per group and quantile, the
+       BIN holding the target position and the residual rank inside it;
+    3. the narrowing pass re-scans only rows of the located bins,
+       aggregates them per distinct value (so a degenerate bin of one
+       hot value collapses to ONE row — skew cannot rebuild the sort),
+       and a cumulative count over the per-bin distinct values picks
+       the exact cut value.
+
+    The only window runs over distinct values of single bins: its
+    partition size is bounded by the bin's VALUE width (≈ range/bins),
+    not by the data volume — at 100 TB each group still contributes at
+    most (bins + per-bin distinct values) rows past the partial
+    aggregates. Returns one row per group: (flag, <name> for each
+    quantile), identical to what the full-sort ranking would select.
+    """
+    import math
+
+    spark = priced.sparkSession
+    # pass 0: per-group n/min/max (one map-combinable scan, groups rows
+    # back to the driver — metadata-scale planning)
+    gstats = (
+        priced.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+        .collect()
+    )
+    meta = {r["flag"]: (r["n"], r["mn"], r["mx"]) for r in gstats}
+    # integer bin width >= 1 so the index math is exact on longs
+    widths = {
+        f: max(1, (mx - mn + n_bins) // n_bins) for f, (_, mn, mx) in meta.items()
+    }
+    wexpr = F.create_map(
+        *[x for f, w in widths.items() for x in (F.lit(f), F.lit(w))]
+    )
+    mnexpr = F.create_map(
+        *[x for f, (_, mn, _) in meta.items() for x in (F.lit(f), F.lit(mn))]
+    )
+    binned = priced.withColumn(
+        "bin",
+        ((F.col("cents") - mnexpr[F.col("flag")]) / wexpr[F.col("flag")]).cast(
+            "long"
+        ),
+    )
+    hist = (
+        binned.groupBy("flag", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_group: dict[str, list] = {}
+    for r in hist:
+        by_group.setdefault(r["flag"], []).append((r["bin"], r["c"]))
+    # driver-side narrowing plan: (flag, quantile name, bin, residual
+    # rank within the bin) — groups × quantiles rows
+    probes = []
+    for f, (n, _mn, _mx) in meta.items():
+        cum = 0
+        # math.ceil(q * n) on Python floats IS the engines' expression
+        # (DuckDB/Spark ceil(0.01 * n) in IEEE double — e.g. at n=100,
+        # 0.01*100 = 1.0000000000000002 so the position is 2 in all
+        # three places); do not "fix" the float artifact, match it
+        targets = sorted(
+            ((name, int(math.ceil(q * n))) for name, q in positions.items()),
+            key=lambda t: t[1],
+        )
+        ti = 0
+        for b, c in sorted(by_group[f]):
+            while ti < len(targets) and targets[ti][1] <= cum + c:
+                name, k = targets[ti]
+                probes.append((f, name, b, k - cum))
+                ti += 1
+            cum += c
+    probe_df = spark.createDataFrame(
+        probes, ["flag", "which", "bin", "k_in_bin"]
+    )
+    # narrowing pass: only located-bin rows survive the broadcast semi
+    # filter; per distinct value aggregation absorbs any skew before
+    # the (tiny, value-width-bounded) cumulative window
+    in_bin = binned.join(F.broadcast(probe_df), ["flag", "bin"])
+    per_val = in_bin.groupBy("flag", "which", "k_in_bin", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("flag", "which")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut_rows = (
+        per_val.withColumn("cum", F.sum("c").over(wcum))
+        .filter(
+            (F.col("cum") >= F.col("k_in_bin"))
+            & (F.col("cum") - F.col("c") < F.col("k_in_bin"))
+        )
+        .select("flag", "which", "cents")
+    )
+    return (
+        cut_rows.groupBy("flag")
+        .pivot("which", list(positions))
+        .agg(F.first("cents"))
+    )
+
+
+@query(
+    "lineitem_winsorized_hist",
+    oracle=_WINSOR_ORACLE,
+    tags=("curation", "outlier", "quantile", "histogram"),
+)
+def lineitem_winsorized_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization with the PRODUCTION cut-finder: exact type-1
+    P1/P99 located via fixed-width histogram + narrowing pass
+    (histogram_quantile_cuts) instead of the per-group full-sort
+    ranking window — hash-checked against the SAME oracle as
+    lineitem_winsorized_stats, so a green row proves the scale path
+    selects bit-identical cut values.
+
+    Scale: two map-combinable scans (histogram, then only the located
+    bins) + a window over per-bin DISTINCT values (bounded by bin value
+    width, immune to hot-value skew); the clip join-back broadcasts a
+    3-row cut table. Nothing sorts more than one bin's distinct values
+    per group — the r3 'weak at 100 TB' flag this replaces."""
+    priced = _winsor_priced(spark, sf_dir)
+    cuts = histogram_quantile_cuts(priced, {"lo": 0.01, "hi": 0.99})
+    return _winsor_clip_report(priced, cuts)

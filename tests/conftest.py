@@ -24,6 +24,17 @@ def sf_dir() -> str:
     return TEST_SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _release_persist_barriers():
+    """Tests own the cache lifetime of operator persist() barriers
+    (operators/util.py): release after every test so the session-scoped
+    SparkSession doesn't accumulate signature caches across the suite."""
+    yield
+    from big_data_processing_spark.operators.util import release_barriers
+
+    release_barriers()
+
+
 @pytest.fixture(scope="session")
 def duck(sf_dir):
     """DuckDB connection with the testdata tables registered as views —

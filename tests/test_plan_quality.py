@@ -123,6 +123,19 @@ def test_winsorized_cuts_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_winsorized_hist_no_full_sort_window(spark, sf_dir):
+    """The histogram cut-finder must never rank the full fact: the
+    exact-window variant sorts (cents, l_orderkey, l_linenumber) per
+    group — the hist variant's plan must not touch the tie-break
+    columns at all (no full ranking anywhere), and the cut join-back
+    stays a broadcast."""
+    plan = _plan(spark, sf_dir, "lineitem_winsorized_hist")
+    assert "l_orderkey" not in plan
+    assert "l_linenumber" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_tfidf_partial_aggregation(spark, sf_dir):
     """tf and df counts must partial-aggregate before their shuffles
     (hot tokens pre-counted per partition)."""

@@ -252,3 +252,77 @@ def test_band_join_caps_default_on():
         inspect.signature(embedding_cosine_pairs).parameters["max_bucket_size"].default
         == DEFAULT_MAX_BUCKET_SIZE
     )
+
+
+def test_histogram_quantile_cuts_match_exact_sort(spark):
+    """histogram_quantile_cuts must select EXACTLY the value a full
+    per-group sort would pick at position ceil(q*n) — including under a
+    degenerate hot value holding >90% of a group (the skew case whose
+    per-bin distinct-value aggregation keeps the narrowing pass tiny)."""
+    import math
+    import random
+
+    from big_data_processing_spark.plans.catalog_more import (
+        histogram_quantile_cuts,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    for flag in ("A", "B", "C"):
+        vals = [rng.randint(0, 10_000) for _ in range(997)]
+        if flag == "B":  # hot-value skew: one value dominates
+            vals += [5000] * 9000
+        if flag == "C":  # tiny group
+            vals = vals[:7]
+        rows += [(flag, v) for v in vals]
+    priced = spark.createDataFrame(rows, ["flag", "cents"])
+    got = {
+        r["flag"]: (r["lo"], r["hi"])
+        for r in histogram_quantile_cuts(
+            priced, {"lo": 0.01, "hi": 0.99}, n_bins=32
+        ).collect()
+    }
+    by_flag = {}
+    for f, v in rows:
+        by_flag.setdefault(f, []).append(v)
+    for f, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        want = (
+            vals[int(math.ceil(0.01 * n)) - 1],
+            vals[int(math.ceil(0.99 * n)) - 1],
+        )
+        assert got[f] == want, f
+
+
+def test_persist_barriers_released(spark):
+    """Operator persist() barriers and connected-components checkpoint
+    blocks must be reclaimable by the session owner: after
+    release_barriers(), executor storage holds ZERO persistent RDDs
+    (r3 advice — Dataset.unpersist was a silent no-op for
+    localCheckpoint blocks, and signature caches outlived the bench)."""
+    from big_data_processing_spark.operators.dedup import simhash_hamming_pairs
+    from big_data_processing_spark.operators.graph import connected_components
+    from big_data_processing_spark.operators.util import release_barriers
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    release_barriers()  # drain anything earlier tests left
+    # earlier suite tests may hold UNTRACKED blocks (catalog entries
+    # that return .localCheckpoint() results) — assert on the DELTA
+    base = n_persistent()
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body {i % 3}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    simhash_hamming_pairs(docs, radius=3).collect()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    connected_components(edges).collect()
+    assert n_persistent() > base  # barriers/checkpoints live while in use
+    released = release_barriers()
+    assert released >= 2
+    assert n_persistent() == base
+    assert release_barriers() == 0  # registry drained
