@@ -1,0 +1,65 @@
+"""Deterministic exact-count sampling — the subsampling step of a
+training-data pipeline (balanced per-language corpora, eval holdouts,
+debugging slices) done reproducibly.
+
+``df.sample``/``sampleBy`` draw Bernoulli per-row samples: counts are
+only approximate and depend on partitioning/seed plumbing, so two runs
+of the same pipeline can ship different corpora.  Here the "randomness"
+is a cryptographic hash of the row key — uniform, engine-independent
+(md5 is md5 in Spark, DuckDB, and everything else), reproducible, and
+SQL-oracle-checkable — and the count per stratum is EXACT via top-k
+selection on the hash ranking.
+
+Scale: the per-stratum selection is the W1 top-k-per-group shape (one
+shuffle by stratum, per-group heap/rank).  A stratum is as big as its
+corpus slice, so the rank runs over the full stratum — same cost
+envelope as any per-group top-k; for tiny k and huge strata the
+TakeOrdered-per-group optimization applies when |strata| is small
+(filter per stratum + limit), which this module deliberately does not
+hand-roll: the generic windowed form is partition-parallel across
+strata and map-side prunable in future Spark versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum, chosen by md5-hash
+    ranking of the key (deterministic pseudo-random, reproducible
+    across engines/partitionings; change ``salt`` to draw an
+    independent sample).  Adds ``sample_rank`` (1-based within the
+    stratum, hash order) to the selected rows."""
+    hash_key = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(hash_key.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def deterministic_fraction_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Reproducible ~fraction sample with NO shuffle at all: keep rows
+    whose key-hash prefix falls under the fraction threshold (the
+    row-local engine-independent analog of Bernoulli sampling — the
+    same rows are kept on every run, every engine, every partitioning).
+    Exactness is per-key, not per-count; use stratified_sample_exact
+    when the COUNT must be exact."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(bucket < F.lit(int(fraction * (1 << 32))))

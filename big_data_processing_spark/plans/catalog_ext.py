@@ -2231,3 +2231,84 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(media, every_n=2).orderBy(
         "media_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_STRAT_N = 20
+_FRAC = 0.25
+
+
+@query(
+    "curation_stratified_sample",
+    oracle=f"""
+    SELECT lang, doc_id, sample_rank FROM (
+        SELECT lang, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) AS INT) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= {_STRAT_N}
+    ORDER BY lang, sample_rank
+    """,
+    tags=("curation", "sampling", "stratified"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count stratified sampling (operators/sampling.py): exactly
+    min(20, |stratum|) documents per language, selected by md5-hash
+    ranking of the doc id — the reproducible balanced-subsample step of
+    a corpus pipeline. Unlike df.sampleBy (Bernoulli: approximate
+    counts, partitioning-dependent), the same rows come back on every
+    run of every engine — which is precisely why a SQL oracle can
+    verify it row-for-row.
+
+    Scale: one shuffle by language + per-stratum rank (the W1
+    top-k-per-group shape); strata are processed in parallel and the
+    hash ranking needs no global coordination."""
+    from ..operators.sampling import stratified_sample_exact
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        stratified_sample_exact(d, "lang", "doc_id", _STRAT_N)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@query(
+    "curation_fraction_sample",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < {int(_FRAC * (1 << 32))}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("curation", "sampling", "hash"),
+)
+def curation_fraction_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free reproducible ~25% sample: keep rows whose md5-hash
+    prefix falls under the fraction threshold (row-local filter — at
+    100 TB this is a scan predicate, no exchange at all), then count
+    per language. Deterministic across engines and partitionings where
+    rdd.sample is not; the per-language counts and id sums are exact
+    functions of the hash rule, which the oracle recomputes."""
+    from ..operators.sampling import deterministic_fraction_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_fraction_sample(d, "doc_id", _FRAC)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+        )
+        .orderBy("lang")
+    )

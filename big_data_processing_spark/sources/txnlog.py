@@ -294,6 +294,7 @@ def txn_optimize(
     table: str,
     target_rows: int = 1_000_000,
     min_files_per_bin: int = 2,
+    cluster: bool = False,
 ) -> int | None:
     """OPTIMIZE (compaction): bin-pack small live files into fewer,
     larger ones and commit the rewritten file set as one new version —
@@ -307,10 +308,19 @@ def txn_optimize(
     rewritten as a single file (a bin that would map 1 file -> 1 file
     is carried untouched — no write amplification without gain).
 
-    The data content is byte-identical before and after: snapshot
-    readers of the new version see the same rows, and time travel to
-    any pre-optimize version still resolves the old manifests over the
-    old (immutable, still-present) files until ``txn_vacuum`` retires
+    ``cluster=True`` additionally RANGE-CLUSTERS the rewritten rows on
+    the stat column (repartitionByRange + sortWithinPartitions — the
+    OPTIMIZE ZORDER analog for a single stat column): after steady
+    MERGE traffic every small file tends to span the whole key range,
+    so min/max pruning degrades to scan-everything; clustering makes
+    the rewritten files' stat ranges (near-)disjoint, restoring
+    prune-to-k-files MERGE planning. One extra range shuffle over only
+    the compacted rows.
+
+    The data content is identical before and after: snapshot readers
+    of the new version see the same rows, and time travel to any
+    pre-optimize version still resolves the old manifests over the old
+    (immutable, still-present) files until ``txn_vacuum`` retires
     them. Returns the committed version, or None when nothing needed
     compacting. Bin planning is manifest metadata only (KB-scale);
     each bin rewrite is one bounded Spark job."""
@@ -322,6 +332,34 @@ def txn_optimize(
         return None
     small = [e for e in m["files"] if e["rows"] < target_rows]
     keep = [e for e in m["files"] if e["rows"] >= target_rows]
+    stat_col = m["files"][0]["stat_col"]
+
+    if cluster:
+        if len(small) < min_files_per_bin:
+            return None
+        total = sum(e["rows"] for e in small)
+        n_out = max(1, -(-total // target_rows))
+        merged = spark.read.parquet(
+            *[os.path.join(table, e["path"]) for e in small]
+        )
+        clustered = merged.repartitionByRange(n_out, stat_col).sortWithinPartitions(
+            stat_col
+        )
+        new_files = _write_data_files(spark, table, clustered, stat_col)
+        _commit(
+            table,
+            read_v + 1,
+            {
+                "version": read_v + 1,
+                "op": "optimize",
+                "clustered": True,
+                "read_version": read_v,
+                "files": keep + new_files,
+                "schema": m["schema"],
+                "compacted": sorted(e["path"] for e in small),
+            },
+        )
+        return read_v + 1
 
     bins: list[list[dict]] = []
     fill: list[int] = []
@@ -339,7 +377,6 @@ def txn_optimize(
         return None
     carry = keep + [e for b in bins if len(b) < min_files_per_bin for e in b]
 
-    stat_col = m["files"][0]["stat_col"]
     new_files: list[dict] = []
     for b in rewrite_bins:
         merged = spark.read.parquet(

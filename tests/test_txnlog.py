@@ -376,3 +376,51 @@ def test_optimize_random_history_property(spark, tmp_path):
     for v, want in enumerate(history):
         got = {r.k: r.v for r in txn_read(spark, t, version=v).collect()}
         assert got == want, f"version {v}"
+
+
+def test_optimize_cluster_restores_pruning(spark, tmp_path):
+    """cluster=True range-clusters the compacted rows on the stat
+    column: fragmented files that each spanned the WHOLE key range
+    (worthless min/max pruning) become files with disjoint stat ranges,
+    and a narrow-range MERGE afterwards rewrites only the one file
+    holding its keys."""
+    import json as _json
+
+    from big_data_processing_spark.sources.txnlog import (
+        _read_manifest,
+        txn_optimize,
+    )
+
+    t = str(tmp_path / "clust")
+    # every insert spans the full key range -> every file's [lo, hi]
+    # covers everything, pruning can't drop any file
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame([(k, 0) for k in range(0, 400, 4)], ["k", "v"]),
+        stat_col="k",
+    )
+    for i in (1, 2, 3):
+        ins = spark.createDataFrame(
+            [(k, i) for k in range(i, 400, 4)], ["k", "v"]
+        )
+        txn_merge(spark, t, ins, key_cols=["k"])
+    before_rows = _rows(txn_read(spark, t))
+
+    v = txn_optimize(spark, t, target_rows=100, cluster=True)
+    assert v is not None
+    m = _read_manifest(t, v)
+    assert m.get("clustered") is True
+    files = sorted(m["files"], key=lambda e: e["lo"])
+    assert len(files) == 4  # 400 rows / 100 target
+    for a, b in zip(files, files[1:]):
+        assert a["hi"] < b["lo"], "clustered file ranges must be disjoint"
+    assert _rows(txn_read(spark, t)) == before_rows
+
+    # narrow-range MERGE now rewrites exactly one file
+    upd = spark.createDataFrame([(5, 99), (7, 99)], ["k", "v"])
+    mv = txn_merge(spark, t, upd, key_cols=["k"])
+    rewrote = _read_manifest(t, mv)["rewrote"]
+    assert len(rewrote) == 1
+    got = _rows(txn_read(spark, t))
+    assert (5, 99) in got and (7, 99) in got and len(got) == len(before_rows)
