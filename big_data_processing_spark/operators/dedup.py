@@ -333,3 +333,113 @@ def simhash_hamming_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm).
+
+    Per document: token ``shingle_n``-gram hashes in position order,
+    then every length-``window`` window of consecutive hashes selects
+    its minimum (rightmost position on ties — "robust winnowing"); the
+    distinct selected hashes are the document's fingerprint set. The
+    guarantee: any shared substring of at least ``shingle_n + window - 1``
+    tokens yields at least one shared fingerprint, while storing only
+    ~2/(window+1) of the gram hashes.
+
+    Entirely row-local array expressions (sequence/transform/aggregate
+    over md5-derived 32-bit hashes — no UDF, no shuffle, no explode),
+    so fingerprinting a 100 TB corpus is a single codegen'd map stage.
+    Cross-engine reproducible: the DuckDB twin folds the same windows
+    with list_reduce over the same md5 hashes.
+
+    Returns (id, n_grams, fps: array<long> of distinct fingerprints).
+    """
+    toks = tokenize(F.col(text_col))
+    hashes = F.transform(shingles(toks, shingle_n), lambda g: hash32(g))
+    d = df.select(F.col(id_col).alias("id"), hashes.alias("h"))
+    m = F.size(F.col("h"))
+    nwin = F.greatest(F.lit(1), m - F.lit(window - 1))
+    sel = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda p: F.aggregate(
+            F.sequence(p, F.least(m, p + F.lit(window - 1))),
+            p,
+            lambda best, i: F.when(
+                F.element_at(F.col("h"), i) <= F.element_at(F.col("h"), best), i
+            ).otherwise(best),
+        ),
+    )
+    fps = F.array_distinct(F.transform(sel, lambda i: F.element_at(F.col("h"), i)))
+    return d.select(
+        "id", m.cast("long").alias("n_grams"), fps.alias("fps")
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing >= ``min_shared`` winnowed
+    fingerprints, with overlap scored against the smaller fingerprint
+    set (the MOSS report metric).
+
+    Scale shape: explode emits ~2/(window+1) slim (id, fp) rows per
+    gram; the only shuffles are the fingerprint-bucket self-join
+    (capped per bucket, same skew guard as the LSH band joins) and the
+    pair aggregation. Full text never moves.
+
+    Returns (id_a, id_b, n_shared, n_fps_a, n_fps_b, overlap) ordered
+    by (id_a, id_b) with id_a < id_b.
+    """
+    base = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n, window=window
+    )
+    # persist barrier: fps is an interpreted nested-HOF fold that
+    # CollapseProject would substitute into the sizes join AND both
+    # self-join sides; caller-released via util.release_barriers
+    base = persist_barrier(base.select("id", F.size("fps").alias("n_fps"), "fps"))
+    exploded = base.select("id", "n_fps", F.explode("fps").alias("fp"))
+    if max_bucket_size is not None:
+        exploded = cap_bucket_size(exploded, ["fp"], max_bucket_size)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_fps").alias("n_fps_a"),
+            F.col("b.n_fps").alias("n_fps_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    overlap = F.col("n_shared").cast("double") / F.least(
+        "n_fps_a", "n_fps_b"
+    ).cast("double")
+    return (
+        pairs.filter(F.col("n_shared") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.col("n_fps_a").cast("long").alias("n_fps_a"),
+            F.col("n_fps_b").cast("long").alias("n_fps_b"),
+            overlap.alias("overlap"),
+        )
+        .orderBy("id_a", "id_b")
+    )

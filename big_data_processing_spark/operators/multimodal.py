@@ -447,6 +447,60 @@ JPEG_HEADER_SCHEMA = T.StructType(
 )
 
 
+def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic FULL baseline JPEG per id, encoded through the
+    real encoder (FDCT, quantization, canonical Huffman, byte
+    stuffing): even ids get a YCbCr 4:2:0 color image with neutral
+    chroma, odd ids grayscale (ids with id%4==1 additionally carry
+    restart markers every 2 MCUs). Every 8x8 pixel block is constant
+    at v = 128 + 2*(((id + bx + 3*by) % 49) - 24) — even offsets from
+    128 quantize exactly under the flat-16 table, so the decoded image
+    reproduces v bit-exactly and a SQL oracle can state the expected
+    per-channel means from the block grid without decoding JPEG."""
+    from .mediacodec import encode_jpeg_baseline
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h, ch = 16 * (1 + (mid // 2) % 2), 16, 3
+                    subsample, rst = True, 0
+                else:
+                    w, h, ch = 8 * (1 + mid % 3), 8 * (1 + (mid // 3) % 2), 1
+                    subsample, rst = False, (2 if mid % 4 == 1 else 0)
+                raw = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        v = 128 + 2 * (((mid + x // 8 + 3 * (y // 8)) % 49) - 24)
+                        raw += bytes([v] * ch)
+                out.append(
+                    (
+                        mid,
+                        encode_jpeg_baseline(
+                            w,
+                            h,
+                            ch,
+                            bytes(raw),
+                            subsample=subsample,
+                            restart_interval=rst,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return spread(ids.select(id_col), id_col, cap=8).mapInPandas(
+        fn,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
 def synthesize_jpeg_headers(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic minimal JPEG streams per id: SOI + a COM segment of
     id%7 padding bytes (so the marker walk must actually traverse
@@ -509,10 +563,12 @@ def extract_jpeg_header_features(media: DataFrame) -> DataFrame:
 
 
 def extract_jpeg_pixel_stats(media: DataFrame) -> DataFrame:
-    """Full JPEG pixel statistics via mediacodec.decode_jpeg — REAL
-    when the optional PIL dependency is installed, and a clearly-
-    labeled MediaCodecError per row otherwise (this sandbox has no
-    PIL; see COVERAGE.md). Same output contract as
+    """Full JPEG pixel statistics via mediacodec.decode_jpeg: REAL
+    with no dependency for baseline sequential streams (the pure
+    stdlib+numpy Huffman+IDCT decoder); non-baseline coding modes
+    (progressive/arithmetic/12-bit) decode through the OPTIONAL PIL
+    import and raise a labeled UnsupportedJpegFeature where PIL is
+    absent (this sandbox). Same output contract as
     extract_image_features for PNG."""
     from .mediacodec import decode_jpeg
 

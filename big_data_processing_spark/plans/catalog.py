@@ -84,6 +84,8 @@ def query(
 # in the build.
 _PRIORITY: tuple[str, ...] = (
     # new in round 4
+    "dedup_winnow_pairs",
+    "multimodal_jpeg_decode_stats",
     "lineitem_winsorized_hist",
     "txnlog_compacted_read",
     "multimodal_jpeg_header_stats",

@@ -25,6 +25,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_fingerprints,
     simhash_hamming_pairs,
+    winnow_shared_pairs,
 )
 from ..operators.graph import cluster_summary, connected_components
 from ..operators.multimodal import (
@@ -32,11 +33,13 @@ from ..operators.multimodal import (
     extract_features,
     extract_image_features,
     extract_jpeg_header_features,
+    extract_jpeg_pixel_stats,
     sample_apng_frames,
     sample_video_frames,
     synthesize_apng_media,
     synthesize_avi_media,
     synthesize_jpeg_headers,
+    synthesize_jpeg_media,
     synthesize_png_media,
     synthesize_wav_media,
     text_as_media,
@@ -1106,6 +1109,60 @@ def multimodal_jpeg_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_decode_stats",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 16 * (1 + (doc_id // 2) % 2)
+                    ELSE 8 * (1 + doc_id % 3) END AS w,
+               CASE WHEN doc_id % 2 = 0 THEN 16
+                    ELSE 8 * (1 + (doc_id // 3) % 2) END AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    blocks AS (
+        SELECT doc_id, w, h, ch,
+               UNNEST(range(0, (w // 8) * (h // 8))) AS b
+        FROM sel
+    ),
+    v AS (
+        SELECT doc_id, w, h, ch,
+               128 + 2 * (((doc_id + (b % (w // 8)) + 3 * (b // (w // 8)))
+                           % 49) - 24) AS v
+        FROM blocks
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS channels,
+           AVG(v) AS mean_r,
+           CASE WHEN ch >= 2 THEN AVG(v) END AS mean_g,
+           CASE WHEN ch >= 3 THEN AVG(v) END AS mean_b
+    FROM v GROUP BY doc_id, w, h, ch ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "jpeg", "decode"),
+)
+def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode, hash-checked WITHOUT any optional
+    dependency: full T.81 sequential JPEGs (FDCT-encoded, Huffman
+    entropy coding, YCbCr 4:2:0 with chroma subsampling on even ids,
+    grayscale with restart markers on id%4==1) are assembled by the
+    real encoder then DECODED — marker/DQT/DHT parse, canonical
+    Huffman build, bit-unstuffing, DC prediction, dequantize, IDCT,
+    chroma upsample, color convert — by operators/mediacodec.py in
+    Arrow batches. Block-constant pixels at even offsets from 128
+    survive flat-16 quantization bit-exactly, so the DuckDB oracle
+    states the expected per-channel means from the closed-form block
+    grid: the hash only matches if every one of those stages
+    reproduced every pixel. Replaces r3's 'JPEG pixels need PIL'
+    caveat for baseline streams (progressive/arithmetic still route
+    through the optional PIL import)."""
+    ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = synthesize_jpeg_media(ids)
+    return extract_jpeg_pixel_stats(media).orderBy("media_id")
+
+
+@query(
     "multimodal_audio_stats",
     oracle="""
     WITH sel AS (
@@ -1223,6 +1280,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     ).orderBy("id_a", "id_b")
+
+
+_WIN_N, _WIN_W, _WIN_MIN_SHARED = 3, 4, 2
+
+
+def _winnow_oracle() -> str:
+    """DuckDB twin of operators.dedup.winnow_shared_pairs: identical
+    md5-derived gram hashes, identical left-to-right window fold with
+    <= (rightmost-min tie-break), identical pair aggregation."""
+    sh = shingles_sql(_TOKENS, _WIN_N)
+    h32 = hash32_sql("s")
+    return f"""
+    WITH h AS (
+        SELECT doc_id, list_transform({sh}, s -> {h32}) AS h
+        FROM documents
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(1, len(h) - {_WIN_W - 1})),
+                   p -> h[list_reduce(
+                            generate_series(p, least(len(h), p + {_WIN_W - 1})),
+                            (best, i) -> CASE WHEN h[i] <= h[best]
+                                         THEN i ELSE best END)]
+               )) AS fps
+        FROM h
+    ),
+    ex AS (
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp
+        FROM fps
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared,
+               any_value(a.n_fps) AS n_fps_a,
+               any_value(b.n_fps) AS n_fps_b
+        FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared, n_fps_a, n_fps_b,
+           CAST(n_shared AS DOUBLE) / CAST(least(n_fps_a, n_fps_b) AS DOUBLE)
+               AS overlap
+    FROM pairs
+    WHERE n_shared >= {_WIN_MIN_SHARED}
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "dedup_winnow_pairs",
+    oracle=_winnow_oracle(),
+    tags=("dedup", "winnowing", "fingerprint"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup candidates (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003 — the MOSS algorithm): per-window rightmost-min
+    gram-hash selection gives each document a ~2/(w+1)-density
+    fingerprint set with a shared-substring guarantee; pairs sharing
+    two or more fingerprints are scored by overlap against the
+    smaller set. Complements MinHash (set-similarity estimate) and
+    SimHash (weighted-term distance) with POSITIONAL substring evidence.
+    Fingerprinting is one codegen'd map stage; the only shuffles move
+    slim (id, fp) rows through a capped bucket self-join."""
+    return winnow_shared_pairs(
+        spread(_t(spark, sf_dir, "documents"), "doc_id"),
+        shingle_n=_WIN_N,
+        window=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+    )
 
 
 @query(

@@ -253,16 +253,107 @@ def test_jpeg_dimensions_marker_walk():
         jpeg_dimensions(b"\xff\xd8" + com + b"\xff\xd9")
 
 
-def test_decode_jpeg_optional_pil():
-    """decode_jpeg is REAL when PIL is installed and a labeled
-    MediaCodecError otherwise — both behaviors asserted so the test is
-    meaningful in either environment."""
+def test_jpeg_baseline_roundtrip_exact_gray():
+    """Block-constant grayscale at even offsets from 128 round-trips
+    BIT-EXACTLY through the full encoder/decoder (FDCT+quantize then
+    Huffman decode, dequantize, IDCT): the closed-form property the
+    hash-checked catalog fixtures rely on."""
+    from big_data_processing_spark.operators.mediacodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        jpeg_dimensions,
+    )
+
+    w, h = 24, 16
+    raw = bytes(
+        128 + 2 * ((((x // 8) + 3 * (y // 8)) % 49) - 24)
+        for y in range(h)
+        for x in range(w)
+    )
+    data = encode_jpeg_baseline(w, h, 1, raw)
+    assert jpeg_dimensions(data) == (w, h, 1)
+    assert decode_jpeg_baseline(data) == (w, h, 1, raw)
+    # restart markers: same pixels, DC predictors reset every 2 MCUs
+    data_rst = encode_jpeg_baseline(w, h, 1, raw, restart_interval=2)
+    assert decode_jpeg_baseline(data_rst) == (w, h, 1, raw)
+
+
+def test_jpeg_baseline_roundtrip_color_420_neutral_chroma():
+    """YCbCr 4:2:0 with neutral chroma exercises subsampling, MCU
+    interleave, chroma upsample, and color conversion — and still
+    round-trips exactly (R=G=B=Y when Cb=Cr=128)."""
+    from big_data_processing_spark.operators.mediacodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    w, h = 32, 16
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = 128 + 2 * ((((x // 8) + (y // 8)) % 49) - 24)
+            rgb += bytes((v, v, v))
+    data = encode_jpeg_baseline(w, h, 3, bytes(rgb), subsample=True)
+    assert decode_jpeg_baseline(data) == (w, h, 3, bytes(rgb))
+
+
+def test_jpeg_baseline_random_near_lossless():
+    """Arbitrary pixels through a unit quantization table decode
+    within 1 gray level (float DCT round-trip error) — including
+    non-multiple-of-8 geometry (pad + crop) and real color."""
+    import random
+
+    from big_data_processing_spark.operators.mediacodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = random.Random(7)
+    raw = bytes(rng.randrange(256) for _ in range(17 * 13))
+    w, h, ch, out = decode_jpeg_baseline(
+        encode_jpeg_baseline(17, 13, 1, raw, quant=[1] * 64)
+    )
+    assert (w, h, ch) == (17, 13, 1)
+    assert max(abs(a - b) for a, b in zip(raw, out)) <= 2
+
+    rgb = bytes(rng.randrange(256) for _ in range(8 * 8 * 3))
+    w, h, ch, out = decode_jpeg_baseline(
+        encode_jpeg_baseline(8, 8, 3, rgb, quant=[1] * 64)
+    )
+    assert (w, h, ch) == (8, 8, 3)
+    # color conversion is lossy (YCbCr rounding) but tightly bounded
+    assert max(abs(a - b) for a, b in zip(rgb, out)) <= 6
+
+
+def test_jpeg_error_paths_and_optional_pil():
+    """Malformed streams raise MediaCodecError; valid-but-non-baseline
+    streams raise UnsupportedJpegFeature, which decode_jpeg forwards
+    to the OPTIONAL PIL dependency (re-raised where PIL is absent) —
+    both environments asserted."""
+    import struct as _struct
+
     import pytest as _pytest
 
     from big_data_processing_spark.operators.mediacodec import (
         MediaCodecError,
+        UnsupportedJpegFeature,
         decode_jpeg,
+        decode_jpeg_baseline,
     )
+
+    with _pytest.raises(MediaCodecError):
+        decode_jpeg_baseline(b"not a jpeg")
+    with _pytest.raises(MediaCodecError):
+        decode_jpeg_baseline(b"\xff\xd8\xff\xd9")  # no scan
+
+    progressive = (
+        b"\xff\xd8\xff\xc2"
+        + _struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes(3)
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(UnsupportedJpegFeature):
+        decode_jpeg_baseline(progressive)
 
     try:
         import PIL  # noqa: F401
@@ -270,21 +361,55 @@ def test_decode_jpeg_optional_pil():
         have_pil = True
     except ImportError:
         have_pil = False
-
     if not have_pil:
-        with _pytest.raises(MediaCodecError, match="optional PIL"):
-            decode_jpeg(b"\xff\xd8\xff\xd9")
+        with _pytest.raises(UnsupportedJpegFeature):
+            decode_jpeg(progressive)
     else:
+        # PIL itself decodes our baseline output: external interop
         import io as _io
 
+        from big_data_processing_spark.operators.mediacodec import (
+            encode_jpeg_baseline,
+        )
         from PIL import Image
 
-        img = Image.new("RGB", (6, 4), (10, 20, 30))
-        buf = _io.BytesIO()
-        img.save(buf, format="JPEG")
-        w, h, ch, raw = decode_jpeg(buf.getvalue())
-        assert (w, h, ch) == (6, 4, 3)
-        assert len(raw) == 6 * 4 * 3
+        raw = bytes(128 + 2 * (((x // 8) % 49) - 24) for x in range(16) for _ in range(8))
+        img = Image.open(
+            _io.BytesIO(encode_jpeg_baseline(16, 8, 1, raw))
+        )
+        img.load()
+        assert img.size == (16, 8)
+
+
+def test_jpeg_pixel_stats_spark(spark):
+    """Arrow-batched full-decode stats recover the closed-form block
+    means for both fixture families (color 4:2:0 and grayscale+RST)."""
+    from big_data_processing_spark.operators.multimodal import (
+        extract_jpeg_pixel_stats,
+        synthesize_jpeg_media,
+    )
+
+    ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    rows = extract_jpeg_pixel_stats(synthesize_jpeg_media(ids)).collect()
+    assert len(rows) == 8
+    for r in rows:
+        mid = r.media_id
+        if mid % 2 == 0:
+            w, h, ch = 16 * (1 + (mid // 2) % 2), 16, 3
+        else:
+            w, h, ch = 8 * (1 + mid % 3), 8 * (1 + (mid // 3) % 2), 1
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        bw, bh = w // 8, h // 8
+        want = sum(
+            128 + 2 * (((mid + bx + 3 * by) % 49) - 24)
+            for by in range(bh)
+            for bx in range(bw)
+        ) / (bw * bh)
+        assert r.mean_r == want
+        if ch == 3:
+            assert r.mean_g == want and r.mean_b == want
+        else:
+            assert r.mean_g is None and r.mean_b is None
 
 
 def test_extract_jpeg_header_features_spark(spark):

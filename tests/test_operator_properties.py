@@ -303,3 +303,58 @@ def test_asof_join_null_payload_not_stitched(spark):
     # matched row is t=20: a must be its NULL, b its 'new' — a per-
     # column carry would wrongly produce (100, 'new'), mixing rows
     assert row.a is None and row.b == "new", (row.a, row.b)
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[int]:
+    """Independent pure-Python winnowing reference (Schleimer et al.
+    2003, robust variant: rightmost min per window) for cross-checking
+    the Spark array-expression implementation."""
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", text.lower())
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    m = len(hs)
+    fps = set()
+    for p in range(max(1, m - w + 1)):
+        win = hs[p : p + w]
+        best = 0
+        for i in range(len(win)):
+            if win[i] <= win[best]:
+                best = i
+        fps.add(win[best])
+    return fps
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(documents())
+def test_winnow_matches_python_reference(spark, docs):
+    """The Spark nested-HOF winnowing fold selects exactly the same
+    fingerprint set as an independent per-document Python scan."""
+    from big_data_processing_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.id: set(r.fps) for r in winnow_fingerprints(df).collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == _py_winnow(text), text
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words, words)
+def test_winnow_shared_substring_guarantee(spark, fill_a, fill_b):
+    """Winnowing's coverage guarantee: two documents sharing a token
+    run of length >= shingle_n + window - 1 (here 6) must share at
+    least one selected fingerprint VALUE (ties break by position, but
+    fingerprints are values, so the guarantee survives)."""
+    from big_data_processing_spark.operators.dedup import winnow_shared_pairs
+
+    shared = "zeta yotta quux corge grault garply"  # 6 tokens
+    doc_a = " ".join(fill_a) + " " + shared
+    doc_b = " ".join(fill_b) + " " + shared
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], ["doc_id", "text"])
+    pairs = winnow_shared_pairs(df, min_shared=1).collect()
+    assert any({p.id_a, p.id_b} == {0, 1} for p in pairs)
