@@ -36,6 +36,41 @@ class MediaCodecError(ValueError):
     column instead of failing the batch."""
 
 
+def _malformed_guard(fn):
+    """Decorator for decoder entry points: corrupt or truncated bytes
+    must surface as MediaCodecError — the ONE exception type the Arrow
+    extractors quarantine on — never as a raw struct/index/zlib error
+    that would fail the whole batch. (A 100 TB crawl corpus WILL
+    contain every possible malformation.)"""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except MediaCodecError:
+            raise
+        except (
+            struct.error,
+            IndexError,
+            KeyError,
+            ValueError,
+            TypeError,
+            EOFError,
+            zlib.error,
+            wave.Error,
+            # the stdlib chunk/wave modules raise bare RuntimeError and
+            # OSError("cannot seek") on truncated RIFF structures
+            RuntimeError,
+            OSError,
+        ) as e:
+            raise MediaCodecError(
+                f"malformed media payload ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapper
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
@@ -86,6 +121,7 @@ def encode_png(width: int, height: int, channels: int, raw: bytes) -> bytes:
     )
 
 
+@_malformed_guard
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Real PNG decode: (width, height, channels, raw pixel bytes).
 
@@ -200,6 +236,7 @@ def encode_apng(
     return bytes(out)
 
 
+@_malformed_guard
 def decode_apng(data: bytes) -> tuple[int, int, int, list[bytes]]:
     """Real APNG decode: (width, height, channels, raw frame list).
     Parses acTL/fcTL/fdAT chunk sequencing and runs the shared
@@ -283,6 +320,7 @@ def encode_wav_pcm16(samples: list[int], rate: int = 16000, channels: int = 1) -
     return buf.getvalue()
 
 
+@_malformed_guard
 def decode_wav_pcm16(data: bytes) -> tuple[int, int, list[int]]:
     """Real WAV decode via stdlib wave: (rate, channels, samples).
     Raises :class:`MediaCodecError` on non-PCM16/compressed payloads."""
@@ -310,6 +348,7 @@ _JPEG_SOI = b"\xff\xd8"
 _JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
 
 
+@_malformed_guard
 def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
     """TRUE (width, height, channels) from a JPEG's SOF marker — pure
     stdlib marker walk (ITU T.81 B.2), no PIL needed.  The geometry a
@@ -682,6 +721,7 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+@_malformed_guard
 def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
     """REAL baseline JPEG decoder, pure stdlib+numpy: full marker
     parse (DQT 8/16-bit, DHT canonical build, SOF0/SOF1, DRI),
@@ -1001,6 +1041,7 @@ def _walk_riff(data: bytes, start: int, end: int):
         i += 8 + size + (size % 2)
 
 
+@_malformed_guard
 def decode_avi_rgb24(data: bytes) -> tuple[int, int, int, list[bytes]]:
     """Decode an uncompressed RGB24 AVI: returns (width, height, fps,
     frames) with frames as top-down RGB24 (padding stripped, BGR and

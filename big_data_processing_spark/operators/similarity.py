@@ -526,3 +526,304 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+PQ_M, PQ_K = 8, 16  # 8 subspaces x 16 codes = 8 x 4-bit codes per vector
+
+
+def _py_l2_normalize(v: "list[float]") -> "list[float]":
+    """Left-fold L2 normalization, fold-order-identical to the Spark
+    aggregate and the DuckDB list_reduce twins (plain Python sum, NOT
+    numpy pairwise summation), so all three engines produce the same
+    doubles."""
+    s = 0.0
+    for x in v:
+        s = s + x * x
+    n = s ** 0.5
+    return [x / n for x in v]
+
+
+def fit_pq_codebooks(
+    train: "list[list[float]]", m: int = PQ_M, k: int = PQ_K, seed: int = 42
+) -> "list[list[list[float]]]":
+    """Deterministic PQ codebooks (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split the vector into
+    ``m`` contiguous subspaces and fit an independent k-means codebook
+    per subspace with :func:`lloyd_kmeans` (same determinism contract,
+    so a SQL oracle can embed the codebooks as literals). Training
+    vectors are L2-normalized first — the whole PQ pathway runs on the
+    unit sphere so its L2 ranking is monotone with cosine, matching
+    the rest of the kNN family."""
+    train = [_py_l2_normalize(v) for v in train]
+    dim = len(train[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        lloyd_kmeans([v[j * sub : (j + 1) * sub] for v in train], k, seed=seed)
+        for j in range(m)
+    ]
+
+
+def fit_pq_codebooks_parquet(
+    parquet_path: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[list[float]]]":
+    """Spark-free codebook fit on the same deterministic strided
+    sample as :func:`fit_ivf_centroids_parquet` — the oracle builder's
+    twin of :func:`build_pq_index`."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t[id_col].to_pylist()
+    vecs = t[vec_col].to_pylist()
+    stride = _train_stride(len(ids))
+    train = [
+        [float(x) for x in v]
+        for _, v in sorted((i, v) for i, v in zip(ids, vecs) if i % stride == 0)
+    ]
+    return fit_pq_codebooks(train, m=m, k=k, seed=seed)
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> "list[list[list[float]]]":
+    """Offline PQ codebook build from a bounded deterministic corpus
+    sample (every stride-th id, same rule as :func:`build_ivf_index`):
+    a bounded collect regardless of corpus size. The product — m*k
+    subvector centroids, a few KB — is the entire index state; corpus
+    vectors compress to m small codes each (64-dim float32 -> 8 bytes
+    here, a 32x memory reduction), which is what lets a 100 TB
+    embedding corpus fit an in-memory ANN serving tier."""
+    n_total = corpus.count()
+    stride = _train_stride(n_total)
+    sample = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    train = [[float(x) for x in r[1]] for r in sample]
+    return fit_pq_codebooks(train, m=m, k=k, seed=seed)
+
+
+_PQ_EXPR_CACHE: dict = {}
+
+
+def _codebook_key(codebooks) -> tuple:
+    return tuple(tuple(tuple(c) for c in book) for book in codebooks)
+
+
+def _codebook_lit(book: "list[list[float]]") -> Column:
+    """One nested array<array<double>> literal for a whole subspace
+    codebook: a SINGLE constant in the expression tree. (The first
+    cut built k separate aggregate expressions per subspace — 256
+    literal subtrees whose Catalyst analysis/codegen time dwarfed the
+    actual fold work ~10x at bench scale.) Memoized: Column objects
+    are reusable unresolved expressions, and building the nested
+    literal + HOF lambdas costs real py4j round-trips (~2s per call
+    for 16 codebooks) that would otherwise be paid on every query
+    build."""
+    key = ("lit", tuple(tuple(c) for c in book))
+    col = _PQ_EXPR_CACHE.get(key)
+    if col is None:
+        col = F.lit([[float(x) for x in cent] for cent in book])
+        _PQ_EXPR_CACHE[key] = col
+    return col
+
+
+def _sub_dists(nv: Column, cb_lit: Column, j: int, sub: int) -> Column:
+    """Array of squared L2 distances between subvector j of ``nv`` and
+    every codeword — one transform over the codebook literal, identical
+    per-element fold order to the oracle's list_reduce."""
+    sl = F.slice(nv, j * sub + 1, sub)
+    return F.transform(
+        cb_lit,
+        lambda cent: F.aggregate(
+            F.zip_with(sl, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every corpus vector to its per-subspace nearest-code
+    ids: (id, codes array<int>). Row-local argmin over codegen'd array
+    expressions — no shuffle, no UDF; ties break to the lowest code id
+    (array_position returns the FIRST minimum, mirrored by the
+    oracle's list_position)."""
+    sub = len(codebooks[0][0])
+    # norm once per row in its own projection, then normalize — keeps
+    # the dot-product fold out of every per-element division site
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("_dv"),
+    ).select("id", "_dv", norm(F.col("_dv")).alias("_nrm"))
+    nv = F.transform(F.col("_dv"), lambda x: x / F.col("_nrm"))
+    normed = base.select("id", nv.alias("_nv"))
+    ckey = ("codes", _codebook_key(codebooks))
+    codes_expr = _PQ_EXPR_CACHE.get(ckey)
+    if codes_expr is None:
+        codes = []
+        for j, book in enumerate(codebooks):
+            darr = _sub_dists(F.col("_nv"), _codebook_lit(book), j, sub)
+            codes.append(
+                (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+            )
+        codes_expr = F.array(*codes)
+        _PQ_EXPR_CACHE[ckey] = codes_expr
+    return normed.select("id", codes_expr.alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (query_id, neighbor_id, adc_d2,
+    rank): exact query subvectors scored against each neighbor's
+    RECONSTRUCTED codes — sum over subspaces of d2(q_sub, codeword).
+
+    Scale shape: the corpus moves only as (id, m codes) — the 32x
+    compressed representation, not the vectors; the query set
+    broadcasts; scoring is row-local arithmetic against the literal
+    codebooks and top-k is a per-query window over the slim scored
+    rows. Recall is bounded by quantization error — gate it with a
+    recall entry against brute force, as with IVF."""
+    sub = len(codebooks[0][0])
+    # persist barrier: the 128-aggregate encode expression would
+    # otherwise be substituted into every (neighbor, query) pair row;
+    # at production scale the codes ARE a materialized index table.
+    # Caller-released via util.release_barriers.
+    codes = persist_barrier(
+        pq_encode(spread(corpus, id_col), codebooks, id_col, vec_col)
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _to_double(F.col(vec_col)).alias("_qdv"),
+        )
+        .select("query_id", "_qdv", norm(F.col("_qdv")).alias("_qnrm"))
+        .select(
+            "query_id",
+            F.transform(F.col("_qdv"), lambda x: x / F.col("_qnrm")).alias(
+                "q_vec"
+            ),
+        )
+    )
+    # ADC lookup tables: the distance from each query subvector to
+    # every codeword is a per-QUERY quantity — precompute the m x k
+    # LUTs on the tiny query side, so the |corpus| x |queries| pair
+    # stage does m array lookups per row instead of m arithmetic
+    # folds (the standard ADC formulation; values, and therefore
+    # hashes, are identical — the same fold just runs earlier).
+    lkey = ("luts", _codebook_key(codebooks))
+    luts = _PQ_EXPR_CACHE.get(lkey)
+    if luts is None:
+        luts = [
+            _sub_dists(F.col("q_vec"), _codebook_lit(book), j, sub).alias(
+                f"_lut{j}"
+            )
+            for j, book in enumerate(codebooks)
+        ]
+        _PQ_EXPR_CACHE[lkey] = luts
+    q = q.select("query_id", *luts)
+    adc = None
+    for j in range(len(codebooks)):
+        term = F.element_at(
+            F.col(f"_lut{j}"), F.element_at(F.col("codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.withColumnRenamed("id", "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    k: int = 5,
+    shortlist: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ serving pipeline: ADC over compressed codes
+    selects a per-query ``shortlist``, then ONLY those candidates are
+    re-ranked with exact cosine over the full vectors — (query_id,
+    neighbor_id, cosine, rank<=k).
+
+    Scale shape: the scan side of the search touches nothing but the
+    m-byte code table (32x smaller than the vectors); full vectors are
+    fetched for shortlist*|queries| rows — a constant per query, not a
+    corpus scan. This two-stage shape is why PQ recall is set by the
+    shortlist (gate it vs brute force), while the reported ranking is
+    exact cosine, consistent with the rest of the kNN family."""
+    short = pq_adc_topk(
+        corpus,
+        queries,
+        codebooks,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -86,6 +86,12 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 4
     "dedup_winnow_pairs",
     "multimodal_jpeg_decode_stats",
+    "knn_pq_rerank",
+    "knn_pq_recall_gate",
+    "txnlog_change_feed",
+    "txnlog_incremental_mv",
+    "part_type_revenue_share",
+    "events_funnel_conversion",
     "lineitem_winsorized_hist",
     "txnlog_compacted_read",
     "multimodal_jpeg_header_stats",

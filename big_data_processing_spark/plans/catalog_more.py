@@ -1369,3 +1369,370 @@ def lineitem_winsorized_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     priced = _winsor_priced(spark, sf_dir)
     cuts = histogram_quantile_cuts(priced, {"lo": 0.01, "hi": 0.99})
     return _winsor_clip_report(priced, cuts)
+
+
+@query(
+    "txnlog_change_feed",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS tc
+        FROM orders GROUP BY 1
+    ),
+    changes AS (
+        SELECT 'delete' AS _change_type, ck, tc
+        FROM base WHERE ck % 61 = 0
+        UNION ALL
+        SELECT 'update_preimage', ck, tc
+        FROM base WHERE ck % 97 = 0 AND ck % 61 != 0
+        UNION ALL
+        SELECT 'update_postimage', ck, CAST(tc * 2 AS BIGINT)
+        FROM base WHERE ck % 97 = 0 AND ck % 61 != 0
+        UNION ALL
+        SELECT 'insert', ck + 1000000, CAST(tc + 7 AS BIGINT)
+        FROM base WHERE ck % 89 = 0
+    )
+    SELECT _change_type, CAST(ck % 10 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows, CAST(SUM(tc) AS BIGINT) AS sum_cents
+    FROM changes GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("txnlog", "cdf", "writer"),
+)
+def txnlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed from the txnlog manifests alone, hash-checked
+    end to end: version 0 (per-custkey rollup) takes a MERGE (doubling
+    ck%97==0 and inserting shifted ck%89==0 keys), a DELETE
+    (ck%61==0), and an OPTIMIZE compaction; txn_changes then derives
+    the row-level diff purely from (files removed) vs (files added)
+    between manifests — the immutable-file property means carried
+    files need never be scanned, so a CDF over a 100 TB table costs
+    O(changed files). The query RAISES unless (a) compaction actually
+    committed and (b) the diff between the delete version and the
+    optimize version is EMPTY — compaction moves every row to new
+    files, and value-equal moved rows must cancel rather than surface
+    as phantom updates. The endpoint feed (v0 -> latest) must classify every key
+    exactly: updated keys emit pre+post images at v0/final values,
+    deleted keys emit their v0 preimage even when also updated
+    in between, inserted keys emit their final values. Integer cents
+    throughout."""
+    import tempfile
+
+    from ..sources.txnlog import (
+        txn_changes,
+        txn_create,
+        txn_delete,
+        txn_merge,
+        txn_optimize,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(cents).cast("long").alias("tc")
+    )
+    upd = base.filter(F.col("ck") % 97 == 0).select(
+        "ck", (F.col("tc") * 2).cast("long").alias("tc")
+    )
+    ins = base.filter(F.col("ck") % 89 == 0).select(
+        (F.col("ck") + 1000000).alias("ck"),
+        (F.col("tc") + 7).cast("long").alias("tc"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = f"{tmp}/txn_table"
+        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+        txn_merge(spark, t, upd.unionByName(ins), key_cols=["ck"])
+        del_v = txn_delete(
+            spark, t, base.filter(F.col("ck") % 61 == 0).select("ck"), ["ck"]
+        )
+        opt_v = txn_optimize(spark, t)
+        if opt_v is None:
+            raise RuntimeError("txnlog_change_feed: compaction did not engage")
+        n_phantom = txn_changes(spark, t, ["ck"], del_v, opt_v).count()
+        if n_phantom:
+            raise RuntimeError(
+                f"txnlog_change_feed: pure compaction surfaced {n_phantom} "
+                "phantom changes"
+            )
+        feed = txn_changes(spark, t, ["ck"], 0, opt_v)
+        return (
+            feed.groupBy(
+                "_change_type", (F.col("ck") % 10).cast("long").alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("tc").cast("long").alias("sum_cents"),
+            )
+            .orderBy("_change_type", "bucket")
+            .localCheckpoint()
+        )
+
+
+@query(
+    "txnlog_incremental_mv",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS tc
+        FROM orders GROUP BY 1
+    ),
+    final AS (
+        SELECT ck, tc FROM base
+        WHERE ck % 61 != 0 AND ck % 97 != 0
+        UNION ALL
+        SELECT ck, CAST(tc * 2 AS BIGINT) FROM base
+        WHERE ck % 97 = 0 AND ck % 61 != 0
+        UNION ALL
+        SELECT ck + 1000000, CAST(tc + 7 AS BIGINT) FROM base
+        WHERE ck % 89 = 0
+    )
+    SELECT CAST(ck % 10 AS BIGINT) AS bucket,
+           COUNT(*) AS n_keys, CAST(SUM(tc) AS BIGINT) AS sum_cents
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+    tags=("txnlog", "cdf", "materialized-view"),
+)
+def txnlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance driven by the change
+    feed, hash-checked: the same MERGE/DELETE/OPTIMIZE history as
+    txnlog_change_feed, but the per-bucket aggregate is maintained by
+    APPLYING the CDF deltas to the version-0 aggregate (+post/+insert,
+    -pre/-delete) — never rescanning the table — and the query RAISES
+    unless the maintained view is row-identical to a full recompute of
+    the final snapshot. This is the A12 maintained-aggregate semantics
+    at fact scale: each refresh costs O(changed files) via
+    txn_changes, the pattern a 100 TB serving rollup needs (the
+    reference's SummingMergeTree MV, re-expressed over the table
+    format). Integer cents; count deltas ride the same feed."""
+    import tempfile
+
+    from ..sources.txnlog import (
+        txn_changes,
+        txn_create,
+        txn_delete,
+        txn_merge,
+        txn_optimize,
+        txn_read,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(cents).cast("long").alias("tc")
+    )
+    upd = base.filter(F.col("ck") % 97 == 0).select(
+        "ck", (F.col("tc") * 2).cast("long").alias("tc")
+    )
+    ins = base.filter(F.col("ck") % 89 == 0).select(
+        (F.col("ck") + 1000000).alias("ck"),
+        (F.col("tc") + 7).cast("long").alias("tc"),
+    )
+    bucket = (F.col("ck") % 10).cast("long").alias("bucket")
+    with tempfile.TemporaryDirectory() as tmp:
+        t = f"{tmp}/txn_table"
+        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+        mv0 = (
+            txn_read(spark, t, version=0)
+            .groupBy(bucket)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("tc").cast("long").alias("sum_cents"),
+            )
+        )
+        txn_merge(spark, t, upd.unionByName(ins), key_cols=["ck"])
+        txn_delete(
+            spark, t, base.filter(F.col("ck") % 61 == 0).select("ck"), ["ck"]
+        )
+        end_v = txn_optimize(spark, t)
+        if end_v is None:
+            raise RuntimeError("txnlog_incremental_mv: compaction did not engage")
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        deltas = (
+            txn_changes(spark, t, ["ck"], 0, end_v)
+            .select(
+                bucket,
+                sign.alias("dn"),
+                (sign * F.col("tc")).alias("dc"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("dn").cast("long").alias("dn"),
+                F.sum("dc").cast("long").alias("dc"),
+            )
+        )
+        maintained = (
+            mv0.join(deltas, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (
+                    F.coalesce(F.col("n_keys"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                )
+                .cast("long")
+                .alias("n_keys"),
+                (
+                    F.coalesce(F.col("sum_cents"), F.lit(0))
+                    + F.coalesce(F.col("dc"), F.lit(0))
+                )
+                .cast("long")
+                .alias("sum_cents"),
+            )
+            .filter(F.col("n_keys") > 0)
+            .orderBy("bucket")
+            .localCheckpoint()
+        )
+        recompute = (
+            txn_read(spark, t, version=end_v)
+            .groupBy(bucket)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("tc").cast("long").alias("sum_cents"),
+            )
+            .orderBy("bucket")
+        )
+        m_rows = [tuple(r) for r in maintained.collect()]
+        r_rows = [tuple(r) for r in recompute.collect()]
+        if m_rows != r_rows:
+            raise RuntimeError(
+                "txnlog_incremental_mv: maintained view diverged from "
+                f"recompute ({len(m_rows)} vs {len(r_rows)} rows)"
+            )
+        return maintained
+
+
+@query(
+    "part_type_revenue_share",
+    oracle=f"""
+    WITH joined AS (
+        SELECT p.p_type, l.l_extendedprice, l.l_discount
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    per_type AS (
+        SELECT p_type,
+               COUNT(*) AS n_lines,
+               {dsum_sql('l_extendedprice * (1.0 - l_discount)', 6)} AS revenue
+        FROM joined GROUP BY p_type
+    ),
+    tot AS (
+        SELECT {dsum_sql('l_extendedprice * (1.0 - l_discount)', 6)} AS total
+        FROM joined
+    )
+    SELECT p_type, n_lines, revenue,
+           CAST(100.0 AS DOUBLE) * revenue / total AS revenue_share_pct
+    FROM per_type CROSS JOIN tot
+    ORDER BY p_type
+    """,
+    tags=("join", "part", "pct"),
+)
+def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈part dim join with discounted-revenue share by part type
+    (the TPC-H Q14 shape, generalized): completes star-schema coverage
+    — every testdata table now feeds at least one hash-checked entry.
+    Scale: part broadcasts (plan-asserted class of join); revenue
+    accumulates in exact decimal on both engines; the share divides
+    two decimal-exact doubles, so percentages are bit-identical
+    (never a float SUM over per-group doubles, whose association
+    order would be partition-dependent). The 1-row grand total joins
+    back via broadcast — no single-partition window."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = l.join(p, l.l_partkey == p.p_partkey).select(
+        "p_type", rev.alias("rev")
+    )
+    per_type = joined.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("rev"), 6).alias("revenue"),
+    )
+    total = joined.agg(dsum(F.col("rev"), 6).alias("total"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "p_type",
+            "n_lines",
+            "revenue",
+            (F.lit(100.0) * F.col("revenue") / F.col("total")).alias(
+                "revenue_share_pct"
+            ),
+        )
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_click,
+           (SELECT COUNT(*) FROM s3) AS n_full_funnel,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+               / (SELECT COUNT(*) FROM s1) AS click_rate,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+               / (SELECT COUNT(*) FROM s2) AS purchase_rate
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel (view -> click -> purchase, each step's
+    first occurrence must FOLLOW the previous step's): the sequential
+    pattern-match analytics every event pipeline needs beside
+    sessionization. Pure relational formulation — per-step min-ts
+    aggregates chained by (user, ts>prev) joins — so each stage is one
+    map-side-combinable groupBy plus a co-partitioned join on user_id;
+    no window over a user's full history, no state. Counts divide as
+    exact integers -> identical doubles on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+    )
+    return counts.select(
+        "n_view",
+        "n_view_click",
+        "n_full_funnel",
+        (F.col("n_view_click").cast("double") / F.col("n_view")).alias(
+            "click_rate"
+        ),
+        (F.col("n_full_funnel").cast("double") / F.col("n_view_click")).alias(
+            "purchase_rate"
+        ),
+    )

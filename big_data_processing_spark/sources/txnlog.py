@@ -422,3 +422,143 @@ def txn_vacuum(table: str, keep_versions: int = 2) -> list[str]:
         if os.path.exists(p):
             os.unlink(p)
     return sorted(removed)
+
+
+def txn_delete(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """DELETE by key set, committed as one new version — the same
+    file-level planning as :func:`txn_merge` (stat-range prune when
+    the stat column is a delete key, exact file prune via a broadcast
+    semi-join, rewrite of only the files actually holding matches)
+    with the union-of-updates step removed: rewritten files keep only
+    their anti-joined survivors. Files with no matches are carried
+    untouched; a file whose every row matches simply contributes no
+    new rows."""
+    read_v = latest_version(table)
+    if read_v < 0:
+        raise FileNotFoundError(f"no txnlog table at {table}")
+    m = _read_manifest(table, read_v)
+    stat_col = m["files"][0]["stat_col"] if m["files"] else key_cols[0]
+
+    if stat_col in key_cols:
+        krange = keys.agg(
+            F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
+        ).collect()[0]
+        candidates = [
+            e
+            for e in m["files"]
+            if krange["lo"] is not None
+            and not (e["hi"] < krange["lo"] or e["lo"] > krange["hi"])
+        ]
+    else:
+        candidates = list(m["files"])
+    untouched = [e for e in m["files"] if e not in candidates]
+
+    hit_files: set[str] = set()
+    if candidates:
+        cand_paths = [os.path.join(table, e["path"]) for e in candidates]
+        cand_df = spark.read.parquet(*cand_paths)
+        hits = (
+            cand_df.select(*key_cols, F.input_file_name().alias("__f"))
+            .join(F.broadcast(keys.select(*key_cols).distinct()), key_cols)
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        hit_files = {
+            os.path.relpath(r["__f"].replace("file:", ""), table) for r in hits
+        }
+    rewrite = [e for e in candidates if e["path"] in hit_files]
+    carry = untouched + [e for e in candidates if e["path"] not in hit_files]
+
+    new_files: list[dict] = []
+    if rewrite:
+        old = spark.read.parquet(
+            *[os.path.join(table, e["path"]) for e in rewrite]
+        )
+        kept = old.join(keys.select(*key_cols), key_cols, "left_anti")
+        new_files = _write_data_files(spark, table, kept, stat_col)
+
+    _commit(
+        table,
+        read_v + 1,
+        {
+            "version": read_v + 1,
+            "op": "delete",
+            "read_version": read_v,
+            "files": carry + new_files,
+            "schema": _read_manifest(table, read_v)["schema"],
+            "rewrote": sorted(e["path"] for e in rewrite),
+        },
+    )
+    return read_v + 1
+
+
+def txn_changes(
+    spark: SparkSession,
+    table: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshots, derived from the
+    manifests alone — no per-commit change logging: because data files
+    are immutable, every row-level difference between the snapshots
+    lives in (files removed since ``from_version``) vs (files added
+    since), so only CHANGED files are scanned, never the carried bulk
+    of the table. Rows that merely moved files (OPTIMIZE compaction)
+    appear on both sides with equal values and are dropped — a pure
+    compaction between the versions yields an empty feed.
+
+    Returns the table schema plus ``_change_type`` in {'insert',
+    'delete', 'update_preimage', 'update_postimage'} (pre rows carry
+    from-version values, post rows to-version values). Assumes the
+    MERGE discipline's key uniqueness per snapshot."""
+    from pyspark.sql import types as T
+
+    to_v = latest_version(table) if to_version is None else to_version
+    m_from = _read_manifest(table, from_version)
+    m_to = _read_manifest(table, to_v)
+    from_paths = [e["path"] for e in m_from["files"]]
+    to_paths = [e["path"] for e in m_to["files"]]
+    removed = [p for p in from_paths if p not in set(to_paths)]
+    added = [p for p in to_paths if p not in set(from_paths)]
+    schema = T.StructType.fromJson(json.loads(m_from["schema"]))
+
+    def _side(paths: list[str]) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*[os.path.join(table, p) for p in paths])
+
+    cols = [f.name for f in schema.fields]
+    val_cols = [c for c in cols if c not in key_cols]
+    o = _side(removed).alias("o")
+    n = _side(added).alias("n")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
+    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+
+    def _pick(side: str) -> list:
+        return [F.col(f"{side}.{c}").alias(c) for c in cols]
+
+    inserts = j.filter(~in_old & in_new).select(
+        *_pick("n"), F.lit("insert").alias("_change_type")
+    )
+    deletes = j.filter(in_old & ~in_new).select(
+        *_pick("o"), F.lit("delete").alias("_change_type")
+    )
+    upd = j.filter(in_old & in_new & ~same)
+    pre = upd.select(*_pick("o"), F.lit("update_preimage").alias("_change_type"))
+    post = upd.select(*_pick("n"), F.lit("update_postimage").alias("_change_type"))
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)

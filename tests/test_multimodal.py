@@ -484,3 +484,62 @@ def test_sample_video_frames_spark(spark):
             n = w * h * 3
             want = sum((i + mid + 131 * r.frame_idx) % 256 for i in range(n)) / n
             assert abs(r.mean_byte - want) < 1e-12
+
+
+def test_decoders_quarantine_malformed_bytes():
+    """Corrupt, truncated, and random payloads must raise
+    MediaCodecError — the only exception the Arrow extractors
+    quarantine on — never a raw struct/index/zlib error that would
+    fail a whole batch. Fuzzes every decoder entry point with
+    truncations of valid media, byte corruptions, and garbage."""
+    import random
+
+    from big_data_processing_spark.operators.mediacodec import (
+        MediaCodecError,
+        decode_apng,
+        decode_avi_rgb24,
+        decode_jpeg_baseline,
+        decode_png,
+        decode_wav_pcm16,
+        encode_apng,
+        encode_avi_rgb24,
+        encode_jpeg_baseline,
+        encode_png,
+        encode_wav_pcm16,
+        jpeg_dimensions,
+    )
+
+    rng = random.Random(11)
+    gray = bytes(128 for _ in range(16 * 8))
+    rgb = bytes((i * 7) % 256 for i in range(4 * 3 * 3))
+    valid = {
+        decode_jpeg_baseline: encode_jpeg_baseline(16, 8, 1, gray),
+        jpeg_dimensions: encode_jpeg_baseline(16, 8, 1, gray),
+        decode_png: encode_png(4, 3, 3, rgb),
+        decode_apng: encode_apng(4, 3, 3, [rgb, rgb]),
+        decode_wav_pcm16: encode_wav_pcm16([0, 100, -100, 32000]),
+        decode_avi_rgb24: encode_avi_rgb24(3, 2, 10, [bytes(18), bytes(18)]),
+    }
+
+    def check(decoder, payload):
+        try:
+            decoder(payload)
+        except MediaCodecError:
+            pass  # quarantined — the contract
+        # any other exception propagates and fails the test
+
+    for decoder, good in valid.items():
+        decoder(good)  # sanity: the fixture is genuinely valid
+        for cut in range(0, len(good), max(1, len(good) // 60)):
+            check(decoder, good[:cut])
+        for _ in range(150):
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            check(decoder, bytes(b))
+        for _ in range(100):
+            check(
+                decoder,
+                bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120))),
+            )
+            check(decoder, good[:2] + bytes(rng.randrange(256) for _ in range(60)))

@@ -160,6 +160,61 @@ def test_ivf_knn_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
 
 
+def test_pq_rerank_recall_and_containment(spark, sf_dir):
+    """PQ shortlist + exact rerank must recover most true top-5
+    neighbors, every reported neighbor must come from the ADC
+    shortlist, and the reported cosine must equal the exact cosine
+    for that pair (the rerank is exact by construction)."""
+    import pyspark.sql.functions as F
+
+    from big_data_processing_spark.operators.similarity import (
+        fit_pq_codebooks_parquet,
+        pq_adc_topk,
+        pq_rerank_topk,
+    )
+    from big_data_processing_spark.plans.catalog_ext import knn_bruteforce_cosine
+    from big_data_processing_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks_parquet(f"{sf_dir}/embeddings.parquet", m=16, k=16)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact_rows = knn_bruteforce_cosine(spark, sf_dir).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact_rows}
+    shortlist = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(emb, queries, books, k=25).collect()
+    }
+    rerank = pq_rerank_topk(emb, queries, books, k=5, shortlist=25).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rerank}
+    assert got <= shortlist, "rerank emitted a pair outside its shortlist"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall:.2f}"
+    for r in rerank:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cosine == exact_cos[key]
+
+
+def test_pq_codes_bounded_and_deterministic(spark, sf_dir):
+    """Every PQ code is in [0, k); encoding twice gives identical
+    codes (the argmin tie-break is deterministic)."""
+    from big_data_processing_spark.operators.similarity import (
+        fit_pq_codebooks_parquet,
+        pq_encode,
+    )
+    from big_data_processing_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    books = fit_pq_codebooks_parquet(f"{sf_dir}/embeddings.parquet", m=16, k=16)
+    a = {r.id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    b = {r.id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert a == b
+    for codes in a.values():
+        assert len(codes) == 16
+        assert all(0 <= c < 16 for c in codes)
+
+
 def test_minhash_jaccard_estimate_tracks_truth(spark):
     """Signature agreement rate ≈ true Jaccard (the MinHash property),
     checked loosely on two half-overlapping documents."""

@@ -20,6 +20,7 @@ BROADCAST_QUERIES = [
     "cte_top_customers_lines",
     "top3_months_weekly_detail",
     "nation_acctbal_deviation",
+    "part_type_revenue_share",
 ]
 
 
@@ -151,3 +152,27 @@ def test_full_outer_joins_aggregates_not_facts(spark, sf_dir):
     assert "FullOuter" in plan
     start = plan.index("ReadSchema")
     assert "c_comment" not in plan and "c_name" not in plan[start:]
+
+
+def test_winnow_no_global_window(spark, sf_dir):
+    """Winnowing's only windows are the partitioned bucket-cap count;
+    nothing plans a single-partition WindowExec, and the fingerprint
+    self-join is a hash join on fp, not a nested loop."""
+    plan = _plan(spark, sf_dir, "dedup_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "WindowExec" in line or "Window [" in line:
+            assert "windowspecdefinition()" not in line, "unpartitioned window"
+
+
+def test_pq_rerank_plan_shape(spark, sf_dir):
+    """PQ serving plan: per-query top-k runs as partial+final
+    WindowGroupLimit (never a full per-query sort of the corpus), the
+    shortlist and query sides broadcast, and no sort-merge join or
+    cartesian product appears anywhere."""
+    plan = _plan(spark, sf_dir, "knn_pq_rerank")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -424,3 +424,83 @@ def test_optimize_cluster_restores_pruning(spark, tmp_path):
     assert len(rewrote) == 1
     got = _rows(txn_read(spark, t))
     assert (5, 99) in got and (7, 99) in got and len(got) == len(before_rows)
+
+
+def test_delete_removes_keys_and_prunes_files(spark, tmp_path):
+    """txn_delete drops exactly the matched keys, rewrites only the
+    files holding them, keeps time travel intact, and deleting a
+    missing key is a carried no-op commit."""
+    from big_data_processing_spark.sources.txnlog import (
+        _read_manifest,
+        txn_delete,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df.repartitionByRange(4, "k"), stat_col="k")
+    v = txn_delete(
+        spark, t, spark.createDataFrame([(5,), (7,)], ["k"]), ["k"]
+    )
+    m = _read_manifest(t, v)
+    assert len(m["rewrote"]) == 1  # both keys live in one range file
+    got = _rows(txn_read(spark, t))
+    assert {(5, 10), (7, 14)}.isdisjoint(got) and len(got) == 98
+    assert len(_rows(txn_read(spark, t, version=0))) == 100
+    v2 = txn_delete(
+        spark, t, spark.createDataFrame([(5000,), (-3,)], ["k"]), ["k"]
+    )
+    assert _read_manifest(t, v2)["rewrote"] == []
+    assert len(_rows(txn_read(spark, t))) == 98
+
+
+def test_change_feed_classifies_and_cancels_moves(spark, tmp_path):
+    """txn_changes classifies insert/delete/update from endpoint
+    manifests, an adjacent pure compaction yields an EMPTY feed, and
+    rows that only moved files never surface."""
+    from big_data_processing_spark.sources.txnlog import (
+        txn_changes,
+        txn_delete,
+        txn_optimize,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df.repartitionByRange(4, "k"), stat_col="k")
+    txn_merge(
+        spark,
+        t,
+        spark.createDataFrame([(5, 99), (60, 120)], ["k", "v"]),  # update + insert
+        key_cols=["k"],
+    )
+    del_v = txn_delete(spark, t, spark.createDataFrame([(9,)], ["k"]), ["k"])
+    opt_v = txn_optimize(spark, t)
+    assert opt_v is not None
+    assert txn_changes(spark, t, ["k"], del_v, opt_v).count() == 0
+    feed = {
+        (r._change_type, r.k, r.v)
+        for r in txn_changes(spark, t, ["k"], 0, opt_v).collect()
+    }
+    assert feed == {
+        ("update_preimage", 5, 10),
+        ("update_postimage", 5, 99),
+        ("insert", 60, 120),
+        ("delete", 9, 18),
+    }
+
+
+def test_change_feed_update_then_delete_is_delete(spark, tmp_path):
+    """A key updated in one commit and deleted in a later one shows as
+    a single delete carrying the FROM-version preimage in the endpoint
+    feed."""
+    from big_data_processing_spark.sources.txnlog import txn_changes, txn_delete
+
+    t = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    txn_merge(spark, t, spark.createDataFrame([(3, 77)], ["k", "v"]), ["k"])
+    end_v = txn_delete(spark, t, spark.createDataFrame([(3,)], ["k"]), ["k"])
+    feed = [
+        (r._change_type, r.k, r.v)
+        for r in txn_changes(spark, t, ["k"], 0, end_v).collect()
+    ]
+    assert feed == [("delete", 3, 6)]
