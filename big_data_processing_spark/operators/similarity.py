@@ -239,6 +239,41 @@ def fit_ivf_centroids_parquet(
     return lloyd_kmeans(train, n_cells, seed=seed)
 
 
+def _ivf_cell_fns(centroids: "list[list[float]]"):
+    """(cell_dists, nearest_cells) expression builders for an IVF
+    quantizer — shared by ivf_knn and ivf_pq_knn so both assign cells
+    with the bit-identical expression the oracles mirror."""
+
+    def cell_dists(vec: Column) -> Column:
+        """Array of squared L2 distances to every centroid. Compact HOF
+        folds on purpose: unrolling to 16x64 literal terms was measured
+        ~15x SLOWER end-to-end — Catalyst/codegen time on the giant
+        duplicated trees dwarfs the interpreted-fold cost it saves."""
+        dv = _to_double(vec)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        dv,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in centroids
+            ]
+        )
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        d = cell_dists(vec)
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        pairs = F.arrays_zip(d.alias("d"), idx.alias("i"))
+        return F.slice(F.array_sort(pairs), 1, n).getField("i")
+
+    return cell_dists, nearest_cells
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -267,33 +302,7 @@ def ivf_knn(
         if index is not None
         else build_ivf_index(corpus, vec_col=vec_col, n_cells=n_cells, seed=seed)
     )
-
-    def cell_dists(vec: Column) -> Column:
-        """Array of squared L2 distances to every centroid. Compact HOF
-        folds on purpose: unrolling to 16x64 literal terms was measured
-        ~15x SLOWER end-to-end — Catalyst/codegen time on the giant
-        duplicated trees dwarfs the interpreted-fold cost it saves."""
-        dv = _to_double(vec)
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        dv,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for c in centroids
-            ]
-        )
-
-    def nearest_cells(vec: Column, n: int) -> Column:
-        d = cell_dists(vec)
-        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-        pairs = F.arrays_zip(d.alias("d"), idx.alias("i"))
-        return F.slice(F.array_sort(pairs), 1, n).getField("i")
+    cell_dists, nearest_cells = _ivf_cell_fns(centroids)
 
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -665,6 +674,7 @@ def pq_encode(
     codebooks: "list[list[list[float]]]",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Quantize every corpus vector to its per-subspace nearest-code
     ids: (id, codes array<int>). Row-local argmin over codegen'd array
@@ -674,12 +684,14 @@ def pq_encode(
     sub = len(codebooks[0][0])
     # norm once per row in its own projection, then normalize — keeps
     # the dot-product fold out of every per-element division site
+    keeps = list(keep_cols)
     base = corpus.select(
         F.col(id_col).alias("id"),
         _to_double(F.col(vec_col)).alias("_dv"),
-    ).select("id", "_dv", norm(F.col("_dv")).alias("_nrm"))
+        *keeps,
+    ).select("id", "_dv", norm(F.col("_dv")).alias("_nrm"), *keeps)
     nv = F.transform(F.col("_dv"), lambda x: x / F.col("_nrm"))
-    normed = base.select("id", nv.alias("_nv"))
+    normed = base.select("id", nv.alias("_nv"), *keeps)
     ckey = ("codes", _codebook_key(codebooks))
     codes_expr = _PQ_EXPR_CACHE.get(ckey)
     if codes_expr is None:
@@ -691,7 +703,101 @@ def pq_encode(
             )
         codes_expr = F.array(*codes)
         _PQ_EXPR_CACHE[ckey] = codes_expr
-    return normed.select("id", codes_expr.alias("codes"))
+    return normed.select("id", codes_expr.alias("codes"), *keeps)
+
+
+def _pq_query_luts(
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, _lut0.._lut{m-1}) — ADC lookup tables: the distance
+    from each query subvector to every codeword is a per-QUERY
+    quantity, so it is precomputed on the tiny query side and the
+    |corpus| x |queries| pair stage does m array lookups per row
+    instead of m arithmetic folds (the standard ADC formulation;
+    values, and therefore hashes, are identical — the same fold just
+    runs earlier). Expression list memoized like the encode."""
+    sub = len(codebooks[0][0])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _to_double(F.col(vec_col)).alias("_qdv"),
+        )
+        .select("query_id", "_qdv", norm(F.col("_qdv")).alias("_qnrm"))
+        .select(
+            "query_id",
+            F.transform(F.col("_qdv"), lambda x: x / F.col("_qnrm")).alias(
+                "q_vec"
+            ),
+        )
+    )
+    lkey = ("luts", _codebook_key(codebooks))
+    luts = _PQ_EXPR_CACHE.get(lkey)
+    if luts is None:
+        luts = [
+            _sub_dists(F.col("q_vec"), _codebook_lit(book), j, sub).alias(
+                f"_lut{j}"
+            )
+            for j, book in enumerate(codebooks)
+        ]
+        _PQ_EXPR_CACHE[lkey] = luts
+    return q.select("query_id", *luts)
+
+
+def _pq_adc_expr(m: int) -> Column:
+    """Sum over subspaces of lut_j[code_j] — left-associated, matching
+    the oracle's list_reduce over (term ORDER BY j)."""
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col(f"_lut{j}"), F.element_at(F.col("codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def _exact_cosine_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    short: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine over full vectors for a slim (query_id,
+    neighbor_id) shortlist — the rerank tail shared by the PQ and
+    IVF+PQ pipelines. The shortlist (a constant number of rows per
+    query) broadcasts against the corpus; norms are computed once per
+    row; per-query top-k plans WindowGroupLimit."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
 
 
 def pq_adc_topk(
@@ -720,47 +826,14 @@ def pq_adc_topk(
     codes = persist_barrier(
         pq_encode(spread(corpus, id_col), codebooks, id_col, vec_col)
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _to_double(F.col(vec_col)).alias("_qdv"),
-        )
-        .select("query_id", "_qdv", norm(F.col("_qdv")).alias("_qnrm"))
-        .select(
-            "query_id",
-            F.transform(F.col("_qdv"), lambda x: x / F.col("_qnrm")).alias(
-                "q_vec"
-            ),
-        )
-    )
-    # ADC lookup tables: the distance from each query subvector to
-    # every codeword is a per-QUERY quantity — precompute the m x k
-    # LUTs on the tiny query side, so the |corpus| x |queries| pair
-    # stage does m array lookups per row instead of m arithmetic
-    # folds (the standard ADC formulation; values, and therefore
-    # hashes, are identical — the same fold just runs earlier).
-    lkey = ("luts", _codebook_key(codebooks))
-    luts = _PQ_EXPR_CACHE.get(lkey)
-    if luts is None:
-        luts = [
-            _sub_dists(F.col("q_vec"), _codebook_lit(book), j, sub).alias(
-                f"_lut{j}"
-            )
-            for j, book in enumerate(codebooks)
-        ]
-        _PQ_EXPR_CACHE[lkey] = luts
-    q = q.select("query_id", *luts)
-    adc = None
-    for j in range(len(codebooks)):
-        term = F.element_at(
-            F.col(f"_lut{j}"), F.element_at(F.col("codes"), j + 1) + 1
-        )
-        adc = term if adc is None else adc + term
+    q = _pq_query_luts(queries, codebooks, id_col, vec_col)
     scored = (
         codes.withColumnRenamed("id", "neighbor_id")
         .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+        .select(
+            "query_id", "neighbor_id", _pq_adc_expr(len(codebooks)).alias("adc_d2")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_d2"), F.asc("neighbor_id")
@@ -800,30 +873,74 @@ def pq_rerank_topk(
         id_col=id_col,
         vec_col=vec_col,
     ).select("query_id", "neighbor_id")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+    return _exact_cosine_rerank(corpus, queries, short, k, id_col, vec_col)
+
+
+def ivf_pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    k: int = 5,
+    shortlist: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 6,
+    seed: int = 42,
+    index: list[list[float]] | None = None,
+) -> DataFrame:
+    """The corpus-scale ANN composition (the FAISS IVFPQ shape): the
+    IVF coarse quantizer routes each query to its ``n_probe`` nearest
+    cells, ADC over the PQ code table scores ONLY those cells'
+    members, and the per-query shortlist is re-ranked with exact
+    cosine over full vectors.
+
+    Why compose: IVF bounds the fraction of the corpus any query
+    touches (n_probe/n_cells); PQ bounds the bytes per touched row
+    (m codes vs the full vector); the rerank restores exact ranking
+    on a constant number of candidates. The scan side of a query is
+    therefore ~(n_probe/n_cells) x (1/32) of the corpus bytes — the
+    shape that serves billions of vectors. The indexed corpus
+    (cell + codes per id) is built once and persisted (barrier here;
+    a table in production); both index structures are deterministic
+    sample fits, so the DuckDB oracle derives identical ones."""
+    centroids = (
+        index
+        if index is not None
+        else build_ivf_index(corpus, vec_col=vec_col, n_cells=n_cells, seed=seed)
     )
-    q = queries.select(
+    _, nearest_cells = _ivf_cell_fns(centroids)
+    base = spread(corpus, id_col).select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        nearest_cells(F.col(vec_col), 1).getItem(0).alias("cell"),
+    )
+    # (id, cell, codes): the whole serving-side index, persisted once
+    indexed = persist_barrier(
+        pq_encode(base, codebooks, id_col, vec_col, keep_cols=("cell",))
+    )
+    q_probe = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode_outer(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
     )
-    scored = (
-        c.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+    q_luts = _pq_query_luts(queries, codebooks, id_col, vec_col)
+    cand = (
+        indexed.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(q_probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # no dedup needed: every corpus row owns exactly ONE cell, so a
+        # (query, neighbor) pair can match at most one probe row
+        .join(F.broadcast(q_luts), "query_id")
         .select(
-            "query_id",
-            "neighbor_id",
-            cosine_with_norms(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
-            ).alias("cosine"),
+            "query_id", "neighbor_id", _pq_adc_expr(len(codebooks)).alias("adc_d2")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
     )
+    short = (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_cosine_rerank(corpus, queries, short, k, id_col, vec_col)

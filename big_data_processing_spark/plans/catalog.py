@@ -92,6 +92,8 @@ _PRIORITY: tuple[str, ...] = (
     "txnlog_incremental_mv",
     "part_type_revenue_share",
     "events_funnel_conversion",
+    "knn_ivf_pq_rerank",
+    "knn_ivf_pq_recall_gate",
     "lineitem_winsorized_hist",
     "txnlog_compacted_read",
     "multimodal_jpeg_header_stats",

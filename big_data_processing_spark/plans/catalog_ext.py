@@ -51,6 +51,7 @@ from ..operators.similarity import (
     fit_pq_codebooks_parquet,
     hyperplanes,
     ivf_knn,
+    ivf_pq_knn,
     lsh_bucket_knn,
     pq_rerank_topk,
 )
@@ -1174,6 +1175,209 @@ def knn_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_query.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         (F.avg("recall") >= 0.6).alias("recall_ok"),
+    )
+
+
+_IVFPQ_PROBE = 6
+
+
+def _ivf_pq_oracle(sf_dir: str) -> str:
+    """DuckDB twin of knn_ivf_pq_rerank: IVF cell routing (raw-vector
+    quantizer, ties to the lowest cell id) composed with PQ encode /
+    left-folded ADC / shortlist / exact-cosine rerank — every fold
+    order mirrored from the Spark side, centroids AND codebooks
+    embedded as literals from the same deterministic fits."""
+    books = _pq_codebooks_for(sf_dir)
+    centroids = _ivf_centroids_for(sf_dir)
+    sub = len(books[0][0])
+    cent_rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in cw)}]::DOUBLE[])"
+        for j, book in enumerate(books)
+        for c, cw in enumerate(book)
+    )
+    icent_rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for j, c in enumerate(centroids)
+    )
+    i_d2 = (
+        "list_reduce(list_transform(generate_series(1, len(b.v)), "
+        "i -> (b.v[i]::DOUBLE - c.cvec[i]) * (b.v[i]::DOUBLE - c.cvec[i])), "
+        "(x, y) -> x + y)"
+    )
+    dot_self = (
+        "list_reduce(list_transform(generate_series(1, len(embedding)), "
+        "i -> (embedding[i])::DOUBLE * (embedding[i])::DOUBLE), (x, y) -> x + y)"
+    )
+    sub_d2 = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        f"i -> (n.nv[cent.j * {sub} + i] - cent.cw[i])"
+        f" * (n.nv[cent.j * {sub} + i] - cent.cw[i])), (x, y) -> x + y)"
+    )
+    adc_term = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        f"i -> (q.qv[k.j * {sub} + i] - cent.cw[i])"
+        f" * (q.qv[k.j * {sub} + i] - cent.cw[i])), (x, y) -> x + y)"
+    )
+    cos = (
+        f"({_dot_sql('q_vec', 'c_vec')}) / "
+        f"(sqrt({_dot_sql('q_vec', 'q_vec')}) * sqrt({_dot_sql('c_vec', 'c_vec')}))"
+    )
+    return f"""
+    WITH cent(j, c, cw) AS (VALUES {cent_rows}),
+    icent(cid, cvec) AS (VALUES {icent_rows}),
+    idist AS (
+        SELECT b.vec_id, c.cid, {i_d2} AS d2
+        FROM (SELECT vec_id, embedding AS v FROM embeddings) b, icent c
+    ),
+    corpus_cell AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM idist
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM idist WHERE vec_id % {_KNN_QMOD} = 0
+        ) WHERE rn <= {_IVFPQ_PROBE}
+    ),
+    nv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> x::DOUBLE / sqrt({dot_self})) AS nv
+        FROM embeddings
+    ),
+    cdist AS (
+        SELECT n.vec_id, cent.j, cent.c, {sub_d2} AS d2
+        FROM nv n, cent
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, c) AS rn
+            FROM cdist
+        ) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT p.vec_id AS query_id, cc.vec_id AS neighbor_id
+        FROM probe p JOIN corpus_cell cc ON cc.cell = p.cell
+                    AND cc.vec_id != p.vec_id
+    ),
+    qn AS (SELECT vec_id AS query_id, nv AS qv FROM nv
+           WHERE vec_id % {_KNN_QMOD} = 0),
+    adc AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list(term ORDER BY j), (x, y) -> x + y) AS adc_d2
+        FROM (
+            SELECT cand.query_id, cand.neighbor_id, k.j, {adc_term} AS term
+            FROM cand
+            JOIN codes k ON k.vec_id = cand.neighbor_id
+            JOIN qn q ON q.query_id = cand.query_id
+            JOIN cent ON cent.j = k.j AND cent.c = k.code
+        ) GROUP BY query_id, neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {_PQ_SHORTLIST}
+    ),
+    pairs AS (
+        SELECT s.query_id, s.neighbor_id,
+               qe.embedding AS q_vec, ce.embedding AS c_vec
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+    ),
+    scored AS (SELECT query_id, neighbor_id, {cos} AS cosine FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_KNN_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "knn_ivf_pq_rerank",
+    oracle=_ivf_pq_oracle,
+    tags=("similarity", "knn", "ivf", "pq"),
+)
+def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale ANN composition (FAISS IVFPQ shape): IVF
+    routes each query to its 6 nearest cells, PQ asymmetric distances
+    score only those cells' CODE rows (m 4-bit codes per vector, 32x
+    smaller than the floats), and the 25-candidate shortlist is
+    re-ranked with exact cosine — a query touches
+    ~(probe/cells) x (1/32) of the corpus bytes. Both index
+    structures are prebuilt deterministic fits persisted under
+    .cache/, so the oracle derives the identical index and mirrors
+    every fold; recall is gated by knn_ivf_pq_recall_gate."""
+    emb, index = _ivf_index_for(spark, sf_dir)
+    books = _pq_codebooks_for(sf_dir)
+    return ivf_pq_knn(
+        emb,
+        emb.filter(F.col("vec_id") % _KNN_QMOD == 0),
+        books,
+        k=_KNN_K,
+        shortlist=_PQ_SHORTLIST,
+        n_probe=_IVFPQ_PROBE,
+        index=index,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@query(
+    "knn_ivf_pq_recall_gate",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % {_KNN_QMOD} = 0
+    """,
+    tags=("similarity", "knn", "ivf", "pq", "gate"),
+)
+def knn_ivf_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF+PQ pipeline vs brute force,
+    asserted >= 0.5 — conservative floor under the compounded
+    approximations (measured ~0.66-0.68 at sf0.01/sf0.1: roughly the
+    product of IVF probe recall and PQ shortlist recall, as expected).
+    Same hard-evidence pattern as the other gates."""
+    emb, index = _ivf_index_for(spark, sf_dir)
+    books = _pq_codebooks_for(sf_dir)
+    queries = emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
+    exact = brute_force_knn(emb, queries, k=_KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_pq_knn(
+        emb,
+        queries,
+        books,
+        k=_KNN_K,
+        shortlist=_PQ_SHORTLIST,
+        n_probe=_IVFPQ_PROBE,
+        index=index,
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_query = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall")
+        )
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg("recall") >= 0.5).alias("recall_ok"),
     )
 
 

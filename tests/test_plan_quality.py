@@ -166,12 +166,13 @@ def test_winnow_no_global_window(spark, sf_dir):
             assert "windowspecdefinition()" not in line, "unpartitioned window"
 
 
-def test_pq_rerank_plan_shape(spark, sf_dir):
-    """PQ serving plan: per-query top-k runs as partial+final
-    WindowGroupLimit (never a full per-query sort of the corpus), the
-    shortlist and query sides broadcast, and no sort-merge join or
-    cartesian product appears anywhere."""
-    plan = _plan(spark, sf_dir, "knn_pq_rerank")
+@pytest.mark.parametrize("name", ["knn_pq_rerank", "knn_ivf_pq_rerank"])
+def test_pq_rerank_plan_shape(spark, sf_dir, name):
+    """PQ / IVF+PQ serving plans: per-query top-k runs as
+    partial+final WindowGroupLimit (never a full per-query sort of
+    the corpus), the shortlist and query sides broadcast, and no
+    sort-merge join or cartesian product appears anywhere."""
+    plan = _plan(spark, sf_dir, name)
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
