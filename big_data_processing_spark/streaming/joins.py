@@ -46,3 +46,37 @@ def streaming_attribution_join(
         & (F.col("ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
     )
     return a.join(p, cond, "inner").drop("p_user_id")
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    group_col: str,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static dimension enrichment + windowed rollup: the third
+    join mode beside batch-batch and stream-stream — an unbounded
+    event stream joined to a BOUNDED dimension table, then aggregated
+    per (event-time window, dimension attribute).
+
+    Execution shape: the static side is re-planned per micro-batch, so
+    a dim under the broadcast threshold ships as a broadcast hash join
+    — the streaming side never shuffles for the join, exactly like the
+    batch fact⋈dim plans (reference J1/J2). (Dim UPDATES mid-query
+    require a catalog/table-format static side — a plain path-based
+    parquet DataFrame pins its file listing at plan time, and an
+    overwrite under it fails the query; swap in a txnlog/catalog read
+    for slowly-changing dims.) The join adds NO state (only the windowed aggregate holds state, bounded by
+    the watermark horizon) — the property that distinguishes it from a
+    stream-stream join and keeps it safe on an unbounded feed.
+    """
+    ev = events.withWatermark("ts", watermark)
+    joined = ev.join(F.broadcast(dim), on, "left")
+    return joined.groupBy(
+        F.window("ts", window).alias("w"), group_col
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )

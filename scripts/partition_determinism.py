@@ -1,0 +1,64 @@
+"""Print value-hashes of a representative catalog subset under a given
+parallelism — the harness behind the cross-partitioning determinism
+invariant (results must be identical under any local[N] / shuffle
+partition count, or the DuckDB oracle gate would be flaky by design).
+
+Usage: python scripts/partition_determinism.py <cpus> [sf_dir]
+Output: one "<name> <hash>" line per query, sorted by name.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Order-sensitive shapes on purpose: multi-shuffle aggregation, window
+# ranking, band-join dedup, ADC ranking, histogram narrowing, sampling.
+SUBSET = [
+    "pricing_summary",
+    "district_monthly_rollup",
+    "lineitem_feature_stats",
+    "quantiles_by_priority",
+    "lineitem_winsorized_hist",
+    "rollup_revenue",
+    "global_month_rank",
+    "events_sessionize",
+    "events_funnel_conversion",
+    "doc_tfidf_top_terms",
+    "dedup_minhash_pairs",
+    "dedup_winnow_pairs",
+    "knn_pq_rerank",
+    "curation_stratified_sample",
+    "part_type_revenue_share",
+]
+
+
+def main() -> int:
+    cpus = int(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
+    from pyspark.sql import SparkSession
+
+    from scripts.driver_sim import value_hash
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .appName(f"determinism-{cpus}")
+        .getOrCreate()
+    )
+    from big_data_processing_spark.plans.catalog import CATALOG
+
+    for name in sorted(SUBSET):
+        df = CATALOG[name].fn(spark, sf_dir).toPandas()
+        print(name, value_hash(df), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -413,3 +413,37 @@ def test_winnow_shared_substring_guarantee(spark, fill_a, fill_b):
     df = spark.createDataFrame([(0, doc_a), (1, doc_b)], ["doc_id", "text"])
     pairs = winnow_shared_pairs(df, min_shared=1).collect()
     assert any({p.id_a, p.id_b} == {0, 1} for p in pairs)
+
+
+def test_results_identical_across_parallelism():
+    """The cross-partitioning determinism invariant, automated: a
+    representative catalog subset (multi-shuffle aggregation, window
+    ranking, band joins, ADC ranking, histogram narrowing, sampling)
+    must hash identically under local[2]/2-shuffle-partitions and
+    local[8]/8 — otherwise the DuckDB oracle gate would be flaky by
+    construction. Runs each side in its own subprocess (one JVM
+    cannot host two masters)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "scripts", "partition_determinism.py")
+
+    def run(cpus: int) -> dict[str, str]:
+        out = subprocess.run(
+            [sys.executable, script, str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=root,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return dict(
+            line.split() for line in out.stdout.splitlines() if " " in line
+        )
+
+    h2, h8 = run(2), run(8)
+    assert h2 and h2 == h8, {
+        k: (h2.get(k), h8.get(k)) for k in set(h2) | set(h8) if h2.get(k) != h8.get(k)
+    }

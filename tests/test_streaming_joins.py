@@ -50,3 +50,57 @@ def test_streaming_attribution_join(spark, tmp_path):
     # events 1 and 2 are within [09:45, 10:15] for user 7; 3 too old,
     # 4 wrong user, 5 after the purchase
     assert {(r.event_id, r.p_id) for r in out} == {(1, 100), (2, 100)}
+
+
+def test_stream_static_enrich_broadcast(spark, tmp_path):
+    """Stream-static enrichment: a streaming fact joined to a bounded
+    dim aggregates per (window, dim attribute); unmatched events
+    survive the left join with a null group; the join itself adds no
+    streaming state (only the windowed aggregate does)."""
+    from big_data_processing_spark.streaming.joins import stream_static_enrich
+
+    src = tmp_path / "events"
+    src.mkdir()
+    dim_path = tmp_path / "dim"
+    spark.createDataFrame(
+        [(7, "gold"), (9, "bronze")], ["user_id", "tier"]
+    ).write.parquet(str(dim_path))
+
+    _write(
+        src / "b1.json",
+        [
+            {"ts": "2024-01-01 10:00:00", "event_id": 1, "user_id": 7, "value": 10.0},
+            {"ts": "2024-01-01 10:20:00", "event_id": 2, "user_id": 7, "value": 5.0},
+            {"ts": "2024-01-01 10:30:00", "event_id": 3, "user_id": 9, "value": 2.0},
+            {"ts": "2024-01-01 10:40:00", "event_id": 4, "user_id": 11, "value": 1.0},
+        ],
+    )
+    events = spark.readStream.schema(
+        "ts timestamp, event_id bigint, user_id bigint, value double"
+    ).json(str(src))
+    dim = spark.read.parquet(str(dim_path))
+    out = stream_static_enrich(events, dim, on="user_id", group_col="tier")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late batch: still attributed through the same static join
+        _write(
+            src / "b2.json",
+            [{"ts": "2024-01-01 10:50:00", "event_id": 5, "user_id": 9, "value": 4.0}],
+        )
+        q.processAllAvailable()
+        rows = {
+            (r.tier, r.n_events, r.total_value)
+            for r in spark.sql("select * from enriched").collect()
+        }
+        assert ("gold", 2, 15.0) in rows
+        assert ("bronze", 2, 6.0) in rows
+        assert (None, 1, 1.0) in rows  # unmatched user_id=11 survives
+    finally:
+        q.stop()
