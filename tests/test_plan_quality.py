@@ -177,3 +177,40 @@ def test_pq_rerank_plan_shape(spark, sf_dir, name):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["events_gap_fill_ffill", "scd2_priority_history"]
+)
+def test_timeseries_windows_all_partitioned(spark, sf_dir, name):
+    """Gap-fill and SCD2 windows must all partition by the entity key —
+    a partitionless WindowExec would serialize the whole table through
+    one reducer at 100 TB."""
+    plan = _plan(spark, sf_dir, name)
+    for line in plan.splitlines():
+        if "WindowExec" in line or "Window [" in line:
+            assert "windowspecdefinition()" not in line, "unpartitioned window"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_spine_is_row_local_sequence(spark, sf_dir):
+    """The date spine comes from sequence()+explode (Generate node),
+    never a crossJoin against a calendar table."""
+    plan = _plan(spark, sf_dir, "events_gap_fill_ffill")
+    assert "Generate explode(sequence" in plan.replace("\n", " ") or "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_join_equi_and_adaptive(spark, sf_dir):
+    """The cohort join-back must be an equi-join on o_custkey under
+    AQE — at test scale AQE is free to broadcast the tiny per-customer
+    aggregate; at 100 TB the same logical plan adaptively degrades to a
+    co-partitioned SMJ because the aggregate's runtime size exceeds the
+    broadcast threshold.  What is NEVER acceptable is a nested-loop or
+    cartesian join."""
+    plan = _plan(spark, sf_dir, "orders_retention_cohort")
+    assert "o_custkey" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "AdaptiveSparkPlan" in plan
