@@ -85,6 +85,7 @@ def query(
 _PRIORITY: tuple[str, ...] = (
     # new in round 4
     "orders_retention_cohort",
+    "events_hopping_window",
     "events_gap_fill_ffill",
     "scd2_priority_history",
     "heavy_hitters_tokens",

@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.aggregates import dsum, dsum_sql
 from ..operators.heavyhitters import heavy_hitters_topk
 from ..operators.timeseries import gap_fill_ffill, scd2_intervals
 from .catalog import _t, query
@@ -290,4 +291,56 @@ def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("bucketed join shuffled — bucketing not engaged")
     return spark.createDataFrame(
         rows, schema="priority string, n_items bigint, revenue_cents bigint"
+    )
+
+
+@query(
+    "events_hopping_window",
+    oracle=f"""
+    WITH hops AS (
+        SELECT event_type, value,
+               make_timestamp(((epoch_us(ts) // 900000000) - off) * 900000000)
+                   AS w_start
+        FROM events, (SELECT unnest(generate_series(0, 3)) AS off)
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 9)} AS total_value
+    FROM hops
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tags=("agg", "time-window", "streaming-analog"),
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate — 1-hour windows every 15
+    minutes, so each event lands in exactly 4 overlapping windows.
+    Spark's native ``window(ts, '1 hour', '15 minutes')`` expands the
+    hops row-locally (a Generate/explode — no self-join, no shuffle
+    amplification beyond the unavoidable 4x row fan-out) and the
+    aggregate is a plain partial+final hash agg on (window, type).
+    Identical code runs under readStream + watermark for the streaming
+    case (streaming/ingest.py); this is its deterministic batch twin.
+    The oracle reconstructs the same epoch-aligned hop set in DuckDB
+    with integer epoch-microsecond arithmetic — no float time math."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 9).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
     )

@@ -91,6 +91,24 @@ def _read_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
+def _manifest_schema(m: dict):
+    """The manifest's declared StructType. Every multi-file read MUST
+    be pinned to this (never schema-inferred from the files): after
+    ADD-COLUMN evolution the live set mixes physical schemas, and an
+    unpinned read would take whichever file Spark samples first and
+    silently drop (or fail on) the evolved columns."""
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(json.loads(m["schema"]))
+
+
+def _read_files(spark: SparkSession, table: str, m: dict, entries: list[dict]) -> DataFrame:
+    """Schema-pinned read of a subset of a manifest's data files."""
+    return spark.read.schema(_manifest_schema(m)).parquet(
+        *[os.path.join(table, e["path"]) for e in entries]
+    )
+
+
 def _commit(table: str, version: int, manifest: dict) -> None:
     """Atomic put-if-absent of the manifest for ``version``."""
     path = _log_path(table, version)
@@ -192,12 +210,17 @@ def txn_read(
         raise FileNotFoundError(f"no txnlog table at {table}")
     m = _read_manifest(table, v)
     paths = [os.path.join(table, e["path"]) for e in m["files"]]
-    if not paths:
-        from pyspark.sql import types as T
+    from pyspark.sql import types as T
 
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    # read under the MANIFEST's schema, not whatever the files happen
+    # to contain: after schema evolution (txn_merge schema_mode=
+    # "merge") carried files physically lack the new columns and the
+    # declared-schema read projects them as NULL — the same mechanism
+    # Delta/Iceberg readers use, no file rewrite on ADD COLUMN.
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def txn_merge(
@@ -205,9 +228,18 @@ def txn_merge(
     table: str,
     updates: DataFrame,
     key_cols: list[str],
+    schema_mode: str = "strict",
 ) -> int:
     """MERGE with snapshot isolation: matched keys replaced, new keys
     appended, committed as one new version.
+
+    ``schema_mode="strict"`` (default): updates must carry the table's
+    columns; extra update columns are ignored.  ``schema_mode="merge"``:
+    columns present in ``updates`` but not in the table are ADDED to
+    the table schema (nullable) in the same commit — carried files are
+    NOT rewritten; reads project the missing columns as NULL via the
+    manifest-schema read in :func:`txn_read`.  A same-name column with
+    a different type is always an error (no implicit casts).
 
     File-level planning (the scale path):
 
@@ -248,8 +280,7 @@ def txn_merge(
 
     hit_files: set[str] = set()
     if candidates:
-        cand_paths = [os.path.join(table, e["path"]) for e in candidates]
-        cand_df = spark.read.parquet(*cand_paths)
+        cand_df = _read_files(spark, table, m, candidates)
         hits = (
             cand_df.select(*key_cols, F.input_file_name().alias("__f"))
             .join(F.broadcast(updates.select(*key_cols).distinct()), key_cols)
@@ -263,15 +294,47 @@ def txn_merge(
     rewrite = [e for e in candidates if e["path"] in hit_files]
     carry = untouched + [e for e in candidates if e["path"] not in hit_files]
 
-    update_cols = txn_read(spark, table, read_v).columns
-    if rewrite:
-        old = spark.read.parquet(
-            *[os.path.join(table, e["path"]) for e in rewrite]
-        )
-        kept = old.join(updates.select(*key_cols), key_cols, "left_anti")
-        new_rows = kept.unionByName(updates.select(*update_cols))
+    from pyspark.sql import types as T
+
+    table_schema = T.StructType.fromJson(json.loads(m["schema"]))
+    table_cols = [f.name for f in table_schema.fields]
+    if schema_mode == "merge":
+        upd_types = dict(updates.dtypes)
+        tbl_types = dict(
+            txn_read(spark, table, read_v).dtypes
+        )  # manifest-schema types
+        for c in table_cols:
+            if c in upd_types and upd_types[c] != tbl_types[c]:
+                raise TypeError(
+                    f"schema evolution cannot change column {c!r} from "
+                    f"{tbl_types[c]} to {upd_types[c]}"
+                )
+        added = [
+            T.StructField(f.name, f.dataType, True)  # evolved cols nullable:
+            for f in updates.schema.fields  # carried files read them as NULL
+            if f.name not in set(table_cols)
+        ]
+        evolved_schema = T.StructType(table_schema.fields + added)
+        out_cols = table_cols + [f.name for f in added]
+        missing = [c for c in table_cols if c not in upd_types]
+        if missing:
+            raise ValueError(
+                f"schema_mode='merge' adds columns but never drops: "
+                f"updates are missing table columns {missing}"
+            )
+    elif schema_mode == "strict":
+        evolved_schema, out_cols, added = table_schema, table_cols, []
     else:
-        new_rows = updates.select(*update_cols)
+        raise ValueError(f"unknown schema_mode {schema_mode!r}")
+
+    if rewrite:
+        old = _read_files(spark, table, m, rewrite)
+        kept = old.join(updates.select(*key_cols), key_cols, "left_anti")
+        for f in added:
+            kept = kept.withColumn(f.name, F.lit(None).cast(f.dataType))
+        new_rows = kept.select(*out_cols).unionByName(updates.select(*out_cols))
+    else:
+        new_rows = updates.select(*out_cols)
     new_files = _write_data_files(spark, table, new_rows, stat_col)
 
     _commit(
@@ -282,7 +345,7 @@ def txn_merge(
             "op": "merge",
             "read_version": read_v,
             "files": carry + new_files,
-            "schema": _read_manifest(table, read_v)["schema"],
+            "schema": evolved_schema.json(),
             "rewrote": sorted(e["path"] for e in rewrite),
         },
     )
@@ -339,9 +402,7 @@ def txn_optimize(
             return None
         total = sum(e["rows"] for e in small)
         n_out = max(1, -(-total // target_rows))
-        merged = spark.read.parquet(
-            *[os.path.join(table, e["path"]) for e in small]
-        )
+        merged = _read_files(spark, table, m, small)
         clustered = merged.repartitionByRange(n_out, stat_col).sortWithinPartitions(
             stat_col
         )
@@ -379,9 +440,7 @@ def txn_optimize(
 
     new_files: list[dict] = []
     for b in rewrite_bins:
-        merged = spark.read.parquet(
-            *[os.path.join(table, e["path"]) for e in b]
-        ).coalesce(1)
+        merged = _read_files(spark, table, m, b).coalesce(1)
         new_files.extend(_write_data_files(spark, table, merged, stat_col))
 
     _commit(
@@ -460,8 +519,7 @@ def txn_delete(
 
     hit_files: set[str] = set()
     if candidates:
-        cand_paths = [os.path.join(table, e["path"]) for e in candidates]
-        cand_df = spark.read.parquet(*cand_paths)
+        cand_df = _read_files(spark, table, m, candidates)
         hits = (
             cand_df.select(*key_cols, F.input_file_name().alias("__f"))
             .join(F.broadcast(keys.select(*key_cols).distinct()), key_cols)
@@ -477,9 +535,7 @@ def txn_delete(
 
     new_files: list[dict] = []
     if rewrite:
-        old = spark.read.parquet(
-            *[os.path.join(table, e["path"]) for e in rewrite]
-        )
+        old = _read_files(spark, table, m, rewrite)
         kept = old.join(keys.select(*key_cols), key_cols, "left_anti")
         new_files = _write_data_files(spark, table, kept, stat_col)
 
@@ -529,15 +585,22 @@ def txn_changes(
     added = [p for p in to_paths if p not in set(from_paths)]
     schema = T.StructType.fromJson(json.loads(m_from["schema"]))
 
-    def _side(paths: list[str]) -> DataFrame:
+    def _side(paths: list[str], m_side: dict) -> DataFrame:
+        # pinned to the OWNING version's schema, then projected onto
+        # the from-version columns: the feed compares the common
+        # (pre-evolution) schema; columns added between the versions
+        # are by definition not changes to from-version values.
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[os.path.join(table, p) for p in paths])
+        df = spark.read.schema(_manifest_schema(m_side)).parquet(
+            *[os.path.join(table, p) for p in paths]
+        )
+        return df.select(*[f.name for f in schema.fields])
 
     cols = [f.name for f in schema.fields]
     val_cols = [c for c in cols if c not in key_cols]
-    o = _side(removed).alias("o")
-    n = _side(added).alias("n")
+    o = _side(removed, m_from).alias("o")
+    n = _side(added, m_to).alias("n")
     cond = None
     for k in key_cols:
         eq = F.col(f"o.{k}") == F.col(f"n.{k}")

@@ -504,3 +504,97 @@ def test_change_feed_update_then_delete_is_delete(spark, tmp_path):
         for r in txn_changes(spark, t, ["k"], 0, end_v).collect()
     ]
     assert feed == [("delete", 3, 6)]
+
+
+# ------------------------------------------------------------ schema evolution
+
+
+def test_schema_evolution_add_column_no_rewrite(spark, tmp_path):
+    """schema_mode='merge': a new column appears table-wide without
+    rewriting carried files — old files' rows read NULL for it, the
+    merge's own rows carry real values, and time travel to the
+    pre-evolution version still shows the old schema."""
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df.repartitionByRange(4, "k"), stat_col="k")
+    upd = spark.createDataFrame(
+        [(5, -1, "x"), (200, -2, "y")], "k long, v long, tag string"
+    )
+    v1 = txn_merge(spark, t, upd, key_cols=["k"], schema_mode="merge")
+    cur = txn_read(spark, t)
+    assert cur.columns == ["k", "v", "tag"]
+    got = {(r.k, r.v, r.tag) for r in cur.collect()}
+    assert (5, -1, "x") in got and (200, -2, "y") in got
+    # untouched keys read NULL for the evolved column
+    assert (7, 14, None) in got
+    assert len(got) == 101
+    # time travel: pre-evolution snapshot has the old schema
+    old = txn_read(spark, t, version=v1 - 1)
+    assert old.columns == ["k", "v"]
+    assert len(old.collect()) == 100
+
+
+def test_schema_evolution_rejects_type_change_and_drops(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    retyped = spark.createDataFrame([(1, "s")], "k long, v string")
+    with pytest.raises(TypeError, match="cannot change column"):
+        txn_merge(spark, t, retyped, key_cols=["k"], schema_mode="merge")
+    dropped = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="missing table columns"):
+        txn_merge(spark, t, dropped, key_cols=["k"], schema_mode="merge")
+
+
+def test_schema_evolution_then_merge_and_optimize(spark, tmp_path):
+    """Post-evolution strict merges and OPTIMIZE both operate under the
+    evolved schema; compaction materializes the NULLs physically and
+    preserves every value."""
+    from big_data_processing_spark.sources.txnlog import txn_optimize
+
+    t = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df.repartitionByRange(3, "k"), stat_col="k")
+    txn_merge(
+        spark,
+        t,
+        spark.createDataFrame([(3, -3, "t3")], "k long, v long, tag string"),
+        key_cols=["k"],
+        schema_mode="merge",
+    )
+    # strict merge AFTER evolution must supply the evolved columns
+    txn_merge(
+        spark,
+        t,
+        spark.createDataFrame([(4, -4, "t4")], "k long, v long, tag string"),
+        key_cols=["k"],
+    )
+    before = {(r.k, r.v, r.tag) for r in txn_read(spark, t).collect()}
+    txn_optimize(spark, t, target_rows=10_000_000)
+    after = {(r.k, r.v, r.tag) for r in txn_read(spark, t).collect()}
+    assert before == after
+    assert (3, -3, "t3") in after and (4, -4, "t4") in after and (5, 10, None) in after
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path):
+    """CDF between a pre-evolution and post-evolution version compares
+    the COMMON (from-version) schema; the evolved column is invisible
+    to the feed, and value changes still surface exactly."""
+    from big_data_processing_spark.sources.txnlog import txn_changes
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    txn_merge(
+        spark,
+        t,
+        spark.createDataFrame([(3, -3, "x"), (100, 1, "y")], "k long, v long, tag string"),
+        key_cols=["k"],
+        schema_mode="merge",
+    )
+    feed = txn_changes(spark, t, key_cols=["k"], from_version=0)
+    got = {(r.k, r.v, r._change_type) for r in feed.collect()}
+    assert (3, 6, "update_preimage") in got
+    assert (3, -3, "update_postimage") in got
+    assert (100, 1, "insert") in got
+    assert "tag" not in feed.columns
