@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_priority_history",
     "heavy_hitters_tokens",
     "join_bucketed_revenue",
+    "data_quality_report",
     "dedup_winnow_pairs",
     "multimodal_jpeg_decode_stats",
     "knn_pq_rerank",

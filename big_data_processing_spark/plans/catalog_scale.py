@@ -344,3 +344,95 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    WITH o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+         l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+    r AS (
+        SELECT 'orders_totalprice_positive' AS check_name,
+               (SELECT n FROM o) AS n_rows,
+               CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_date_in_range',
+               (SELECT n FROM o),
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                              AND o_orderdate < TIMESTAMP '1999-01-01'
+                             THEN 0 ELSE 1 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_status_domain',
+               (SELECT n FROM o),
+               CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_priority_not_null',
+               (SELECT n FROM o),
+               CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                             THEN 0 ELSE 1 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_fk_custkey',
+               (SELECT n FROM o),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders x
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = x.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_fk_orderkey',
+               (SELECT n FROM l),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem x
+                WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                                  WHERE oo.o_orderkey = x.l_orderkey))
+    )
+    SELECT check_name, n_rows, n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM r
+    ORDER BY check_name
+    """,
+    tags=("quality", "constraints"),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/constraints): four
+    row-level CHECK predicates evaluated in ONE orders scan plus two
+    referential-integrity anti-join probes, reported as violation
+    counts — the expectation layer every ingest pipeline runs before
+    publishing a batch (write-audit-publish).
+
+    Scale: row-level checks cost one map-side-combinable aggregate no
+    matter how many predicates; each FK probe is a key-only anti join
+    (broadcast or co-partitioned, AQE's call)."""
+    from ..operators.constraints import constraint_report, fk_orphan_count
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    row_checks = constraint_report(
+        o,
+        {
+            "orders_totalprice_positive": F.col("o_totalprice") > 0,
+            "orders_date_in_range": (
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            ),
+            "orders_status_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+            "orders_priority_not_null": F.col("o_orderpriority").isNotNull(),
+        },
+    )
+    fk1 = fk_orphan_count(o, c, "o_custkey", "c_custkey").select(
+        F.lit("orders_fk_custkey").alias("check_name"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )
+    fk2 = fk_orphan_count(li, o, "l_orderkey", "o_orderkey").select(
+        F.lit("lineitem_fk_orderkey").alias("check_name"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )
+    return row_checks.unionByName(fk1).unionByName(fk2).orderBy("check_name")

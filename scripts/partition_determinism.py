@@ -32,6 +32,14 @@ SUBSET = [
     "knn_pq_rerank",
     "curation_stratified_sample",
     "part_type_revenue_share",
+    # round-4 additions: forward-fill window, SCD2 interval chain,
+    # MG candidate pruning (partition-count-sensitive by construction),
+    # hopping-window fan-out, cohort distinct-count
+    "events_gap_fill_ffill",
+    "scd2_priority_history",
+    "heavy_hitters_tokens",
+    "events_hopping_window",
+    "orders_retention_cohort",
 ]
 
 

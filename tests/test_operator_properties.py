@@ -558,3 +558,28 @@ def test_scd2_intervals_chain_and_collapse(spark):
         (7, "A", "2024-04-01", "9999-12-31", 1),
         (8, "Z", "2024-01-15", "9999-12-31", 1),
     ]
+
+
+def test_constraint_report_null_hostile_single_scan(spark):
+    """A NULL predicate result counts as a violation (expectations are
+    null-hostile, unlike SQL CHECK), and the whole report is ONE
+    aggregate — no per-check scan."""
+    from big_data_processing_spark.operators.constraints import constraint_report
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (-2.0,)], "x double"
+    )
+    rep = constraint_report(
+        df,
+        {
+            "x_positive": F.col("x") > 0,
+            "x_nullable_positive": F.col("x").isNull() | (F.col("x") > 0),
+        },
+    )
+    got = {(r.check_name, r.n_rows, r.n_violations, r.passed) for r in rep.collect()}
+    assert got == {
+        ("x_positive", 3, 2, 0),          # NULL row violates
+        ("x_nullable_positive", 3, 1, 0),  # NULL explicitly allowed
+    }
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 1  # local relation: zero scans, one agg
