@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "heavy_hitters_tokens",
     "join_bucketed_revenue",
     "data_quality_report",
+    "txnlog_wap_publish",
     "dedup_winnow_pairs",
     "multimodal_jpeg_decode_stats",
     "knn_pq_rerank",

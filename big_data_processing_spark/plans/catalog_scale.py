@@ -436,3 +436,101 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_violations") == 0).cast("int").alias("passed"),
     )
     return row_checks.unionByName(fk1).unionByName(fk2).orderBy("check_name")
+
+
+@query(
+    "txnlog_wap_publish",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS tc
+        FROM orders GROUP BY 1
+    ),
+    merged AS (
+        SELECT ck, tc FROM base WHERE ck % 100 != 0
+        UNION ALL
+        SELECT ck, CAST(tc * 2 AS BIGINT) FROM base WHERE ck % 100 = 0
+    )
+    SELECT CAST(ck % 10 AS BIGINT) AS bucket,
+           COUNT(*) AS n_keys,
+           CAST(SUM(tc) AS BIGINT) AS sum_cents
+    FROM merged
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("txnlog", "wap", "constraints", "writer"),
+)
+def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end to end, hash-checked: a poisoned merge
+    (negative money) is STAGED, fails its constraint audit while the
+    live table still serves the old snapshot, and is ABORTED (files
+    physically removed); then the clean merge stages, passes the same
+    audit against its staged snapshot, and PUBLISHES atomically.  The
+    query RAISES unless the bad audit caught the violation, the abort
+    removed the staged files, the table never exposed a bad row, and
+    the publish landed as version 1 — so a green hash certifies the
+    whole WAP contract, not just the final numbers.
+
+    Scale: staging cost equals the merge it plans (file-pruned
+    rewrite); audit is one scan of the staged snapshot; publish is a
+    metadata-only atomic rename."""
+    import tempfile
+
+    from ..operators.constraints import constraint_report
+    from ..sources.txnlog import (
+        latest_version,
+        txn_abort,
+        txn_create,
+        txn_publish,
+        txn_read,
+        txn_read_staged,
+        txn_stage_merge,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(cents).cast("long").alias("tc")
+    )
+    audit_checks = {"tc_non_negative": F.col("tc") >= 0}
+    with tempfile.TemporaryDirectory() as tmp:
+        t = f"{tmp}/txn_table"
+        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+
+        bad = base.filter(F.col("ck") % 100 == 0).select(
+            "ck", (-F.col("tc")).cast("long").alias("tc")
+        )
+        tok = txn_stage_merge(spark, t, bad, key_cols=["ck"])
+        bad_audit = constraint_report(
+            txn_read_staged(spark, t, tok), audit_checks
+        ).collect()
+        if bad_audit[0]["n_violations"] == 0:
+            raise RuntimeError("WAP audit failed to catch poisoned stage")
+        if latest_version(t) != 0:
+            raise RuntimeError("staged merge leaked into the commit log")
+        if not txn_abort(t, tok):
+            raise RuntimeError("abort removed no staged files")
+
+        good = base.filter(F.col("ck") % 100 == 0).select(
+            "ck", (F.col("tc") * 2).cast("long").alias("tc")
+        )
+        tok = txn_stage_merge(spark, t, good, key_cols=["ck"])
+        good_audit = constraint_report(
+            txn_read_staged(spark, t, tok), audit_checks
+        ).collect()
+        if good_audit[0]["n_violations"] != 0:
+            raise RuntimeError("clean stage failed its audit")
+        if txn_publish(t, tok) != 1 or latest_version(t) != 1:
+            raise RuntimeError("publish did not land as version 1")
+
+        return (
+            txn_read(spark, t)
+            .groupBy((F.col("ck") % 10).cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("tc").cast("long").alias("sum_cents"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint()
+        )

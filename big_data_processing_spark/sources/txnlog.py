@@ -223,15 +223,20 @@ def txn_read(
     return spark.read.schema(schema).parquet(*paths)
 
 
-def txn_merge(
+def _plan_merge(
     spark: SparkSession,
     table: str,
     updates: DataFrame,
     key_cols: list[str],
     schema_mode: str = "strict",
-) -> int:
-    """MERGE with snapshot isolation: matched keys replaced, new keys
-    appended, committed as one new version.
+) -> dict:
+    """Plan (and physically write the new data files of) a MERGE
+    against the current snapshot, returning the would-be manifest for
+    version read_version+1 WITHOUT committing it.  Shared core of
+    :func:`txn_merge` (plan+commit) and :func:`txn_stage_merge`
+    (plan+hold for write-audit-publish).  The new files are invisible
+    until some manifest references them, so planning is side-effect-
+    free from any reader's point of view.
 
     ``schema_mode="strict"`` (default): updates must carry the table's
     columns; extra update columns are ignored.  ``schema_mode="merge"``:
@@ -337,19 +342,124 @@ def txn_merge(
         new_rows = updates.select(*out_cols)
     new_files = _write_data_files(spark, table, new_rows, stat_col)
 
-    _commit(
-        table,
-        read_v + 1,
-        {
-            "version": read_v + 1,
-            "op": "merge",
-            "read_version": read_v,
-            "files": carry + new_files,
-            "schema": evolved_schema.json(),
-            "rewrote": sorted(e["path"] for e in rewrite),
-        },
-    )
-    return read_v + 1
+    return {
+        "version": read_v + 1,
+        "op": "merge",
+        "read_version": read_v,
+        "files": carry + new_files,
+        "schema": evolved_schema.json(),
+        "rewrote": sorted(e["path"] for e in rewrite),
+    }
+
+
+def txn_merge(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    schema_mode: str = "strict",
+) -> int:
+    """MERGE with snapshot isolation: matched keys replaced, new keys
+    appended, committed as one new version.
+
+    ``schema_mode="strict"`` (default): updates must carry the table's
+    columns; extra update columns are ignored.  ``schema_mode="merge"``:
+    columns present in ``updates`` but not in the table are ADDED to
+    the table schema (nullable) in the same commit — carried files are
+    NOT rewritten; reads project the missing columns as NULL via the
+    manifest-schema read in :func:`txn_read`.  A same-name column with
+    a different type is always an error (no implicit casts).
+
+    See :func:`_plan_merge` for the file-level planning (metadata range
+    prune → exact semi-join prune → bounded rewrite).
+    """
+    manifest = _plan_merge(spark, table, updates, key_cols, schema_mode)
+    _commit(table, manifest["version"], manifest)
+    return manifest["version"]
+
+
+_STAGED_DIR = "staged"
+
+
+def _staged_path(table: str, token: str) -> str:
+    return os.path.join(table, _LOG_DIR, _STAGED_DIR, f"{token}.json")
+
+
+def txn_stage_merge(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    schema_mode: str = "strict",
+) -> str:
+    """Write-audit-publish, step 1 (WRITE): run the full MERGE planning
+    and data-file writes, but hold the manifest in a staging area
+    instead of committing — no reader can see the result.  Returns a
+    token for :func:`txn_read_staged` (AUDIT), :func:`txn_publish`
+    (atomic go-live) and :func:`txn_abort` (discard).
+
+    The Iceberg/Delta WAP workflow: a pipeline stages its output, runs
+    its data-quality gate (operators/constraints.constraint_report)
+    against the staged snapshot, and only a passing audit publishes.
+    """
+    manifest = _plan_merge(spark, table, updates, key_cols, schema_mode)
+    token = uuid.uuid4().hex[:12]
+    path = _staged_path(table, token)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return token
+
+
+def txn_read_staged(spark: SparkSession, table: str, token: str) -> DataFrame:
+    """AUDIT view: the table as it WOULD look if the staged merge
+    published — schema-pinned like any snapshot read."""
+    with open(_staged_path(table, token)) as f:
+        m = json.load(f)
+    if not m["files"]:
+        return spark.createDataFrame([], _manifest_schema(m))
+    return _read_files(spark, table, m, m["files"])
+
+
+def txn_publish(table: str, token: str) -> int:
+    """PUBLISH: atomically commit the staged manifest as the next
+    version.  Raises :class:`TxnConflict` if any writer committed since
+    the stage was planned (its file pruning is stale) — re-stage
+    against the new snapshot, exactly like an optimistic retry."""
+    path = _staged_path(table, token)
+    with open(path) as f:
+        m = json.load(f)
+    if latest_version(table) != m["read_version"]:
+        raise TxnConflict(
+            f"staged merge read version {m['read_version']} but the table "
+            f"is now at {latest_version(table)}; abort and re-stage"
+        )
+    _commit(table, m["version"], m)
+    os.unlink(path)
+    return m["version"]
+
+
+def txn_abort(table: str, token: str) -> list[str]:
+    """Discard a staged merge: delete its manifest and every data file
+    it introduced (files carried from committed versions are untouched
+    — only paths referenced by NO committed manifest are removed)."""
+    path = _staged_path(table, token)
+    with open(path) as f:
+        m = json.load(f)
+    committed: set[str] = set()
+    for v in range(0, latest_version(table) + 1):
+        lp = _log_path(table, v)
+        if os.path.exists(lp):
+            committed |= {e["path"] for e in _read_manifest(table, v)["files"]}
+    removed = []
+    for e in m["files"]:
+        if e["path"] not in committed:
+            full = os.path.join(table, e["path"])
+            if os.path.exists(full):
+                os.unlink(full)
+                removed.append(e["path"])
+    os.unlink(path)
+    return sorted(removed)
 
 
 def txn_optimize(
@@ -461,12 +571,19 @@ def txn_optimize(
 def txn_vacuum(table: str, keep_versions: int = 2) -> list[str]:
     """Delete data files referenced by no retained manifest (old
     versions beyond ``keep_versions`` lose time travel). Returns the
-    deleted paths."""
+    deleted paths.  Files referenced by PENDING staged merges
+    (write-audit-publish) count as live — vacuum never races an audit."""
     v = latest_version(table)
     retained = range(max(0, v - keep_versions + 1), v + 1)
     live = {
         e["path"] for rv in retained for e in _read_manifest(table, rv)["files"]
     }
+    staged_dir = os.path.join(table, _LOG_DIR, _STAGED_DIR)
+    if os.path.isdir(staged_dir):
+        for f in os.listdir(staged_dir):
+            if f.endswith(".json"):
+                with open(os.path.join(staged_dir, f)) as fh:
+                    live |= {e["path"] for e in json.load(fh)["files"]}
     removed = []
     data_root = os.path.join(table, _DATA_DIR)
     for dirpath, _dirs, files in os.walk(data_root):

@@ -162,3 +162,28 @@ def streaming_hourly_aggregate(
             "total_value",
         )
     )
+
+
+def streaming_hopping_aggregate(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hopping (sliding) event-time window — 1-hour windows every 15
+    minutes, watermarked. The streaming twin of the batch
+    ``events_hopping_window`` catalog query: identical window
+    semantics, so a backfill (batch) and the live stream produce the
+    same rows — the lambda-architecture equivalence, for free, because
+    both are the same declarative plan."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -215,3 +215,54 @@ def test_streaming_too_late_rows_dropped_after_watermark(spark, tmp_path):
     }
     assert got["2024-01-01 09:00:00"] == (1, 1.0), "too-late row must not mutate a finalized window"
     assert got["2024-01-01 12:00:00"] == (1, 2.0)
+
+
+def test_streaming_hopping_window_matches_batch(spark, tmp_path):
+    """Hopping windows in streaming mode: each event lands in exactly 4
+    overlapping 1h/15min windows, and the streamed result row-for-row
+    equals the batch computation over the same data — the
+    backfill/live equivalence the catalog docstring promises."""
+    import json
+
+    from big_data_processing_spark.streaming.ingest import (
+        streaming_hopping_aggregate,
+    )
+
+    src = tmp_path / "hop_in"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 10:05:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 10:20:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01 11:05:00", "event_type": "view", "value": 3.0},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        streaming_hopping_aggregate(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hop_agg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from hop_agg").collect()
+    }
+    batch_df = spark.read.schema(schema).json(str(src))
+    batch = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in streaming_hopping_aggregate(batch_df).collect()
+    }
+    assert streamed == batch
+    # each event covers exactly 4 hops
+    assert sum(v[0] for v in streamed.values()) == 4 * len(rows)
+    # the two click events share 3 hops and differ in 1 (10:05 vs 10:20
+    # quarter): 10:00 window holds both
+    assert streamed[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert streamed[("2024-01-01 09:15:00", "click")] == (1, 1.0)

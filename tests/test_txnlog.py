@@ -598,3 +598,90 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
     assert (3, -3, "update_postimage") in got
     assert (100, 1, "insert") in got
     assert "tag" not in feed.columns
+
+
+# ------------------------------------------------------------ write-audit-publish
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """WAP happy path: stage a merge (invisible to readers), audit the
+    staged snapshot, publish atomically — result identical to a direct
+    merge."""
+    from big_data_processing_spark.sources.txnlog import (
+        txn_publish,
+        txn_read_staged,
+        txn_stage_merge,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    upd = spark.createDataFrame([(5, -5), (100, 1)], ["k", "v"])
+    token = txn_stage_merge(spark, t, upd, key_cols=["k"])
+    # invisible: latest read unchanged while staged
+    assert latest_version(t) == 0
+    assert (5, 10) in _rows(txn_read(spark, t))
+    # audit view shows the would-be result
+    staged = _rows(txn_read_staged(spark, t, token))
+    assert (5, -5) in staged and (100, 1) in staged and len(staged) == 51
+    v = txn_publish(t, token)
+    assert v == 1 and _rows(txn_read(spark, t)) == staged
+
+
+def test_wap_abort_discards_files_and_state(spark, tmp_path):
+    """Failed audit: abort removes every staged-only data file, leaves
+    all committed files, and the table keeps serving the old snapshot."""
+    from big_data_processing_spark.sources.txnlog import (
+        txn_abort,
+        txn_stage_merge,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    bad = spark.createDataFrame([(5, None)], "k long, v long")  # audit would fail
+    token = txn_stage_merge(spark, t, bad, key_cols=["k"])
+    removed = txn_abort(t, token)
+    assert removed  # the staged rewrite files are gone
+    assert _rows(txn_read(spark, t)) == {(i, 2 * i) for i in range(50)}
+    # every manifest-referenced file still exists
+    from big_data_processing_spark.sources.txnlog import _read_manifest
+
+    for e in _read_manifest(t, 0)["files"]:
+        assert os.path.exists(os.path.join(t, e["path"]))
+
+
+def test_wap_publish_conflicts_with_concurrent_commit(spark, tmp_path):
+    from big_data_processing_spark.sources.txnlog import (
+        txn_stage_merge,
+        txn_publish,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    token = txn_stage_merge(
+        spark, t, spark.createDataFrame([(1, -1)], ["k", "v"]), key_cols=["k"]
+    )
+    txn_merge(spark, t, spark.createDataFrame([(2, -2)], ["k", "v"]), key_cols=["k"])
+    with pytest.raises(TxnConflict, match="re-stage"):
+        txn_publish(t, token)
+
+
+def test_vacuum_preserves_staged_files(spark, tmp_path):
+    """Vacuum during a pending audit must not delete the staged files."""
+    from big_data_processing_spark.sources.txnlog import (
+        txn_publish,
+        txn_stage_merge,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    token = txn_stage_merge(
+        spark, t, spark.createDataFrame([(3, -3)], ["k", "v"]), key_cols=["k"]
+    )
+    assert txn_vacuum(t, keep_versions=1) == []
+    v = txn_publish(t, token)  # staged files intact → publish still works
+    got = _rows(txn_read(spark, t, version=v))
+    assert (3, -3) in got and len(got) == 20
