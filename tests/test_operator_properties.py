@@ -583,3 +583,100 @@ def test_constraint_report_null_hostile_single_scan(spark):
     }
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 1  # local relation: zero scans, one agg
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),                      # entity
+            st.integers(0, 20),                     # day offset
+            st.integers(0, 23),                     # hour (intra-day order)
+            st.integers(-50, 50),                   # value (int-valued double)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gap_fill_matches_pandas_reference(spark, events):
+    """gap_fill_ffill ≡ pandas asfreq('D').ffill() of the last-event-
+    per-day series, on arbitrary event streams."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from big_data_processing_spark.operators.timeseries import gap_fill_ffill
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (e, base + dt.timedelta(days=d, hours=h), float(v), i)
+        for i, (e, d, h, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    got = {
+        (r.entity, str(r.day)): (r.value_filled, r.is_observed)
+        for r in gap_fill_ffill(df, "user_id", "ts", "value", "event_id").collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["e", "ts", "v", "id"])
+    want = {}
+    for e, g in pdf.groupby("e"):
+        g = g.sort_values(["ts", "id"])  # last event of day by (ts, id)
+        daily = g.groupby(g["ts"].dt.date).last()["v"]
+        idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D").date
+        filled = daily.reindex(idx).ffill()
+        for day, v in filled.items():
+            want[(e, str(day))] = (float(v), int(day in set(daily.index)))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),               # key
+            st.integers(0, 15),              # day
+            st.sampled_from(["A", "B", "C"]),  # attr
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scd2_matches_python_reference(spark, changes):
+    """scd2_intervals ≡ a sequential fold over the (ts, id)-ordered
+    change stream, on arbitrary histories (duplicate days, re-visited
+    attributes, single-row keys)."""
+    import datetime as dt
+
+    from big_data_processing_spark.operators.timeseries import scd2_intervals
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (k, attr, base + dt.timedelta(days=d), i)
+        for i, (k, d, attr) in enumerate(changes)
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts timestamp, id long")
+    got = {
+        (r.key, r.attr, r.anchor, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_intervals(df, "k", "attr", "ts", "id").collect()
+    }
+
+    want = set()
+    bykey: dict[int, list] = {}
+    for k, attr, ts, i in rows:
+        bykey.setdefault(k, []).append((ts, i, attr))
+    for k, seq in bykey.items():
+        seq.sort()
+        kept = [
+            (ts, i, attr)
+            for j, (ts, i, attr) in enumerate(seq)
+            if j == 0 or seq[j - 1][2] != attr
+        ]
+        for j, (ts, i, attr) in enumerate(kept):
+            nxt = kept[j + 1][0].date().isoformat() if j + 1 < len(kept) else "9999-12-31"
+            want.add(
+                (k, attr, i, ts.date().isoformat(), nxt, int(j + 1 == len(kept)))
+            )
+    assert got == want
