@@ -42,9 +42,15 @@ from pyspark.sql import functions as F
 
 
 def _mg_partition(batches: Iterator[pd.DataFrame], capacity: int) -> Iterator[pd.DataFrame]:
-    """Misra-Gries over one partition's value stream (column 'v')."""
+    """Misra-Gries over one partition's value stream (column 'v').
+
+    Emits the surviving candidate values as (v, 0) rows plus one
+    sentinel (NULL, partition_row_count) row, so the caller learns N
+    from the same pass — no separate count() scan of the stream."""
     counters: dict[str, int] = {}
+    seen = 0
     for pdf in batches:
+        seen += len(pdf)
         for v, c in pdf["v"].value_counts().items():
             c = int(c)
             if v in counters:
@@ -61,7 +67,12 @@ def _mg_partition(batches: Iterator[pd.DataFrame], capacity: int) -> Iterator[pd
                     counters = {
                         k: n - cut for k, n in counters.items() if n > cut
                     }
-    yield pd.DataFrame({"v": list(counters.keys())})
+    yield pd.DataFrame(
+        {
+            "v": list(counters.keys()) + [None],
+            "n": [0] * len(counters) + [seen],
+        }
+    )
 
 
 def heavy_hitters_topk(
@@ -82,19 +93,22 @@ def heavy_hitters_topk(
     col = values.columns[0]
     vals = values.select(F.col(col).cast("string").alias("v"))
 
-    candidates = vals.mapInPandas(
-        lambda it: _mg_partition(it, capacity), schema="v string"
-    )
+    summaries = vals.mapInPandas(
+        lambda it: _mg_partition(it, capacity), schema="v string, n long"
+    ).collect()  # bounded: n_partitions x (capacity + 1) slim rows
+    total = sum(r["n"] for r in summaries if r["v"] is None)
+    cand = sorted({r["v"] for r in summaries if r["v"] is not None})
+    spark = values.sparkSession
+    candidates = spark.createDataFrame([(v,) for v in cand], "v string")
 
     exact = (
-        vals.join(F.broadcast(candidates.distinct()), "v", "left_semi")
+        vals.join(F.broadcast(candidates), "v", "left_semi")
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("v"))
         .limit(k)
     )
     rows = exact.collect()
-    total = vals.count()
     bound = total / capacity
     if len(rows) < k or rows[-1]["n"] <= bound:
         # MG guarantee does not cover the k-th rank at this capacity:
