@@ -358,6 +358,7 @@ def txn_merge(
     updates: DataFrame,
     key_cols: list[str],
     schema_mode: str = "strict",
+    txn_id: str | None = None,
 ) -> int:
     """MERGE with snapshot isolation: matched keys replaced, new keys
     appended, committed as one new version.
@@ -372,10 +373,37 @@ def txn_merge(
 
     See :func:`_plan_merge` for the file-level planning (metadata range
     prune → exact semi-join prune → bounded rewrite).
+
+    ``txn_id``: optional idempotence key (Delta's txn appId/version,
+    Iceberg's snapshot summary property).  When set, a merge whose
+    txn_id already appears in the commit log is SKIPPED and the
+    existing version returned — a replayed streaming micro-batch
+    (foreachBatch re-delivery after a crash) becomes exactly-once in
+    both content AND version history, not just content-idempotent.
     """
+    if txn_id is not None:
+        applied = _applied_txn_version(table, txn_id)
+        if applied is not None:
+            return applied
     manifest = _plan_merge(spark, table, updates, key_cols, schema_mode)
+    if txn_id is not None:
+        manifest["txn_id"] = txn_id
     _commit(table, manifest["version"], manifest)
     return manifest["version"]
+
+
+def _applied_txn_version(table: str, txn_id: str) -> int | None:
+    """Latest version whose manifest recorded ``txn_id``, else None.
+    O(versions) manifest-JSON reads — driver-side metadata, KB-scale;
+    tables under steady MERGE traffic keep version counts bounded via
+    OPTIMIZE + vacuum retention."""
+    for v in range(latest_version(table), -1, -1):
+        p = _log_path(table, v)
+        if not os.path.exists(p):
+            continue
+        if _read_manifest(table, v).get("txn_id") == txn_id:
+            return v
+    return None
 
 
 _STAGED_DIR = "staged"

@@ -685,3 +685,65 @@ def test_vacuum_preserves_staged_files(spark, tmp_path):
     v = txn_publish(t, token)  # staged files intact → publish still works
     got = _rows(txn_read(spark, t, version=v))
     assert (3, -3) in got and len(got) == 20
+
+
+def test_txn_merge_idempotent_on_txn_id(spark, tmp_path):
+    """A merge replayed with the same txn_id is a no-op returning the
+    original version — the exactly-once sink contract for foreachBatch
+    re-delivery (keyed on batch_id), in version history as well as
+    content."""
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    upd = spark.createDataFrame([(1, -1)], ["k", "v"])
+    v1 = txn_merge(spark, t, upd, key_cols=["k"], txn_id="batch-7")
+    v_replay = txn_merge(spark, t, upd, key_cols=["k"], txn_id="batch-7")
+    assert v1 == v_replay == 1
+    assert latest_version(t) == 1  # no burned version
+    v2 = txn_merge(
+        spark, t, spark.createDataFrame([(2, -2)], ["k", "v"]), ["k"], txn_id="batch-8"
+    )
+    assert v2 == 2
+    got = _rows(txn_read(spark, t))
+    assert (1, -1) in got and (2, -2) in got and len(got) == 10
+
+
+def test_txnlog_streaming_sink_exactly_once_versions(spark, tmp_path):
+    """foreachBatch sink keyed on batch_id: reprocessing after a
+    checkpoint-less restart re-delivers batch 0, and the txn_id guard
+    turns the replay into a no-op instead of a burned version."""
+    import json as _json
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    t = str(tmp_path / "sink")
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame([(k, 0) for k in range(5)], ["k", "v"]),
+        stat_col="k",
+    )
+    with open(src / "b1.json", "w") as f:
+        f.write(_json.dumps({"k": 1, "v": 11}) + "\n")
+
+    def run(ck):
+        stream = spark.readStream.schema("k long, v long").json(str(src))
+
+        def sink(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            txn_merge(spark, t, batch_df, ["k"], txn_id=f"q1-{batch_id}")
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck_a")
+    assert latest_version(t) == 1
+    run("ck_b")  # fresh checkpoint: batch 0 re-delivered, must be a no-op
+    assert latest_version(t) == 1
+    assert (1, 11) in _rows(txn_read(spark, t))
