@@ -32,6 +32,8 @@ def constraint_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     Single scan regardless of the number of checks; n_rows is the
     table count so the report is self-describing about coverage.
     """
+    if not checks:
+        raise ValueError("constraint_report requires at least one check")
     aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
     for name, cond in checks.items():
         aggs.append(

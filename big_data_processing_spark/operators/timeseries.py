@@ -14,7 +14,7 @@ single global sort.  The date spine is generated row-locally with
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

@@ -12,7 +12,9 @@ cents, no float rounding on outputs.
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -216,28 +218,39 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# one bucketed-table build per (process, sf_dir) — repeated bench runs
-# and the driver's double materialization reuse the layout, mirroring
-# production where the bucketed write is a one-time layout cost.
+# One bucketed-table build per (SparkSession, sf_dir) — repeated bench
+# runs and the driver's double materialization reuse the layout,
+# mirroring production where the bucketed write is a one-time cost.
+# The data lives at a DETERMINISTIC tmp path (one copy per sf, not one
+# per run), and the cache is re-validated against the session catalog
+# because saveAsTable registrations die with the SparkSession.
 _BUCKETED: dict[str, tuple[str, str]] = {}
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
-    if tag in _BUCKETED:
-        return _BUCKETED[tag]
-    base = tempfile.mkdtemp(prefix="bucketed_")
     ot, lt = f"b4_orders_{tag}", f"b4_lineitem_{tag}"
+    if (
+        tag in _BUCKETED
+        and spark.catalog.tableExists(ot)
+        and spark.catalog.tableExists(lt)
+    ):
+        return _BUCKETED[tag]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{tag}")
     for name, table, key in (
         ("orders", ot, "o_orderkey"),
         ("lineitem", lt, "l_orderkey"),
     ):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        path = f"{base}/{table}"
+        if os.path.isdir(path):
+            shutil.rmtree(path)
         (
             _t(spark, sf_dir, name)
             .write.mode("overwrite")
             .bucketBy(16, key)
             .sortBy(key)
-            .option("path", f"{base}/{table}")
+            .option("path", path)
             .saveAsTable(table)
         )
     _BUCKETED[tag] = (ot, lt)
@@ -475,7 +488,6 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: staging cost equals the merge it plans (file-pruned
     rewrite); audit is one scan of the staged snapshot; publish is a
     metadata-only atomic rename."""
-    import tempfile
 
     from ..operators.constraints import constraint_report
     from ..sources.txnlog import (

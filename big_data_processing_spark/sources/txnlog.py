@@ -305,9 +305,9 @@ def _plan_merge(
     table_cols = [f.name for f in table_schema.fields]
     if schema_mode == "merge":
         upd_types = dict(updates.dtypes)
-        tbl_types = dict(
-            txn_read(spark, table, read_v).dtypes
-        )  # manifest-schema types
+        tbl_types = {
+            f.name: f.dataType.simpleString() for f in table_schema.fields
+        }
         for c in table_cols:
             if c in upd_types and upd_types[c] != tbl_types[c]:
                 raise TypeError(

@@ -170,15 +170,20 @@ def streaming_hopping_aggregate(
     """Hopping (sliding) event-time window — 1-hour windows every 15
     minutes, watermarked. The streaming twin of the batch
     ``events_hopping_window`` catalog query: identical window
-    semantics, so a backfill (batch) and the live stream produce the
-    same rows — the lambda-architecture equivalence, for free, because
-    both are the same declarative plan."""
+    semantics AND the same order-independent decimal-exact sum, so a
+    backfill (batch) and the live stream produce bit-identical rows
+    regardless of micro-batch arrival order — the lambda-architecture
+    equivalence, for free, because both are the same declarative plan.
+    (A float F.sum here would drift in the last ulp with delivery
+    order, breaking the claimed row equality.)"""
+    from ..functions.aggregates import dsum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            dsum("value", 9).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),

@@ -14,6 +14,22 @@ def _plan(spark, sf_dir, name: str) -> str:
     return CATALOG[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
+def _n_unpartitioned_windows(df) -> int:
+    """Count Window nodes with an EMPTY partitionSpec, from the
+    optimized logical plan's JSON — plan-STRING matching cannot
+    distinguish `[exprs], [orderSpec]` (unpartitioned) from
+    `[exprs], [partitionSpec]` (partitioned, no ordering), both of
+    which print two bracket groups."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return sum(
+        1
+        for n in nodes
+        if n["class"].endswith("logical.Window") and not n.get("partitionSpec")
+    )
+
+
 BROADCAST_QUERIES = [
     "region_customer_rollup",
     "semi_join_building_orders",
@@ -94,25 +110,35 @@ _BNLJ_JUSTIFIED = {
 }
 
 
+# Unpartitioned windows acceptable ONLY over inputs bounded by
+# construction — each entry documents the bound.
+_GLOBAL_WINDOW_JUSTIFIED = {
+    "global_month_rank",    # ranks distinct (year, month) pairs — dozens
+    "vocab_top_tokens",     # rank over the ≤100-row TakeOrdered result
+    "curation_shard_plan",  # documented single-partition cumsum contract;
+                            # production twin: curation_shard_plan_by_lang
+}
+
+
 def test_catalog_plan_invariants_single_sweep(spark, sf_dir):
-    """One executed-plan pass over EVERY catalog query enforcing the
-    100 TB invariants: no cartesian product, no nested-loop join
-    outside the bounded-side allowlist, and — with NO exceptions — no
-    unpartitioned WindowExec (a partitionless window serializes the
+    """One plan pass over EVERY catalog query enforcing the 100 TB
+    invariants: no cartesian product, no nested-loop join outside the
+    bounded-side allowlist, and no unpartitioned Window outside the
+    bounded-input allowlist (a partitionless window serializes its
     whole input through one reducer)."""
     for name in CATALOG:
-        plan = _plan(spark, sf_dir, name)
+        df = CATALOG[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         if name not in ("knn_bruteforce_cosine",):
             assert "CartesianProduct" not in plan, name
         if "BroadcastNestedLoopJoin" in plan:
             assert name in _BNLJ_JUSTIFIED, (
                 f"{name}: nested-loop join with no documented bounded side"
             )
-        for line in plan.splitlines():
-            if "WindowExec" in line or "Window [" in line:
-                assert "windowspecdefinition()" not in line, (
-                    f"{name}: unpartitioned window"
-                )
+        if _n_unpartitioned_windows(df):
+            assert name in _GLOBAL_WINDOW_JUSTIFIED, (
+                f"{name}: unpartitioned window with no documented bounded input"
+            )
 
 
 def test_asof_join_plan_has_no_join_operator(spark, sf_dir):
@@ -212,21 +238,21 @@ def test_pq_rerank_plan_shape(spark, sf_dir, name):
 )
 def test_timeseries_windows_all_partitioned(spark, sf_dir, name):
     """Gap-fill and SCD2 windows must all partition by the entity key —
-    a partitionless WindowExec would serialize the whole table through
+    a partitionless Window would serialize the whole table through
     one reducer at 100 TB."""
-    plan = _plan(spark, sf_dir, name)
-    for line in plan.splitlines():
-        if "WindowExec" in line or "Window [" in line:
-            assert "windowspecdefinition()" not in line, "unpartitioned window"
+    df = CATALOG[name].fn(spark, sf_dir)
+    assert _n_unpartitioned_windows(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_gap_fill_spine_is_row_local_sequence(spark, sf_dir):
-    """The date spine comes from sequence()+explode (Generate node),
-    never a crossJoin against a calendar table."""
+    """The date spine comes from sequence()+explode (a Generate over
+    the per-entity span array), never a crossJoin against a calendar
+    table."""
     plan = _plan(spark, sf_dir, "events_gap_fill_ffill")
-    assert "Generate explode(sequence" in plan.replace("\n", " ") or "Generate" in plan
+    assert "Generate explode(sequence(" in plan.replace("\n", " ")
     assert "CartesianProduct" not in plan
 
 
