@@ -221,10 +221,23 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One bucketed-table build per (SparkSession, sf_dir) — repeated bench
 # runs and the driver's double materialization reuse the layout,
 # mirroring production where the bucketed write is a one-time cost.
-# The data lives at a DETERMINISTIC tmp path (one copy per sf, not one
-# per run), and the cache is re-validated against the session catalog
-# because saveAsTable registrations die with the SparkSession.
+# The data lives at a per-PROCESS tmp path (concurrent processes never
+# race on each other's files) removed at interpreter exit, and the
+# cache is re-validated against the session catalog because
+# saveAsTable registrations die with the SparkSession.
 _BUCKETED: dict[str, tuple[str, str]] = {}
+
+
+def _bucketed_base() -> str:
+    import atexit
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bucketed_{os.getpid()}"
+    )
+    if not os.path.isdir(base):
+        os.makedirs(base, exist_ok=True)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -236,7 +249,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         and spark.catalog.tableExists(lt)
     ):
         return _BUCKETED[tag]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{tag}")
+    base = _bucketed_base()
     for name, table, key in (
         ("orders", ot, "o_orderkey"),
         ("lineitem", lt, "l_orderkey"),

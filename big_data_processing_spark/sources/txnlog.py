@@ -770,3 +770,53 @@ def txn_changes(
     pre = upd.select(*_pick("o"), F.lit("update_preimage").alias("_change_type"))
     post = upd.select(*_pick("n"), F.lit("update_postimage").alias("_change_type"))
     return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
+def txn_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version — operation,
+    read version, file/row counts, schema width, txn_id, and what the
+    commit rewrote/compacted. Manifest-JSON-derived (KB-scale driver
+    metadata, no data files touched), returned as a DataFrame so the
+    audit query can join/filter it like any table."""
+    rows = []
+    for v in range(0, latest_version(table) + 1):
+        if not os.path.exists(_log_path(table, v)):
+            continue  # vacuumed beyond retention
+        m = _read_manifest(table, v)
+        rows.append(
+            (
+                v,
+                m.get("op"),
+                m.get("read_version"),
+                len(m["files"]),
+                sum(e["rows"] for e in m["files"]),
+                len(_manifest_schema(m).fields),
+                m.get("txn_id"),
+                len(m.get("rewrote", []) or m.get("compacted", [])),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, read_version int, n_files int, "
+        "n_rows long, n_columns int, txn_id string, n_rewritten int",
+    )
+
+
+def txn_file_stats(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """DESCRIBE DETAIL at file granularity: the live files of a
+    snapshot with their row counts and min/max pruning stats — the
+    observability view behind OPTIMIZE decisions (small-file counts)
+    and data-skipping effectiveness (range overlap)."""
+    v = latest_version(table) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no txnlog table at {table}")
+    m = _read_manifest(table, v)
+    rows = [
+        (v, e["path"], e["rows"], e["stat_col"], str(e["lo"]), str(e["hi"]))
+        for e in m["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, path string, n_rows long, stat_col string, "
+        "lo string, hi string",
+    )

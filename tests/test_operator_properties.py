@@ -680,3 +680,32 @@ def test_scd2_matches_python_reference(spark, changes):
                 (k, attr, i, ts.date().isoformat(), nxt, int(j + 1 == len(kept)))
             )
     assert got == want
+
+
+def test_new_operators_empty_input(spark):
+    """Empty inputs: heavy hitters, gap-fill, and SCD2 return empty
+    frames with the right schema instead of raising — a 100 TB
+    pipeline's first run of the day often sees an empty partition."""
+    from big_data_processing_spark.operators.heavyhitters import heavy_hitters_topk
+    from big_data_processing_spark.operators.timeseries import (
+        gap_fill_ffill,
+        scd2_intervals,
+    )
+
+    empty_vals = spark.createDataFrame([], "v string")
+    hh = heavy_hitters_topk(empty_vals, k=3, capacity=8)
+    assert hh.collect() == [] and hh.columns == ["v", "n"]
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double, event_id long"
+    )
+    gf = gap_fill_ffill(empty_ev, "user_id", "ts", "value", "event_id")
+    assert gf.collect() == [] and gf.columns == [
+        "entity", "day", "value_filled", "is_observed",
+    ]
+
+    empty_ch = spark.createDataFrame(
+        [], "k long, attr string, ts timestamp, id long"
+    )
+    iv = scd2_intervals(empty_ch, "k", "attr", "ts", "id")
+    assert iv.collect() == []

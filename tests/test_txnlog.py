@@ -747,3 +747,33 @@ def test_txnlog_streaming_sink_exactly_once_versions(spark, tmp_path):
     run("ck_b")  # fresh checkpoint: batch 0 re-delivered, must be a no-op
     assert latest_version(t) == 1
     assert (1, 11) in _rows(txn_read(spark, t))
+
+
+def test_history_and_file_stats_views(spark, tmp_path):
+    """DESCRIBE HISTORY / DETAIL views reflect the commit log: ops in
+    order, txn_id surfaced, rewrite counts, per-file pruning stats."""
+    from big_data_processing_spark.sources.txnlog import (
+        txn_file_stats,
+        txn_history,
+        txn_optimize,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df.repartitionByRange(3, "k"), stat_col="k")
+    txn_merge(
+        spark, t, spark.createDataFrame([(1, -1)], ["k", "v"]), ["k"], txn_id="b0"
+    )
+    txn_optimize(spark, t, target_rows=10_000_000)
+    h = {r.version: r for r in txn_history(spark, t).collect()}
+    assert [h[v].op for v in sorted(h)] == ["create", "merge", "optimize"]
+    assert h[1].txn_id == "b0" and h[1].n_rewritten >= 1
+    assert h[2].n_files == 1 and h[2].n_rows == 40
+    fs = txn_file_stats(spark, t).collect()
+    assert len(fs) == 1 and fs[0].n_rows == 40 and fs[0].stat_col == "k"
+    assert int(fs[0].lo) == 0 and int(fs[0].hi) == 39
+    # time-travel detail: the fragmented v0 shows 3 files with disjoint ranges
+    fs0 = sorted(
+        (int(r.lo), int(r.hi)) for r in txn_file_stats(spark, t, version=0).collect()
+    )
+    assert len(fs0) == 3 and all(a[1] < b[0] for a, b in zip(fs0, fs0[1:]))
