@@ -364,6 +364,9 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
         if data[i] != 0xFF:
             raise MediaCodecError("JPEG marker stream desynchronized")
         marker = data[i + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes precede a marker
+            i += 1
+            continue
         if marker == 0xD9:  # EOI before any SOF
             break
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST/TEM: no length
@@ -463,6 +466,10 @@ class _BitWriter:
         while self.nbits >= 8:
             byte = (self.acc >> (self.nbits - 8)) & 0xFF
             self.nbits -= 8
+            # truncate the accumulator to the unread tail — without
+            # this it grows into an unbounded bignum and every shift
+            # turns O(total bits written), i.e. O(n^2) per image
+            self.acc &= (1 << self.nbits) - 1
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)
@@ -669,7 +676,11 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        # drop the consumed bit: keeps acc bounded (< 2^nbits) so the
+        # per-bit shifts stay O(1) instead of scaling with bytes read
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def receive(self, n: int) -> int:
         v = 0
@@ -745,6 +756,9 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
         if data[i] != 0xFF:
             raise MediaCodecError("JPEG marker stream desynchronized")
         marker = data[i + 1]
+        if marker == 0xFF:  # fill bytes before a marker are legal padding
+            i += 1
+            continue
         if marker == 0xD9:
             raise MediaCodecError("JPEG without scan data")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
@@ -945,13 +959,18 @@ def _dib_rows(width: int, height: int, rgb_topdown: bytes) -> bytes:
     return b"".join(rows)
 
 
-def _undib_rows(width: int, height: int, dib: bytes) -> bytes:
+def _undib_rows(width: int, height: int, dib: bytes, bottom_up: bool = True) -> bytes:
+    """BGR DIB rows -> top-down RGB.  ``bottom_up`` follows the sign
+    of biHeight: positive = bottom-up (the BMP default), negative =
+    already top-down (legal and emitted by common writers) — reversing
+    a top-down frame would silently mirror it vertically."""
     stride = width * 3
     padded = stride + ((-stride) % 4)
     if len(dib) < padded * height:
         raise MediaCodecError("AVI frame shorter than geometry requires")
+    order = range(height - 1, -1, -1) if bottom_up else range(height)
     rows = []
-    for y in range(height - 1, -1, -1):
+    for y in order:
         row = dib[y * padded : y * padded + stride]
         rgb = bytearray(row)
         rgb[0::3], rgb[2::3] = row[2::3], row[0::3]
@@ -1052,10 +1071,11 @@ def decode_avi_rgb24(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise MediaCodecError("not an AVI payload")
     width = height = None
     rate = scale = None
+    bottom_up = True
     frames: list[bytes] = []
 
     def walk_list(start: int, end: int) -> None:
-        nonlocal width, height, rate, scale
+        nonlocal width, height, rate, scale, bottom_up
         for tag, body, size in _walk_riff(data, start, end):
             if tag == b"LIST":
                 walk_list(body + 4, body + size)
@@ -1077,11 +1097,14 @@ def decode_avi_rgb24(data: bytes) -> tuple[int, int, int, list[bytes]]:
                         "compressed/non-RGB24 AVI needs an external codec"
                     )
                 width, height = w, abs(h)
+                bottom_up = h > 0
             elif tag in (b"00db", b"00dc"):
                 if width is None:
                     raise MediaCodecError("AVI frame before format header")
                 frames.append(
-                    _undib_rows(width, height, data[body : body + size])
+                    _undib_rows(
+                        width, height, data[body : body + size], bottom_up
+                    )
                 )
 
     walk_list(12, 8 + struct.unpack("<I", data[4:8])[0])

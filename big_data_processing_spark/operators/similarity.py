@@ -632,6 +632,23 @@ def build_pq_index(
 _PQ_EXPR_CACHE: dict = {}
 
 
+def _pq_cache() -> dict:
+    """The memo dict, invalidated when the JVM gateway changes: cached
+    Column objects wrap py4j JavaObjects, so entries built against a
+    stopped SparkContext would raise stale-object errors from a new
+    session. Keying the whole cache by the active context identity
+    (and clearing on change) also bounds growth to one session's
+    codebooks."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    tag = id(sc) if sc is not None else None
+    if _PQ_EXPR_CACHE.get("_tag") != tag:
+        _PQ_EXPR_CACHE.clear()
+        _PQ_EXPR_CACHE["_tag"] = tag
+    return _PQ_EXPR_CACHE
+
+
 def _codebook_key(codebooks) -> tuple:
     return tuple(tuple(tuple(c) for c in book) for book in codebooks)
 
@@ -647,10 +664,10 @@ def _codebook_lit(book: "list[list[float]]") -> Column:
     for 16 codebooks) that would otherwise be paid on every query
     build."""
     key = ("lit", tuple(tuple(c) for c in book))
-    col = _PQ_EXPR_CACHE.get(key)
+    col = _pq_cache().get(key)
     if col is None:
         col = F.lit([[float(x) for x in cent] for cent in book])
-        _PQ_EXPR_CACHE[key] = col
+        _pq_cache()[key] = col
     return col
 
 
@@ -693,7 +710,7 @@ def pq_encode(
     nv = F.transform(F.col("_dv"), lambda x: x / F.col("_nrm"))
     normed = base.select("id", nv.alias("_nv"), *keeps)
     ckey = ("codes", _codebook_key(codebooks))
-    codes_expr = _PQ_EXPR_CACHE.get(ckey)
+    codes_expr = _pq_cache().get(ckey)
     if codes_expr is None:
         codes = []
         for j, book in enumerate(codebooks):
@@ -702,7 +719,7 @@ def pq_encode(
                 (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
             )
         codes_expr = F.array(*codes)
-        _PQ_EXPR_CACHE[ckey] = codes_expr
+        _pq_cache()[ckey] = codes_expr
     return normed.select("id", codes_expr.alias("codes"), *keeps)
 
 
@@ -734,7 +751,7 @@ def _pq_query_luts(
         )
     )
     lkey = ("luts", _codebook_key(codebooks))
-    luts = _PQ_EXPR_CACHE.get(lkey)
+    luts = _pq_cache().get(lkey)
     if luts is None:
         luts = [
             _sub_dists(F.col("q_vec"), _codebook_lit(book), j, sub).alias(
@@ -742,7 +759,7 @@ def _pq_query_luts(
             )
             for j, book in enumerate(codebooks)
         ]
-        _PQ_EXPR_CACHE[lkey] = luts
+        _pq_cache()[lkey] = luts
     return q.select("query_id", *luts)
 
 

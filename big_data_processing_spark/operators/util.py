@@ -120,9 +120,17 @@ def register_checkpoint_release(df: DataFrame) -> DataFrame:
 
 
 def release_barriers() -> int:
-    """Release every registered barrier; returns how many. Safe to
-    call anytime — barriers released while a dependent plan is still
-    unexecuted are simply recomputed without the barrier's benefit."""
+    """Release every registered barrier; returns how many.
+
+    Timing contract, per barrier kind: PERSIST barriers (persist_
+    barrier) are safe to release anytime — an unexecuted dependent
+    plan simply recomputes without the cache. CHECKPOINT releases
+    (register_checkpoint_release) are DESTRUCTIVE: a localCheckpoint
+    truncates lineage, so its blocks are the only copy of the data and
+    releasing them breaks any retained DataFrame that still depends on
+    them ('Checkpoint block not found'). Call this only after every
+    returned result has been fully materialized (collected/written),
+    which is what bench.py and the test fixture do."""
     n = 0
     while _BARRIERS:
         try:

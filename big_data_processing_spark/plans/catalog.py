@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
+    "dedup_cluster_assign",  # inherits the capped minhash edge set
     "quantiles_by_priority",
 )
 

@@ -22,6 +22,7 @@ from ..functions.text import (
 )
 from ..functions.text import normalize_text
 from ..operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
     minhash_lsh_pairs,
     simhash_fingerprints,
     simhash_hamming_pairs,
@@ -331,7 +332,14 @@ def _minhash_oracle(max_bucket: int | None = None) -> str:
     """
 
 
-@query("dedup_minhash_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
+# oracle caps band buckets at the SAME default as the operator: the cap
+# never bites on sane corpora, but if regenerated testdata ever produces
+# a degenerate bucket both engines drop it identically (no silent skew).
+@query(
+    "dedup_minhash_pairs",
+    oracle=_minhash_oracle(max_bucket=DEFAULT_MAX_BUCKET_SIZE),
+    tags=("dedup", "minhash", "lsh"),
+)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12 hashes) + LSH(4 bands x 3 rows) near-dup candidate
     pairs over 3-token shingles, verified with exact Jaccard >= 0.3.
@@ -457,10 +465,16 @@ def _simhash_pairs_oracle() -> str:
                (simhash >> (i * {block_bits})) & {mask} AS block_val
         FROM fp, range({blocks}) t(i)
     ),
+    banded_capped AS (
+        SELECT id, simhash, block_idx, block_val FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY block_idx, block_val) AS bsz
+            FROM banded
+        ) WHERE bsz <= {DEFAULT_MAX_BUCKET_SIZE}
+    ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                a.simhash AS sh_a, b.simhash AS sh_b
-        FROM banded a JOIN banded b
+        FROM banded_capped a JOIN banded_capped b
           ON a.block_idx = b.block_idx AND a.block_val = b.block_val
          AND a.id < b.id
     )
@@ -504,7 +518,7 @@ def _cluster_oracle() -> str:
     # fixpoint the Spark label-propagation loop converges to.
     return f"""
     WITH RECURSIVE
-    mh AS (SELECT id_a, id_b FROM ({_minhash_oracle()})),
+    mh AS (SELECT id_a, id_b FROM ({_minhash_oracle(max_bucket=DEFAULT_MAX_BUCKET_SIZE)})),
     members AS (SELECT doc_id AS id, md5({_NORM}) AS digest FROM documents),
     grp AS (SELECT digest, MIN(id) AS keep_id, COUNT(*) AS n
             FROM members GROUP BY digest),
@@ -734,10 +748,16 @@ def _embedding_pairs_oracle() -> str:
         SELECT vec_id, embedding, u.band_idx, [{band_arr}][u.band_idx + 1] AS band
         FROM sigs, (SELECT UNNEST(generate_series(0, {_ECP_BANDS - 1})) AS band_idx) u
     ),
+    banded_capped AS (
+        SELECT vec_id, embedding, band_idx, band FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band) AS bsz
+            FROM banded
+        ) WHERE bsz <= {DEFAULT_MAX_BUCKET_SIZE}
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                a.embedding AS a_vec, b.embedding AS b_vec
-        FROM banded a JOIN banded b
+        FROM banded_capped a JOIN banded_capped b
           ON a.band_idx = b.band_idx AND a.band = b.band AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine FROM (
@@ -1724,12 +1744,18 @@ def _winnow_oracle() -> str:
         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, unnest(fps) AS fp
         FROM fps
     ),
+    ex_capped AS (
+        SELECT doc_id, n_fps, fp FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY fp) AS bsz FROM ex
+        ) WHERE bsz <= {DEFAULT_MAX_BUCKET_SIZE}
+    ),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(count(*) AS BIGINT) AS n_shared,
                any_value(a.n_fps) AS n_fps_a,
                any_value(b.n_fps) AS n_fps_b
-        FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM ex_capped a JOIN ex_capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b, n_shared, n_fps_a, n_fps_b,

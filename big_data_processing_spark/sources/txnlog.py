@@ -692,7 +692,7 @@ def txn_delete(
             "op": "delete",
             "read_version": read_v,
             "files": carry + new_files,
-            "schema": _read_manifest(table, read_v)["schema"],
+            "schema": m["schema"],
             "rewrote": sorted(e["path"] for e in rewrite),
         },
     )
@@ -724,10 +724,10 @@ def txn_changes(
     to_v = latest_version(table) if to_version is None else to_version
     m_from = _read_manifest(table, from_version)
     m_to = _read_manifest(table, to_v)
-    from_paths = [e["path"] for e in m_from["files"]]
-    to_paths = [e["path"] for e in m_to["files"]]
-    removed = [p for p in from_paths if p not in set(to_paths)]
-    added = [p for p in to_paths if p not in set(from_paths)]
+    from_paths = {e["path"] for e in m_from["files"]}
+    to_paths = {e["path"] for e in m_to["files"]}
+    removed = sorted(from_paths - to_paths)
+    added = sorted(to_paths - from_paths)
     schema = T.StructType.fromJson(json.loads(m_from["schema"]))
 
     def _side(paths: list[str], m_side: dict) -> DataFrame:

@@ -543,3 +543,48 @@ def test_decoders_quarantine_malformed_bytes():
                 bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120))),
             )
             check(decoder, good[:2] + bytes(rng.randrange(256) for _ in range(60)))
+
+
+def test_jpeg_marker_walk_accepts_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker — conformant streams using padding must not be rejected as
+    desynchronized."""
+    from big_data_processing_spark.operators.mediacodec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        jpeg_dimensions,
+    )
+
+    jpg = encode_jpeg_baseline(8, 8, 3, bytes(range(64)) * 3)
+    padded = jpg[:2] + b"\xff\xff" + jpg[2:]  # fill bytes after SOI
+    assert jpeg_dimensions(padded) == jpeg_dimensions(jpg)
+    w, h, comps = decode_jpeg_baseline(padded)[:3]
+    assert (w, h) == (8, 8)
+
+
+def test_avi_topdown_negative_height_not_flipped():
+    """Negative biHeight = top-down DIB (legal, common): frames must
+    decode in their stored order, not get mirrored vertically."""
+    import struct
+
+    from big_data_processing_spark.operators.mediacodec import (
+        decode_avi_rgb24,
+        encode_avi_rgb24,
+    )
+
+    w, h = 3, 2
+    # distinct rows so a vertical flip is visible
+    frame = bytes([10] * 9 + [200] * 9)  # row0=10s, row1=200s
+    avi = bytearray(encode_avi_rgb24(w, h, 5, [frame]))
+    _, _, _, (got_bu,) = decode_avi_rgb24(bytes(avi))
+    assert got_bu == frame
+
+    # rewrite the strf BITMAPINFOHEADER's biHeight to -h
+    body = bytes(avi).find(b"strf") + 8  # past tag + size
+    assert struct.unpack("<i", avi[body + 8 : body + 12])[0] == h
+    avi[body + 8 : body + 12] = struct.pack("<i", -h)
+    # the encoder wrote rows bottom-up; with top-down declared, the
+    # stored stream now means the REVERSED logical image
+    _, _, _, (got_td,) = decode_avi_rgb24(bytes(avi))
+    assert got_td == bytes([200] * 9 + [10] * 9)
+    assert got_td != got_bu

@@ -210,14 +210,13 @@ def test_full_outer_joins_aggregates_not_facts(spark, sf_dir):
 
 def test_winnow_no_global_window(spark, sf_dir):
     """Winnowing's only windows are the partitioned bucket-cap count;
-    nothing plans a single-partition WindowExec, and the fingerprint
+    nothing plans a single-partition Window, and the fingerprint
     self-join is a hash join on fp, not a nested loop."""
-    plan = _plan(spark, sf_dir, "dedup_winnow_pairs")
+    df = CATALOG["dedup_winnow_pairs"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    for line in plan.splitlines():
-        if "WindowExec" in line or "Window [" in line:
-            assert "windowspecdefinition()" not in line, "unpartitioned window"
+    assert _n_unpartitioned_windows(df) == 0
 
 
 @pytest.mark.parametrize("name", ["knn_pq_rerank", "knn_ivf_pq_rerank"])
