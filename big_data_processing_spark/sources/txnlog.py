@@ -820,3 +820,34 @@ def txn_file_stats(spark: SparkSession, table: str, version: int | None = None) 
         "version int, path string, n_rows long, stat_col string, "
         "lo string, hi string",
     )
+
+
+def txn_restore(table: str, to_version: int) -> int:
+    """RESTORE: make an earlier snapshot current again by committing
+    its manifest (file list + schema) as a NEW version — history is
+    append-only, so the restore is itself time-travelable and a
+    concurrent writer still conflicts atomically. Metadata-only: no
+    data files move (Delta RESTORE semantics). Requires the target
+    version's manifest (and therefore its files — vacuum retention) to
+    still exist."""
+    v = latest_version(table)
+    if to_version < 0 or to_version > v:
+        raise ValueError(f"cannot restore {table} to version {to_version}")
+    if not os.path.exists(_log_path(table, to_version)):
+        raise FileNotFoundError(
+            f"version {to_version} was vacuumed beyond retention"
+        )
+    m = _read_manifest(table, to_version)
+    _commit(
+        table,
+        v + 1,
+        {
+            "version": v + 1,
+            "op": "restore",
+            "read_version": v,
+            "restored_version": to_version,
+            "files": m["files"],
+            "schema": m["schema"],
+        },
+    )
+    return v + 1

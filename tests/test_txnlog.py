@@ -777,3 +777,28 @@ def test_history_and_file_stats_views(spark, tmp_path):
         (int(r.lo), int(r.hi)) for r in txn_file_stats(spark, t, version=0).collect()
     )
     assert len(fs0) == 3 and all(a[1] < b[0] for a, b in zip(fs0, fs0[1:]))
+
+
+def test_restore_rolls_back_as_new_version(spark, tmp_path):
+    """RESTORE commits an old snapshot's file list as a new version:
+    the bad merge stays in history (time travel still sees it), the
+    current read equals the restored snapshot, and restored files are
+    protected from vacuum by being referenced again."""
+    from big_data_processing_spark.sources.txnlog import txn_restore
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    txn_merge(spark, t, spark.createDataFrame([(1, -999)], ["k", "v"]), ["k"])
+    assert (1, -999) in _rows(txn_read(spark, t))
+    v = txn_restore(t, 0)
+    assert v == 2 and latest_version(t) == 2
+    assert _rows(txn_read(spark, t)) == {(i, 2 * i) for i in range(10)}
+    # the bad version remains time-travelable
+    assert (1, -999) in _rows(txn_read(spark, t, version=1))
+    # vacuum keeping only the latest must preserve the restored files
+    removed = txn_vacuum(t, keep_versions=1)
+    assert _rows(txn_read(spark, t)) == {(i, 2 * i) for i in range(10)}
+    with pytest.raises(ValueError):
+        txn_restore(t, 99)
+    _ = removed
