@@ -107,3 +107,45 @@ def test_read_jsonl_docs_count_on_drop_path(spark, tmp_path):
                              "source": "web", "meta": {}}) + "\n")
         f.write("not json at all\n")
     assert read_jsonl_docs(spark, str(p)).count() == 1
+
+
+def test_load_table_normalizes_all_ts_encodings(spark, tmp_path):
+    """The driver regenerates testdata between rounds and its physical
+    timestamp encoding has drifted (int64-nanos in r1-2, microsecond
+    TIMESTAMP_NTZ in r3). load_table must yield the SAME TIMESTAMP(LTZ)
+    values for every encoding a future round might produce: ns, us-NTZ,
+    and us-UTC parquet."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_processing_spark.sources.readers import load_table
+
+    instants = [
+        dt.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        dt.datetime(2024, 6, 30, 23, 59, 59, 999999),
+    ]
+    encodings = {
+        "ns": pa.timestamp("ns"),
+        "us_ntz": pa.timestamp("us"),
+        "us_utc": pa.timestamp("us", tz="UTC"),
+    }
+    got = {}
+    for tag, typ in encodings.items():
+        d = tmp_path / tag
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(instants, typ),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+        df = load_table(spark, str(d), "events")
+        assert str(df.schema["ts"].dataType) == "TimestampType()", tag
+        got[tag] = [
+            (r.event_id, str(r.ts)) for r in df.orderBy("event_id").collect()
+        ]
+    assert got["ns"] == got["us_ntz"] == got["us_utc"]
+    assert got["ns"][0][1].startswith("2024-01-01 12:00:00.123456")
