@@ -93,6 +93,15 @@ def heavy_hitters_topk(
     col = values.columns[0]
     vals = values.select(F.col(col).cast("string").alias("v"))
 
+    def exact_topk(df: DataFrame) -> list:
+        return (
+            df.groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("v"))
+            .limit(k)
+            .collect()
+        )
+
     summaries = vals.mapInPandas(
         lambda it: _mg_partition(it, capacity), schema="v string, n long"
     ).collect()  # bounded: n_partitions x (capacity + 1) slim rows
@@ -101,25 +110,11 @@ def heavy_hitters_topk(
     spark = values.sparkSession
     candidates = spark.createDataFrame([(v,) for v in cand], "v string")
 
-    exact = (
-        vals.join(F.broadcast(candidates), "v", "left_semi")
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.desc("n"), F.asc("v"))
-        .limit(k)
-    )
-    rows = exact.collect()
-    bound = total / capacity
-    if len(rows) < k or rows[-1]["n"] <= bound:
+    rows = exact_topk(vals.join(F.broadcast(candidates), "v", "left_semi"))
+    if len(rows) < k or rows[-1]["n"] <= total / capacity:
         # MG guarantee does not cover the k-th rank at this capacity:
         # fall back to the exact (all-distinct-keys shuffle) plan.
-        rows = (
-            vals.groupBy("v")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .orderBy(F.desc("n"), F.asc("v"))
-            .limit(k)
-            .collect()
-        )
+        rows = exact_topk(vals)
     # k rows are driver-local either way; return them as a local
     # relation so the caller's materialization doesn't re-run the scan.
-    return values.sparkSession.createDataFrame(rows, schema="v string, n bigint")
+    return spark.createDataFrame(rows, schema="v string, n bigint")

@@ -24,8 +24,7 @@ from ..functions.aggregates import dsum, dsum_sql
 from ..operators.heavyhitters import heavy_hitters_topk
 from ..operators.timeseries import gap_fill_ffill, scd2_intervals
 from .catalog import _t, query
-
-_TOKENS = "regexp_split_to_array(lower(text), '\\s+')"
+from .catalog_ext import _TOKENS  # the shared DuckDB tokenizer expression
 
 
 @query(

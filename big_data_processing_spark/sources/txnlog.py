@@ -209,18 +209,14 @@ def txn_read(
     if v < 0:
         raise FileNotFoundError(f"no txnlog table at {table}")
     m = _read_manifest(table, v)
-    paths = [os.path.join(table, e["path"]) for e in m["files"]]
-    from pyspark.sql import types as T
-
-    schema = T.StructType.fromJson(json.loads(m["schema"]))
-    if not paths:
-        return spark.createDataFrame([], schema)
-    # read under the MANIFEST's schema, not whatever the files happen
-    # to contain: after schema evolution (txn_merge schema_mode=
+    if not m["files"]:
+        return spark.createDataFrame([], _manifest_schema(m))
+    # _read_files pins the MANIFEST's schema, not whatever the files
+    # happen to contain: after schema evolution (txn_merge schema_mode=
     # "merge") carried files physically lack the new columns and the
     # declared-schema read projects them as NULL — the same mechanism
     # Delta/Iceberg readers use, no file rewrite on ADD COLUMN.
-    return spark.read.schema(schema).parquet(*paths)
+    return _read_files(spark, table, m, m["files"])
 
 
 def _plan_merge(
