@@ -22,6 +22,8 @@ to allow nulls explicitly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,16 @@ def constraint_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """
     if not checks:
         raise ValueError("constraint_report requires at least one check")
+    # Check names are interpolated into the stack() SQL below; restrict
+    # them to identifier characters so a quote/backtick can neither
+    # break parsing nor alter the expression (ADVICE r4).
+    bad = [n for n in checks if not re.fullmatch(r"[A-Za-z0-9_]+", n)]
+    if bad:
+        raise ValueError(
+            f"check names must match [A-Za-z0-9_]+: {bad!r}"
+        )
+    if "_n_rows" in checks:
+        raise ValueError("check name '_n_rows' collides with the row counter")
     aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
     for name, cond in checks.items():
         aggs.append(

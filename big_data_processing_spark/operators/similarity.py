@@ -642,7 +642,10 @@ def _pq_cache() -> dict:
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    tag = id(sc) if sc is not None else None
+    # (applicationId, startTime) is unique per live context; id(sc)
+    # would be reusable after GC and could serve Column handles from a
+    # dead JVM gateway (ADVICE r4).
+    tag = (sc.applicationId, sc.startTime) if sc is not None else None
     if _PQ_EXPR_CACHE.get("_tag") != tag:
         _PQ_EXPR_CACHE.clear()
         _PQ_EXPR_CACHE["_tag"] = tag

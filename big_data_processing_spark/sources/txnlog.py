@@ -69,6 +69,23 @@ _JSON_NATIVE_STAT_TYPES = (
 )
 
 
+# File-hit discovery joins the candidate scan against the distinct
+# update/delete key set.  A CDC-sized batch (the normal MERGE regime)
+# wants a broadcast hash join; a mega-merge with 10^8+ keys must NOT be
+# broadcast — the driver would OOM materializing the key set.  The gate
+# BOUNDS the key count with an early-exit limit probe (never a full
+# count of a huge batch) and drops the hint above the cap, letting AQE
+# pick the join strategy from runtime sizes.
+_MERGE_BROADCAST_KEY_CAP = 1_000_000
+
+
+def _hinted_keys(keys: DataFrame) -> DataFrame:
+    """``keys`` (already projected+distinct) with a broadcast hint iff
+    the key count is provably under ``_MERGE_BROADCAST_KEY_CAP``."""
+    probe = keys.limit(_MERGE_BROADCAST_KEY_CAP + 1).count()
+    return F.broadcast(keys) if probe <= _MERGE_BROADCAST_KEY_CAP else keys
+
+
 def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:08d}.json")
 
@@ -284,7 +301,7 @@ def _plan_merge(
         cand_df = _read_files(spark, table, m, candidates)
         hits = (
             cand_df.select(*key_cols, F.input_file_name().alias("__f"))
-            .join(F.broadcast(updates.select(*key_cols).distinct()), key_cols)
+            .join(_hinted_keys(updates.select(*key_cols).distinct()), key_cols)
             .select("__f")
             .distinct()
             .collect()
@@ -663,7 +680,7 @@ def txn_delete(
         cand_df = _read_files(spark, table, m, candidates)
         hits = (
             cand_df.select(*key_cols, F.input_file_name().alias("__f"))
-            .join(F.broadcast(keys.select(*key_cols).distinct()), key_cols)
+            .join(_hinted_keys(keys.select(*key_cols).distinct()), key_cols)
             .select("__f")
             .distinct()
             .collect()

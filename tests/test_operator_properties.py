@@ -493,6 +493,48 @@ def test_heavy_hitters_fast_path_engages(spark):
     assert 200 > (500 + 200 + 50) / 64
 
 
+def test_heavy_hitters_no_partition_proportional_collect(spark, monkeypatch):
+    """The r4 scale flag, pinned: no driver collect may scale with the
+    partition count.  Spy on DataFrame.collect while running the fast
+    path over 32 partitions — every collected result must be bounded by
+    k, never the n_partitions x capacity summary union."""
+    import pyspark.sql.classic.dataframe as df_mod
+
+    from big_data_processing_spark.operators.heavyhitters import heavy_hitters_topk
+
+    sizes = []
+    orig = df_mod.DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(df_mod.DataFrame, "collect", spy)
+    rows = [("hot",)] * 500 + [("warm",)] * 200 + [(f"cold{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "v string").repartition(32)
+    result = heavy_hitters_topk(df, k=2, capacity=64)
+    monkeypatch.undo()
+    assert sizes and max(sizes) <= 2
+    assert [(r.v, r.n) for r in result.collect()] == [("hot", 500), ("warm", 200)]
+
+
+def test_heavy_hitters_null_values_excluded_both_paths(spark):
+    """NULLs are excluded from the stream up front (ADVICE r4): a
+    NULL-heavy input must yield the same non-NULL top-k whether the MG
+    fast path or the exact fallback runs."""
+    from big_data_processing_spark.operators.heavyhitters import heavy_hitters_topk
+
+    rows = [(None,)] * 400 + [("a",)] * 5 + [("b",)] * 4 + [("c",)] * 3
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    # tiny capacity forces the fallback; generous capacity keeps the
+    # fast path — both must agree and neither may surface NULL
+    want = [("a", 5), ("b", 4), ("c", 3)]
+    fast = [(r.v, r.n) for r in heavy_hitters_topk(df, k=3, capacity=64).collect()]
+    slow = [(r.v, r.n) for r in heavy_hitters_topk(df, k=3, capacity=1).collect()]
+    assert fast == want and slow == want
+
+
 # ---------------------------------------------------------------- timeseries
 
 
@@ -583,6 +625,20 @@ def test_constraint_report_null_hostile_single_scan(spark):
     }
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 1  # local relation: zero scans, one agg
+
+
+def test_constraint_report_rejects_injection_prone_names(spark):
+    """Check names reach a stack() SQL expression; anything outside
+    [A-Za-z0-9_]+ is rejected up front instead of breaking (or
+    altering) the parsed expression (ADVICE r4)."""
+    import pytest
+
+    from big_data_processing_spark.operators.constraints import constraint_report
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    for bad in ("it's", "a`b", "a, b", "x') --"):
+        with pytest.raises(ValueError, match="check names"):
+            constraint_report(df, {bad: F.col("x") > 0})
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
