@@ -83,37 +83,18 @@ def query(
 # not registered are ignored, so the list can name entries added later
 # in the build.
 _PRIORITY: tuple[str, ...] = (
-    # new in round 4
-    "orders_retention_cohort",
-    "events_hopping_window",
-    "events_gap_fill_ffill",
-    "scd2_priority_history",
-    "heavy_hitters_tokens",
-    "join_bucketed_revenue",
-    "data_quality_report",
-    "txnlog_wap_publish",
-    "dedup_winnow_pairs",
-    "multimodal_jpeg_decode_stats",
-    "knn_pq_rerank",
-    "knn_pq_recall_gate",
-    "txnlog_change_feed",
-    "txnlog_incremental_mv",
-    "part_type_revenue_share",
-    "events_funnel_conversion",
-    "knn_ivf_pq_rerank",
-    "knn_ivf_pq_recall_gate",
-    "lineitem_winsorized_hist",
-    "txnlog_compacted_read",
-    "multimodal_jpeg_header_stats",
-    "multimodal_video_frame_stats",
-    # plan/default changes in round 4 (output contract unchanged, but
-    # the changed code path must re-earn its green row)
-    "vocab_top_tokens",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_cluster_assign",  # inherits the capped minhash edge set
-    "quantiles_by_priority",
+    # new in round 5
+    "txnlog_restore_history",
+    "join_skew_salted",
+    # plan/contract changes in round 5 (must re-earn a green row)
+    "heavy_hitters_tokens",   # MG candidate recount now fully distributed
+    "dedup_minhash_pairs",    # two-arm entry (default + tight cap merged)
+    "knn_ivf_cosine",         # recall gate folded in-query
+    "knn_pq_rerank",          # recall gate folded in-query
+    "knn_ivf_pq_rerank",      # recall gate folded in-query
+    "setops_family",          # union/intersect/except twins merged
+    "doc_token_stats",        # bpeish twin folded in (one-scan contract)
+    "multimodal_decode_stats",  # audio twin folded in (media_id join)
 )
 
 
@@ -785,33 +766,6 @@ def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "union_high_value_or_building",
-    oracle="""
-    SELECT custkey, mktsegment FROM (
-        SELECT c_custkey AS custkey, c_mktsegment AS mktsegment
-        FROM customer WHERE c_acctbal > 7500
-        UNION
-        SELECT c_custkey, c_mktsegment
-        FROM customer WHERE c_mktsegment = 'BUILDING'
-    )
-    ORDER BY custkey
-    """,
-    tags=("setops",),
-)
-def union_high_value_or_building(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION with dedup — set-op surface (SURVEY §2.7: exposed beyond
-    the reference, whose only analogue is pandas concat)."""
-    c = _t(spark, sf_dir, "customer")
-    a = c.filter(F.col("c_acctbal") > 7500).select(
-        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
-    )
-    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
-    )
-    return a.unionByName(b).distinct().orderBy("custkey")
-
-
-@query(
     "season_bucket_revenue",
     oracle=f"""
     SELECT CAST(CASE WHEN month(o_orderdate) IN (1, 2, 3)
@@ -916,9 +870,12 @@ def nation_acctbal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_hourly_tumbling",
-    oracle=f"""
+# DuckDB twin of events_hourly_tumbling, kept for the local pytest
+# oracle check (tests/test_catalog_oracle.py) after the catalog entry
+# was retired in r5: a tumbling window IS a hopping window with
+# slide == size, so the hash-checked `events_hopping_window` entry
+# carries the driver evidence for the windowing machinery.
+EVENTS_HOURLY_TUMBLING_ORACLE = f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
@@ -927,13 +884,16 @@ def nation_acctbal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
-    """,
-    tags=("agg", "time-window", "streaming-analog"),
-)
+    """
+
+
 def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate in batch form (reference A12 / §2.9:
     the maintained mv_monthly_summary aggregate; in streaming mode this
-    exact plan runs under readStream + watermark — see streaming/)."""
+    exact plan runs under readStream + watermark — see streaming/).
+    NOT a catalog entry since r5 (slot freed): tumbling is the
+    slide==size special case of the hash-checked hopping entry; this
+    formulation keeps its local oracle parity test."""
     ev = _t(spark, sf_dir, "events")
     # window_start serialized as a string: timestamp-typed outputs hash
     # differently across engines' pandas dtypes (ns vs us)

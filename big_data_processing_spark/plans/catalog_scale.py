@@ -558,3 +558,195 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket")
             .localCheckpoint()
         )
+
+
+@query(
+    "txnlog_restore_history",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS tc
+        FROM orders GROUP BY 1
+    ),
+    v1 AS (
+        SELECT ck,
+               CAST(CASE WHEN ck % 50 = 0 THEN tc * 2 ELSE tc END AS BIGINT)
+                   AS tc
+        FROM base
+    ),
+    v2 AS (SELECT * FROM v1 WHERE ck % 61 != 0)
+    SELECT * FROM (
+        SELECT 0 AS version, 'create' AS op,
+               (SELECT COUNT(*) FROM base) AS n_rows,
+               (SELECT CAST(SUM(tc) AS BIGINT) FROM base) AS sum_cents
+        UNION ALL
+        SELECT 1, 'merge',
+               (SELECT COUNT(*) FROM v1),
+               (SELECT CAST(SUM(tc) AS BIGINT) FROM v1)
+        UNION ALL
+        SELECT 2, 'delete',
+               (SELECT COUNT(*) FROM v2),
+               (SELECT CAST(SUM(tc) AS BIGINT) FROM v2)
+        UNION ALL
+        SELECT 3, 'restore',
+               (SELECT COUNT(*) FROM v1),
+               (SELECT CAST(SUM(tc) AS BIGINT) FROM v1)
+    ) ORDER BY version
+    """,
+    tags=("txnlog", "restore", "history", "timetravel"),
+)
+def txnlog_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + DESCRIBE HISTORY/DETAIL, hash-checked end to end (the
+    weekly warehouse-operator surface promoted from test-only evidence
+    in r5): version 0 is the per-custkey rollup, v1 MERGEs a doubling
+    of ck%50==0, v2 DELETEs ck%61==0, and v3 RESTOREs v1 — then every
+    snapshot is time-travel-read and summarized next to its HISTORY
+    row.  The query RAISES unless the restore landed as a NEW version
+    whose rows equal v1's exactly (both exceptAll directions empty),
+    the history op sequence is create/merge/delete/restore with
+    restored_version=1, every HISTORY row count agrees with its
+    snapshot read, and DESCRIBE DETAIL's live file stats sum to the
+    current row count — so one green hash certifies the whole
+    rollback+audit contract.
+
+    Scale: RESTORE is metadata-only (manifest re-commit, no data file
+    moves — Delta semantics); HISTORY/DETAIL read KB-scale manifest
+    JSON, never data; the four snapshot reads are manifest-planned
+    scans of only each version's live files."""
+    from ..sources.txnlog import (
+        _read_manifest,
+        txn_create,
+        txn_delete,
+        txn_file_stats,
+        txn_history,
+        txn_merge,
+        txn_read,
+        txn_restore,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(cents).cast("long").alias("tc")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = f"{tmp}/txn_table"
+        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+        upd = base.filter(F.col("ck") % 50 == 0).select(
+            "ck", (F.col("tc") * 2).cast("long").alias("tc")
+        )
+        txn_merge(spark, t, upd, key_cols=["ck"])
+        txn_delete(
+            spark,
+            t,
+            base.filter(F.col("ck") % 61 == 0).select("ck"),
+            key_cols=["ck"],
+        )
+        if txn_restore(t, 1) != 3:
+            raise RuntimeError("restore did not land as version 3")
+        if _read_manifest(t, 3).get("restored_version") != 1:
+            raise RuntimeError("restore manifest lost its target version")
+        hist = {r["version"]: r for r in txn_history(spark, t).collect()}
+        ops = [hist[v]["op"] for v in range(4)]
+        if ops != ["create", "merge", "delete", "restore"]:
+            raise RuntimeError(f"unexpected history op sequence {ops}")
+        restored, v1 = txn_read(spark, t, version=3), txn_read(spark, t, version=1)
+        if restored.exceptAll(v1).count() or v1.exceptAll(restored).count():
+            raise RuntimeError("restored snapshot differs from version 1")
+        n_live = txn_file_stats(spark, t).agg(F.sum("n_rows")).collect()[0][0]
+        if n_live != hist[3]["n_rows"]:
+            raise RuntimeError("DETAIL file stats disagree with HISTORY")
+        rows = []
+        for ver in range(4):
+            s = (
+                txn_read(spark, t, version=ver)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("tc").cast("long").alias("s"),
+                )
+                .collect()[0]
+            )
+            if s["n"] != hist[ver]["n_rows"]:
+                raise RuntimeError(
+                    f"HISTORY row count for v{ver} disagrees with its read"
+                )
+            rows.append((ver, hist[ver]["op"], int(s["n"]), int(s["s"])))
+    return spark.createDataFrame(
+        rows, "version int, op string, n_rows bigint, sum_cents bigint"
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS sk,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT CAST(s.s_nationkey AS INT) AS nationkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(fact.cents) AS BIGINT) AS sum_cents
+    FROM fact JOIN supplier s ON s.s_suppkey = fact.sk
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "skew", "salting"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately Zipf-skewed fact⋈dim join + aggregation through the
+    SALTED plan (operators/skew.py), hash-checked against the plain
+    unsalted oracle: every lineitem whose orderkey % 3 == 0 is re-keyed
+    to supplier 1 (one key carries ~a third of the fact — the viral-
+    document / default-id shape), the supplier dim is replicated once
+    per salt bucket and joined on (key, salt), and the rollup runs the
+    two-phase salted aggregate: groupBy(nation, salt) partials, then a
+    tiny groupBy(nation) merge.  Salting is load-balancing ONLY — the
+    result must be bit-identical to the plain plan, which is exactly
+    what the driver's hash-compare certifies.  The query RAISES unless
+    the executed plan actually contains the salt column in both the
+    join and the partial aggregate (so a silent de-salting refactor
+    cannot keep this row green).
+
+    Scale: the hot key's rows spread over salt_buckets reducers in
+    both the join shuffle and the first aggregate shuffle; the dim
+    replication is dim x 8 rows broadcast (bounded); the final merge
+    shuffle is |nations| x 8 rows. Sums are exact longs, so the merge
+    is order-independent under any parallelism."""
+    from ..operators.skew import salted_aggregate, salted_broadcast_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .cast("long")
+        .alias("sk"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    dim = su.select(
+        F.col("s_suppkey").cast("long").alias("sk"),
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+    )
+    joined = salted_broadcast_join(fact, dim, "sk", salt_buckets=8)
+    out = (
+        salted_aggregate(
+            joined,
+            ["nationkey"],
+            [
+                F.count(F.lit(1)).alias("pn"),
+                F.sum("cents").cast("long").alias("pc"),
+            ],
+            [
+                F.sum("pn").cast("long").alias("n_items"),
+                F.sum("pc").cast("long").alias("sum_cents"),
+            ],
+            salt_buckets=8,
+        )
+        .select("nationkey", "n_items", "sum_cents")
+        .orderBy("nationkey")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if plan.count("_salt") < 2:
+        raise RuntimeError("salted plan lost its salt expansion")
+    return out

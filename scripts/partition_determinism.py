@@ -40,6 +40,9 @@ SUBSET = [
     "heavy_hitters_tokens",
     "events_hopping_window",
     "orders_retention_cohort",
+    # round-5 additions: salt assignment varies with partition layout
+    # (result must not), distributed MG merge
+    "join_skew_salted",
 ]
 
 

@@ -49,3 +49,33 @@ def test_registry_names_match_functions():
         assert q.fn.__name__ == name, (
             f"catalog entry '{name}' is bound to function '{q.fn.__name__}'"
         )
+
+
+def test_winsorized_exact_window_parity(spark, sf_dir):
+    """The exact-window winsorization twin (retired from the catalog in
+    r5 to free a rotation slot) must still produce EXACTLY the rows of
+    the production histogram cut-finder entry — the oracle-parity
+    evidence lives here now."""
+    from big_data_processing_spark.plans.catalog_more import (
+        lineitem_winsorized_stats,
+    )
+
+    exact = lineitem_winsorized_stats(spark, sf_dir).collect()
+    hist = CATALOG["lineitem_winsorized_hist"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in hist]
+
+
+def test_hourly_tumbling_oracle_parity(spark, duck, sf_dir):
+    """The tumbling-window formulation (retired from the catalog in r5:
+    tumbling == hopping with slide==size, and the hopping entry is
+    hash-checked) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog import (
+        EVENTS_HOURLY_TUMBLING_ORACLE,
+        events_hourly_tumbling,
+    )
+
+    from .conftest import assert_frames_match
+
+    result = events_hourly_tumbling(spark, sf_dir)
+    oracle = duck.sql(EVENTS_HOURLY_TUMBLING_ORACLE).df()
+    assert_frames_match(result, oracle)

@@ -101,12 +101,11 @@ def test_anti_join_is_anti(spark, sf_dir):
 _BNLJ_JUSTIFIED = {
     "knn_bruteforce_cosine",      # fixed query set broadcast against corpus
     "knn_pq_rerank",              # same: queries broadcast, corpus streamed
-    "knn_pq_recall_gate",         # verification harness over the same shape
-    "knn_ivf_recall_gate",        # exact arm of the recall check
-    "knn_ivf_pq_recall_gate",     # exact arm of the recall check
     "part_type_revenue_share",    # scalar total-revenue denominator join
     "events_funnel_conversion",   # scalar funnel-total join
     "data_quality_report",        # two 1-row count aggregates crossed
+    "join_skew_salted",           # dim x 8-row salt-range replication
+                                  # (bounded broadcast cross join)
 }
 
 
@@ -115,8 +114,6 @@ _BNLJ_JUSTIFIED = {
 _GLOBAL_WINDOW_JUSTIFIED = {
     "global_month_rank",    # ranks distinct (year, month) pairs — dozens
     "vocab_top_tokens",     # rank over the ≤100-row TakeOrdered result
-    "curation_shard_plan",  # documented single-partition cumsum contract;
-                            # production twin: curation_shard_plan_by_lang
 }
 
 
@@ -172,8 +169,15 @@ def test_decontamination_broadcasts_eval_universe(spark, sf_dir):
 
 def test_winsorized_cuts_broadcast(spark, sf_dir):
     """The per-group clip-threshold table (3 rows) must broadcast back
-    to the fact — a sort-merge here would shuffle the fact twice."""
-    plan = _plan(spark, sf_dir, "lineitem_winsorized_stats")
+    to the fact — a sort-merge here would shuffle the fact twice.
+    (The exact-window formulation left the catalog in r5; it remains
+    the local parity twin, so its plan contract stays pinned here.)"""
+    from big_data_processing_spark.plans.catalog_more import (
+        lineitem_winsorized_stats,
+    )
+
+    df = lineitem_winsorized_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -267,3 +271,31 @@ def test_cohort_join_equi_and_adaptive(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_heavy_hitters_candidates_distributed(spark):
+    """The Misra-Gries merge must stay a DataFrame pipeline: candidate
+    trim compiles to a distributed TakeOrderedAndProject (bounded by
+    capacity, not partition count) and the exact recount is a broadcast
+    LEFT SEMI join — never a driver-side union of per-partition
+    summaries (the r4 scale flag)."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.operators.heavyhitters import mg_merged_summary
+
+    rows = [(f"v{i % 97}",) for i in range(2000)]
+    vals = spark.createDataFrame(rows, "v string").repartition(16)
+    merged = mg_merged_summary(vals, capacity=32)
+    candidates = (
+        merged.filter("v is not null")
+        .orderBy(F.desc("n"), F.asc("v"))
+        .limit(32)
+        .select("v")
+    )
+    cplan = candidates._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in cplan
+    assert candidates.count() <= 32  # merged trim bounds the broadcast
+
+    joined = vals.join(F.broadcast(candidates), "v", "left_semi")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan and "LeftSemi" in jplan
