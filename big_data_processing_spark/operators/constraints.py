@@ -44,7 +44,10 @@ def constraint_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         raise ValueError(
             f"check names must match [A-Za-z0-9_]+: {bad!r}"
         )
-    if "_n_rows" in checks:
+    # Spark's default resolver is case-INsensitive, so any case variant
+    # of the internal row-counter alias would make the final select
+    # ambiguous — reject them all up front.
+    if any(n.lower() == "_n_rows" for n in checks):
         raise ValueError("check name '_n_rows' collides with the row counter")
     aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
     for name, cond in checks.items():

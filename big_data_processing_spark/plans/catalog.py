@@ -95,6 +95,13 @@ _PRIORITY: tuple[str, ...] = (
     "setops_family",          # union/intersect/except twins merged
     "doc_token_stats",        # bpeish twin folded in (one-scan contract)
     "multimodal_decode_stats",  # audio twin folded in (media_id join)
+    # NOTE: the r5 MERGE broadcast gate (txnlog._hinted_keys) changed
+    # the txn_merge/txn_delete code path for ALL txnlog entries; the
+    # path re-earns its green rows through txnlog_merge_snapshot and
+    # txnlog_restore_history, which are already inside this round's
+    # window — listing the other four r4-green txnlog entries here
+    # would displace stale entries and break the r4∪r5 full-coverage
+    # accounting (exactly 50 entries need r5 rows).
 )
 
 

@@ -1000,9 +1000,14 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality."""
     emb, index = _ivf_index_for(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
-    approx = ivf_knn(
-        emb, queries, k=_KNN_K, n_probe=_IVF_PROBE, index=index
-    ).select("query_id", "neighbor_id", "cosine", "rank")
+    # localCheckpoint materializes the (k x queries — tiny) search
+    # result ONCE: the recall gate and the caller's materialization
+    # share it instead of re-running the whole search.
+    approx = (
+        ivf_knn(emb, queries, k=_KNN_K, n_probe=_IVF_PROBE, index=index)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .localCheckpoint()
+    )
     _assert_recall(
         brute_force_knn(emb, queries, k=_KNN_K).select("query_id", "neighbor_id"),
         approx.select("query_id", "neighbor_id"),
@@ -1169,9 +1174,12 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_codebooks_for(sf_dir)
     queries = emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
-    approx = pq_rerank_topk(
-        emb, queries, books, k=_KNN_K, shortlist=_PQ_SHORTLIST
-    ).select("query_id", "neighbor_id", "cosine", "rank")
+    # see knn_ivf_cosine: one materialization shared by gate + caller
+    approx = (
+        pq_rerank_topk(emb, queries, books, k=_KNN_K, shortlist=_PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .localCheckpoint()
+    )
     _assert_recall(
         brute_force_knn(emb, queries, k=_KNN_K).select("query_id", "neighbor_id"),
         approx.select("query_id", "neighbor_id"),
@@ -1330,15 +1338,20 @@ def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, index = _ivf_index_for(spark, sf_dir)
     books = _pq_codebooks_for(sf_dir)
     queries = emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
-    approx = ivf_pq_knn(
-        emb,
-        queries,
-        books,
-        k=_KNN_K,
-        shortlist=_PQ_SHORTLIST,
-        n_probe=_IVFPQ_PROBE,
-        index=index,
-    ).select("query_id", "neighbor_id", "cosine", "rank")
+    # see knn_ivf_cosine: one materialization shared by gate + caller
+    approx = (
+        ivf_pq_knn(
+            emb,
+            queries,
+            books,
+            k=_KNN_K,
+            shortlist=_PQ_SHORTLIST,
+            n_probe=_IVFPQ_PROBE,
+            index=index,
+        )
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .localCheckpoint()
+    )
     _assert_recall(
         brute_force_knn(emb, queries, k=_KNN_K).select("query_id", "neighbor_id"),
         approx.select("query_id", "neighbor_id"),

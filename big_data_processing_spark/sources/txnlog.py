@@ -80,8 +80,10 @@ _MERGE_BROADCAST_KEY_CAP = 1_000_000
 
 
 def _hinted_keys(keys: DataFrame) -> DataFrame:
-    """``keys`` (already projected+distinct) with a broadcast hint iff
-    the key count is provably under ``_MERGE_BROADCAST_KEY_CAP``."""
+    """``keys`` (already projected+distinct, and persist()ed by the
+    caller so the probe and the subsequent join share one evaluation)
+    with a broadcast hint iff the key count is provably under
+    ``_MERGE_BROADCAST_KEY_CAP``."""
     probe = keys.limit(_MERGE_BROADCAST_KEY_CAP + 1).count()
     return F.broadcast(keys) if probe <= _MERGE_BROADCAST_KEY_CAP else keys
 
@@ -299,13 +301,19 @@ def _plan_merge(
     hit_files: set[str] = set()
     if candidates:
         cand_df = _read_files(spark, table, m, candidates)
-        hits = (
-            cand_df.select(*key_cols, F.input_file_name().alias("__f"))
-            .join(_hinted_keys(updates.select(*key_cols).distinct()), key_cols)
-            .select("__f")
-            .distinct()
-            .collect()
-        )
+        # persist the (CDC-sized) distinct key set so the broadcast-gate
+        # probe and the join share one evaluation of the update pipeline
+        upd_keys = updates.select(*key_cols).distinct().persist()
+        try:
+            hits = (
+                cand_df.select(*key_cols, F.input_file_name().alias("__f"))
+                .join(_hinted_keys(upd_keys), key_cols)
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+        finally:
+            upd_keys.unpersist()
         hit_files = {
             os.path.relpath(r["__f"].replace("file:", ""), table) for r in hits
         }
@@ -678,13 +686,17 @@ def txn_delete(
     hit_files: set[str] = set()
     if candidates:
         cand_df = _read_files(spark, table, m, candidates)
-        hits = (
-            cand_df.select(*key_cols, F.input_file_name().alias("__f"))
-            .join(_hinted_keys(keys.select(*key_cols).distinct()), key_cols)
-            .select("__f")
-            .distinct()
-            .collect()
-        )
+        del_keys = keys.select(*key_cols).distinct().persist()
+        try:
+            hits = (
+                cand_df.select(*key_cols, F.input_file_name().alias("__f"))
+                .join(_hinted_keys(del_keys), key_cols)
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+        finally:
+            del_keys.unpersist()
         hit_files = {
             os.path.relpath(r["__f"].replace("file:", ""), table) for r in hits
         }

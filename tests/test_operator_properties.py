@@ -639,6 +639,11 @@ def test_constraint_report_rejects_injection_prone_names(spark):
     for bad in ("it's", "a`b", "a, b", "x') --"):
         with pytest.raises(ValueError, match="check names"):
             constraint_report(df, {bad: F.col("x") > 0})
+    # any case variant of the internal row-counter alias is ambiguous
+    # under Spark's case-insensitive resolver — rejected up front
+    for clash in ("_n_rows", "_N_ROWS", "_N_rows"):
+        with pytest.raises(ValueError, match="row counter"):
+            constraint_report(df, {clash: F.col("x") > 0})
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))

@@ -223,13 +223,42 @@ def test_winnow_no_global_window(spark, sf_dir):
     assert _n_unpartitioned_windows(df) == 0
 
 
-@pytest.mark.parametrize("name", ["knn_pq_rerank", "knn_ivf_pq_rerank"])
-def test_pq_rerank_plan_shape(spark, sf_dir, name):
+@pytest.mark.parametrize("kind", ["pq", "ivf_pq"])
+def test_pq_rerank_plan_shape(spark, sf_dir, kind):
     """PQ / IVF+PQ serving plans: per-query top-k runs as
     partial+final WindowGroupLimit (never a full per-query sort of
     the corpus), the shortlist and query sides broadcast, and no
-    sort-merge join or cartesian product appears anywhere."""
-    plan = _plan(spark, sf_dir, name)
+    sort-merge join or cartesian product appears anywhere.  Built via
+    the operator directly — the catalog entries localCheckpoint their
+    (tiny) result so the in-query recall gate and the caller share one
+    materialization, which hides the search plan behind a checkpoint
+    scan."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.plans.catalog_ext import (
+        _IVFPQ_PROBE,
+        _KNN_K,
+        _KNN_QMOD,
+        _PQ_SHORTLIST,
+        _ivf_index_for,
+        _pq_codebooks_for,
+    )
+    from big_data_processing_spark.operators.similarity import (
+        ivf_pq_knn,
+        pq_rerank_topk,
+    )
+
+    emb, index = _ivf_index_for(spark, sf_dir)
+    books = _pq_codebooks_for(sf_dir)
+    queries = emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
+    if kind == "pq":
+        df = pq_rerank_topk(emb, queries, books, k=_KNN_K, shortlist=_PQ_SHORTLIST)
+    else:
+        df = ivf_pq_knn(
+            emb, queries, books,
+            k=_KNN_K, shortlist=_PQ_SHORTLIST, n_probe=_IVFPQ_PROBE, index=index,
+        )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
