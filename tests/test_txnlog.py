@@ -837,3 +837,59 @@ def test_merge_broadcast_gate_large_key_set(spark, tmp_path, monkeypatch):
         | {(500, -500)}
     )
     assert got == want
+
+
+def test_txn_restore_merge_delete_property_random(spark, tmp_path):
+    """Randomized MERGE / DELETE / RESTORE interleavings must match a
+    plain dict model at EVERY version, including versions created by
+    RESTORE (whose content is the restored-to snapshot) — and history
+    stays append-only: earlier versions keep their exact content after
+    any restore."""
+    import random
+
+    from big_data_processing_spark.sources.txnlog import txn_delete, txn_restore
+
+    rng = random.Random(23)
+    t = str(tmp_path / "prop_restore")
+    state = {k: rng.randint(0, 99) for k in range(0, 30, 2)}
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame(sorted(state.items()), ["k", "v"]),
+        stat_col="k",
+    )
+    history = [dict(state)]
+    for _ in range(7):
+        op = rng.choice(["merge", "delete", "restore"])
+        if op == "merge":
+            upd = {
+                rng.randint(0, 40): rng.randint(100, 199)
+                for _ in range(rng.randint(1, 6))
+            }
+            txn_merge(
+                spark,
+                t,
+                spark.createDataFrame(sorted(upd.items()), ["k", "v"]),
+                ["k"],
+            )
+            state.update(upd)
+        elif op == "delete":
+            keys = [k for k in state if rng.random() < 0.3] or [
+                rng.choice(sorted(state))
+            ]
+            txn_delete(
+                spark,
+                t,
+                spark.createDataFrame([(k,) for k in sorted(keys)], "k long"),
+                ["k"],
+            )
+            for k in keys:
+                state.pop(k, None)
+        else:
+            target = rng.randrange(len(history))
+            txn_restore(t, target)
+            state = dict(history[target])
+        history.append(dict(state))
+    for v, want in enumerate(history):
+        got = {r.k: r.v for r in txn_read(spark, t, version=v).collect()}
+        assert got == want, f"version {v}"
