@@ -152,35 +152,53 @@ def _commit(table: str, version: int, manifest: dict) -> None:
 
 
 def _write_data_files(
-    spark: SparkSession, table: str, df: DataFrame, stat_col: str
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    stat_col: str,
+    extra_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as new immutable parquet files under data/ and
     return their manifest entries with per-file (min, max, rows) stats
     of ``stat_col`` — one extra scan of only the new files, the price
-    of data skipping forever after."""
+    of data skipping forever after.  ``extra_cols`` (Z-order clustered
+    columns) additionally record per-file min/max under
+    ``extra_stats`` so multi-column pruning works on those files;
+    entries without ``extra_stats`` simply never prune on those
+    columns (unknown range == keep the file)."""
+    extra_cols = [c for c in (extra_cols or []) if c != stat_col]
     batch = uuid.uuid4().hex[:12]
     out = os.path.join(table, _DATA_DIR, batch)
     df.write.mode("error").parquet(out)
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.min(stat_col).alias("lo"),
+        F.max(stat_col).alias("hi"),
+    ]
+    for i, c in enumerate(extra_cols):
+        aggs += [F.min(c).alias(f"xlo_{i}"), F.max(c).alias(f"xhi_{i}")]
     stats = (
         spark.read.parquet(out)
         .groupBy(F.input_file_name().alias("file"))
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min(stat_col).alias("lo"),
-            F.max(stat_col).alias("hi"),
-        )
+        .agg(*aggs)
         .collect()
     )
-    return [
-        {
+    entries = []
+    for r in stats:
+        e = {
             "path": os.path.relpath(r["file"].replace("file:", ""), table),
             "rows": r["rows"],
             "stat_col": stat_col,
             "lo": r["lo"],
             "hi": r["hi"],
         }
-        for r in stats
-    ]
+        if extra_cols:
+            e["extra_stats"] = {
+                c: [r[f"xlo_{i}"], r[f"xhi_{i}"]]
+                for i, c in enumerate(extra_cols)
+            }
+        entries.append(e)
+    return entries
 
 
 def txn_create(
@@ -236,6 +254,66 @@ def txn_read(
     # declared-schema read projects them as NULL — the same mechanism
     # Delta/Iceberg readers use, no file rewrite on ADD COLUMN.
     return _read_files(spark, table, m, m["files"])
+
+
+def txn_scan_plan(
+    table: str,
+    col_ranges: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[list[dict], int]:
+    """Data-skipping file plan for a box predicate: returns (selected
+    manifest entries, total live file count) for files whose recorded
+    stats can intersect EVERY ``col -> (lo, hi)`` range.  Per column, a
+    file is skippable only when it carries stats for that column (the
+    stat column itself, or an ``extra_stats`` entry written by
+    Z-order OPTIMIZE); files without stats for a predicate column are
+    conservatively kept — pruning is an optimization, never a filter.
+    Manifest-metadata only: no Spark job, no data file touched."""
+    v = latest_version(table) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no txnlog table at {table}")
+    m = _read_manifest(table, v)
+
+    def keep(e: dict) -> bool:
+        for col, (lo, hi) in col_ranges.items():
+            if col == e["stat_col"]:
+                flo, fhi = e["lo"], e["hi"]
+            else:
+                xs = (e.get("extra_stats") or {}).get(col)
+                if xs is None:
+                    continue  # no stats recorded: cannot skip
+                flo, fhi = xs
+            if flo is None or fhi is None:
+                continue
+            if fhi < lo or flo > hi:
+                return False
+        return True
+
+    return [e for e in m["files"] if keep(e)], len(m["files"])
+
+
+def txn_read_where(
+    spark: SparkSession,
+    table: str,
+    col_ranges: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with multi-column data skipping + the exact box
+    filter applied on top: only files whose manifest stats intersect
+    every range are scanned (see :func:`txn_scan_plan`), then the
+    predicate re-applies row-exactly, so the result is identical to
+    filtering a full :func:`txn_read` — just cheaper after a Z-order
+    OPTIMIZE laid files out with small per-column bounding boxes."""
+    v = latest_version(table) if version is None else version
+    selected, _total = txn_scan_plan(table, col_ranges, version=v)
+    m = _read_manifest(table, v)
+    if not selected:
+        df = spark.createDataFrame([], _manifest_schema(m))
+    else:
+        df = _read_files(spark, table, m, selected)
+    for col, (lo, hi) in col_ranges.items():
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df
 
 
 def _plan_merge(
@@ -517,6 +595,7 @@ def txn_optimize(
     target_rows: int = 1_000_000,
     min_files_per_bin: int = 2,
     cluster: bool = False,
+    cluster_cols: list[str] | None = None,
 ) -> int | None:
     """OPTIMIZE (compaction): bin-pack small live files into fewer,
     larger ones and commit the rewritten file set as one new version —
@@ -539,6 +618,19 @@ def txn_optimize(
     prune-to-k-files MERGE planning. One extra range shuffle over only
     the compacted rows.
 
+    ``cluster_cols=[a, b, ...]`` (2-4 numeric columns) runs the REAL
+    multi-column form — OPTIMIZE ZORDER (Delta) / z-order sort
+    (Iceberg): rows sort by the Morton interleave of the columns
+    (operators/zorder.zorder_key), so each rewritten file has a small
+    bounding box in EVERY clustered column at once, and its per-column
+    min/max land in the manifest (``extra_stats``).  A box predicate
+    over any subset of the clustered columns then prunes via
+    :func:`txn_read_where` to roughly the files its box touches,
+    instead of scanning everything whenever the filter is not on the
+    single stat column.  Same cost shape as ``cluster=True``: one
+    min/max aggregate + one range shuffle over only the compacted
+    rows.
+
     The data content is identical before and after: snapshot readers
     of the new version see the same rows, and time travel to any
     pre-optimize version still resolves the old manifests over the old
@@ -555,6 +647,54 @@ def txn_optimize(
     small = [e for e in m["files"] if e["rows"] < target_rows]
     keep = [e for e in m["files"] if e["rows"] >= target_rows]
     stat_col = m["files"][0]["stat_col"]
+
+    if cluster_cols:
+        from ..operators.zorder import zorder_key
+
+        # clustered-column stats live in the JSON manifest, same
+        # round-trip constraint as the stat column
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in _manifest_schema(m).fields
+        }
+        for c in cluster_cols:
+            if c not in types:
+                raise ValueError(f"cluster col {c!r} not in table schema")
+            if types[c] not in _JSON_NATIVE_STAT_TYPES:
+                raise TypeError(
+                    f"cluster col {c!r} has type {types[c]}, whose min/max "
+                    "stats do not survive a JSON manifest round-trip"
+                )
+        if len(small) < min_files_per_bin:
+            return None
+        total = sum(e["rows"] for e in small)
+        n_out = max(1, -(-total // target_rows))
+        merged = _read_files(spark, table, m, small)
+        zkey = zorder_key(merged, list(cluster_cols))
+        clustered = (
+            merged.withColumn("__zkey", zkey)
+            .repartitionByRange(n_out, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        new_files = _write_data_files(
+            spark, table, clustered, stat_col, extra_cols=list(cluster_cols)
+        )
+        _commit(
+            table,
+            read_v + 1,
+            {
+                "version": read_v + 1,
+                "op": "optimize",
+                "clustered": True,
+                "clustered_cols": list(cluster_cols),
+                "read_version": read_v,
+                "files": keep + new_files,
+                "schema": m["schema"],
+                "compacted": sorted(e["path"] for e in small),
+            },
+        )
+        return read_v + 1
 
     if cluster:
         if len(small) < min_files_per_bin:

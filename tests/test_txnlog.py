@@ -893,3 +893,79 @@ def test_txn_restore_merge_delete_property_random(spark, tmp_path):
     for v, want in enumerate(history):
         got = {r.k: r.v for r in txn_read(spark, t, version=v).collect()}
         assert got == want, f"version {v}"
+
+
+def test_zorder_key_matches_morton_model(spark):
+    """The zorder_key expression must equal the textbook Morton
+    interleave on a grid whose normalization is the identity (values
+    0..2^bits-1 with exact span)."""
+    from big_data_processing_spark.operators.zorder import zorder_key
+
+    pts = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_key(df, ["x", "y"], bits=2)).collect()
+    }
+    for x, y in pts:
+        want = 0
+        for b in range(2):
+            want |= ((x >> b) & 1) << (2 * b + 1)
+            want |= ((y >> b) & 1) << (2 * b)
+        assert got[(x, y)] == want, (x, y)
+
+
+def test_optimize_zorder_restores_multicolumn_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER (cluster_cols): before clustering, every small
+    file spans the full (x, y) range so a box predicate can skip
+    nothing; after the Morton rewrite each file has a small bounding
+    box in BOTH columns and txn_scan_plan prunes the box query to a
+    strict minority of files — with txn_read_where returning exactly
+    the rows a full-scan filter returns, before and after."""
+    import random
+
+    from big_data_processing_spark.sources.txnlog import (
+        txn_optimize,
+        txn_read_where,
+        txn_scan_plan,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(0, 999), rng.randint(0, 999)) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k long, x long, y long").repartition(8)
+    t = str(tmp_path / "zt")
+    txn_create(spark, t, df, stat_col="k")
+
+    box = {"x": (0, 249), "y": (0, 249)}
+    want = {(k, x, y) for k, x, y in rows if x <= 249 and y <= 249}
+    sel0, tot0 = txn_scan_plan(t, box)
+    assert len(sel0) == tot0  # random layout: nothing skippable
+    got0 = {(r.k, r.x, r.y) for r in txn_read_where(spark, t, box).collect()}
+    assert got0 == want  # conservative pruning is still row-exact
+
+    v = txn_optimize(spark, t, target_rows=600, cluster_cols=["x", "y"])
+    assert v == 1
+    sel1, tot1 = txn_scan_plan(t, box)
+    assert tot1 >= 4
+    assert len(sel1) < tot1 / 2, (len(sel1), tot1)  # real skipping now
+    got1 = {(r.k, r.x, r.y) for r in txn_read_where(spark, t, box).collect()}
+    assert got1 == want
+    # content identical pre/post optimize; time travel intact
+    assert {(r.k, r.x, r.y) for r in txn_read(spark, t).collect()} == set(rows)
+    assert {(r.k, r.x, r.y) for r in txn_read(spark, t, version=0).collect()} == set(
+        rows
+    )
+
+
+def test_optimize_zorder_rejects_bad_cluster_cols(spark, tmp_path):
+    from big_data_processing_spark.sources.txnlog import txn_optimize
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a")], "k long, x double, s string"
+    ).repartition(2)
+    t = str(tmp_path / "zbad")
+    txn_create(spark, t, df, stat_col="k")
+    with pytest.raises(ValueError, match="not in table schema"):
+        txn_optimize(spark, t, target_rows=10, cluster_cols=["x", "nope"])
