@@ -48,6 +48,44 @@ def streaming_attribution_join(
     return a.join(p, cond, "inner").drop("p_user_id")
 
 
+def streaming_attribution_join_outer(
+    activity: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream form of the attribution join: every
+    purchase emits — joined to each same-user activity row in
+    [purchase_ts - lookback, purchase_ts] when one exists, or ONCE
+    with NULL activity columns when the watermark has proven no
+    matching activity can still arrive ("purchases with no preceding
+    engagement", the un-attributable-conversion feed).
+
+    The NULL row cannot be emitted eagerly — a match may still be in
+    flight — so Structured Streaming holds the unmatched purchase in
+    state and releases it only after the global watermark passes its
+    join window. Consequence for consumers: outer results are delayed
+    by up to (watermark + lookback), and the query needs a batch AFTER
+    the watermark advance (a later micro-batch or a no-data batch) for
+    the NULLs to flush. State stays bounded exactly as in the inner
+    form: events within (watermark + lookback) per active user."""
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    a = activity.withWatermark("ts", watermark)
+    cond = (
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("ts") <= F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(a, cond, "leftOuter")
+
+
 def stream_static_enrich(
     events: DataFrame,
     dim: DataFrame,

@@ -104,3 +104,80 @@ def test_stream_static_enrich_broadcast(spark, tmp_path):
         assert (None, 1, 1.0) in rows  # unmatched user_id=11 survives
     finally:
         q.stop()
+
+
+def test_streaming_attribution_join_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream: a purchase with preceding activity
+    joins to it; a purchase with none emits ONCE with NULL activity
+    columns — but only after the global watermark (min across both
+    streams) passes its join window, which takes a later micro-batch.
+    Verified across checkpointed restarts, the way a real feed delivers
+    late batches."""
+    from big_data_processing_spark.streaming.joins import (
+        streaming_attribution_join_outer,
+    )
+
+    a_src, p_src = tmp_path / "a", tmp_path / "p"
+    a_src.mkdir()
+    p_src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+
+    def run_once():
+        activity = spark.readStream.schema(EV_SCHEMA).json(str(a_src))
+        purchases = spark.readStream.schema(EV_SCHEMA).json(str(p_src))
+        out = streaming_attribution_join_outer(
+            activity, purchases, lookback="30 minutes", watermark="1 hour"
+        ).select("p_id", "event_id")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.schema("p_id bigint, event_id bigint").json(sink)
+        return {(r.p_id, r.event_id) for r in got.collect()}
+
+    _write(
+        a_src / "b1.json",
+        [
+            {"ts": "2024-01-01 10:00:00", "event_id": 1, "user_id": 7, "event_type": "click"},
+        ],
+    )
+    _write(
+        p_src / "b1.json",
+        [
+            {"ts": "2024-01-01 10:15:00", "event_id": 100, "user_id": 7, "event_type": "purchase"},
+            {"ts": "2024-01-01 10:30:00", "event_id": 101, "user_id": 8, "event_type": "purchase"},
+        ],
+    )
+    got1 = run_once()
+    assert (100, 1) in got1          # matched pair emits eagerly
+    assert (101, None) not in got1   # unmatched must WAIT for the watermark
+
+    # late batches on BOTH streams push the global watermark past
+    # 10:30 + lookback + delay, releasing the unmatched purchase
+    _write(
+        a_src / "b2.json",
+        [{"ts": "2024-01-01 14:00:00", "event_id": 2, "user_id": 1, "event_type": "click"}],
+    )
+    _write(
+        p_src / "b2.json",
+        [{"ts": "2024-01-01 14:00:00", "event_id": 200, "user_id": 1, "event_type": "purchase"}],
+    )
+    got2 = run_once()
+    # one more (possibly empty) batch after the watermark advance
+    _write(
+        a_src / "b3.json",
+        [{"ts": "2024-01-01 15:00:00", "event_id": 3, "user_id": 1, "event_type": "click"}],
+    )
+    _write(
+        p_src / "b3.json",
+        [{"ts": "2024-01-01 15:00:00", "event_id": 300, "user_id": 1, "event_type": "purchase"}],
+    )
+    got3 = run_once()
+    assert (101, None) in got2 | got3   # NULL-activity row flushed
+    assert (100, 1) in got1 | got2 | got3

@@ -969,3 +969,37 @@ def test_optimize_zorder_rejects_bad_cluster_cols(spark, tmp_path):
     txn_create(spark, t, df, stat_col="k")
     with pytest.raises(ValueError, match="not in table schema"):
         txn_optimize(spark, t, target_rows=10, cluster_cols=["x", "nope"])
+
+
+def test_zorder_pruned_read_exact_random_boxes(spark, tmp_path):
+    """Property: for ANY box predicate, txn_read_where after a Z-order
+    OPTIMIZE returns exactly the full-scan filter result — pruning is
+    an optimization, never a filter."""
+    import random
+
+    from big_data_processing_spark.sources.txnlog import (
+        txn_optimize,
+        txn_read_where,
+    )
+
+    rng = random.Random(41)
+    rows = [(i, rng.randint(0, 499), rng.randint(0, 499)) for i in range(2000)]
+    t = str(tmp_path / "zprop")
+    txn_create(
+        spark,
+        t,
+        spark.createDataFrame(rows, "k long, x long, y long").repartition(6),
+        stat_col="k",
+    )
+    txn_optimize(spark, t, target_rows=400, cluster_cols=["x", "y"])
+    for _ in range(6):
+        x0, y0 = rng.randint(0, 450), rng.randint(0, 450)
+        x1, y1 = x0 + rng.randint(10, 200), y0 + rng.randint(10, 200)
+        box = {"x": (x0, x1), "y": (y0, y1)}
+        want = {
+            (k, x, y) for k, x, y in rows if x0 <= x <= x1 and y0 <= y <= y1
+        }
+        got = {
+            (r.k, r.x, r.y) for r in txn_read_where(spark, t, box).collect()
+        }
+        assert got == want, box
