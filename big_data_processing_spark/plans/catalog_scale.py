@@ -514,8 +514,12 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.sum(cents).cast("long").alias("tc")
+    # persisted: create, the poisoned stage, and the clean stage all
+    # derive from this rollup — one orders aggregation, not three
+    base = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(cents).cast("long").alias("tc"))
+        .persist()
     )
     audit_checks = {"tc_non_negative": F.col("tc") >= 0}
     with tempfile.TemporaryDirectory() as tmp:
@@ -548,7 +552,7 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         if txn_publish(t, tok) != 1 or latest_version(t) != 1:
             raise RuntimeError("publish did not land as version 1")
 
-        return (
+        out = (
             txn_read(spark, t)
             .groupBy((F.col("ck") % 10).cast("long").alias("bucket"))
             .agg(
@@ -558,6 +562,8 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket")
             .localCheckpoint()
         )
+        base.unpersist()
+        return out
 
 
 @query(
@@ -627,8 +633,12 @@ def txnlog_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.sum(cents).cast("long").alias("tc")
+    # persisted: create, the merge batch, and the delete keys all
+    # derive from this rollup — one orders aggregation, not three
+    base = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(cents).cast("long").alias("tc"))
+        .persist()
     )
     with tempfile.TemporaryDirectory() as tmp:
         t = f"{tmp}/txn_table"
@@ -672,6 +682,7 @@ def txnlog_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"HISTORY row count for v{ver} disagrees with its read"
                 )
             rows.append((ver, hist[ver]["op"], int(s["n"]), int(s["s"])))
+    base.unpersist()
     return spark.createDataFrame(
         rows, "version int, op string, n_rows bigint, sum_cents bigint"
     )
