@@ -1003,3 +1003,48 @@ def test_zorder_pruned_read_exact_random_boxes(spark, tmp_path):
             (r.k, r.x, r.y) for r in txn_read_where(spark, t, box).collect()
         }
         assert got == want, box
+
+
+def test_zorder_key_three_columns_and_bit_budget(spark):
+    """3-column Morton interleave places column i's bit b at position
+    b*3 + (2-i); and the bits-per-column x columns product is capped at
+    a long's budget."""
+    import pytest as _pytest
+
+    from big_data_processing_spark.operators.zorder import zorder_key
+
+    pts = [(x, y, z) for x in range(2) for y in range(2) for z in range(2)]
+    df = spark.createDataFrame(pts, "x long, y long, z long")
+    got = {
+        (r.x, r.y, r.z): r.m
+        for r in df.withColumn("m", zorder_key(df, ["x", "y", "z"], bits=1)).collect()
+    }
+    for x, y, z in pts:
+        assert got[(x, y, z)] == (x << 2) | (y << 1) | z, (x, y, z)
+    with _pytest.raises(ValueError, match="overflows"):
+        zorder_key(df, ["x", "y", "z"], bits=21)
+    with _pytest.raises(ValueError, match="2-4 columns"):
+        zorder_key(df, ["x"])
+
+
+def test_read_where_prunes_on_stat_col_without_zorder(spark, tmp_path):
+    """txn_read_where also skips on the PRIMARY stat column's existing
+    min/max — a range-clustered table prunes stat-col boxes with no
+    Z-order pass at all."""
+    from big_data_processing_spark.sources.txnlog import (
+        txn_read_where,
+        txn_scan_plan,
+    )
+
+    rows = [(i, i * 10) for i in range(1000)]
+    df = (
+        spark.createDataFrame(rows, "k long, v long")
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    t = str(tmp_path / "statprune")
+    txn_create(spark, t, df, stat_col="k")
+    sel, tot = txn_scan_plan(t, {"k": (0, 99)})
+    assert tot >= 8 and len(sel) <= 2, (len(sel), tot)
+    got = {(r.k, r.v) for r in txn_read_where(spark, t, {"k": (0, 99)}).collect()}
+    assert got == {(i, i * 10) for i in range(100)}
