@@ -25,9 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# 16 bits/column keeps the interleaved key in a long for up to 4
-# columns and gives 65536 buckets per dimension — far finer than any
-# realistic file count.
+# Preferred bits/column: 65536 buckets per dimension — far finer than
+# any realistic file count.  When the interleave would overflow a
+# signed long (> 62 usable bits: 16 x 4 cols = 64), the DEFAULT is
+# clamped to 62 // n_cols (15 bits for 4 columns); an EXPLICIT bits
+# argument that overflows still raises.
 DEFAULT_BITS = 16
 
 
@@ -42,7 +44,7 @@ def _scaled(col: Column, lo: float, hi: float, bits: int) -> Column:
 
 
 def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS
+    df: DataFrame, cols: list[str], bits: int | None = None
 ) -> Column:
     """Morton-code Column over ``cols`` (2-4 numeric columns).
 
@@ -50,10 +52,16 @@ def zorder_key(
     bounds (metadata-scale: 2 x len(cols) scalars), then builds the
     bit-interleave as a closed-form expression: bit b of column i lands
     at position b * n_cols + (n_cols - 1 - i), so higher-order bits of
-    all columns lead the key together — the Z-curve property."""
+    all columns lead the key together — the Z-curve property.
+
+    ``bits=None`` picks min(DEFAULT_BITS, 62 // n_cols) so every legal
+    column count works out of the box; an explicit ``bits`` that
+    overflows a long raises."""
     n = len(cols)
     if not 2 <= n <= 4:
         raise ValueError("zorder_key wants 2-4 columns")
+    if bits is None:
+        bits = min(DEFAULT_BITS, 62 // n)
     if bits * n > 62:
         raise ValueError(f"bits={bits} x {n} cols overflows a long")
     row = df.agg(

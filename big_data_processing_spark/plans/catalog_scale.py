@@ -514,12 +514,11 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    # persisted: create, the poisoned stage, and the clean stage all
-    # derive from this rollup — one orders aggregation, not three
-    base = (
-        o.groupBy(F.col("o_custkey").alias("ck"))
-        .agg(F.sum(cents).cast("long").alias("tc"))
-        .persist()
+    # NOT persisted, unlike txnlog_restore_history: this entry sits
+    # outside the r5 verification window (its green row is r4), so its
+    # plan must stay the r4-verified one until it rotates back in.
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(cents).cast("long").alias("tc")
     )
     audit_checks = {"tc_non_negative": F.col("tc") >= 0}
     with tempfile.TemporaryDirectory() as tmp:
@@ -552,7 +551,7 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         if txn_publish(t, tok) != 1 or latest_version(t) != 1:
             raise RuntimeError("publish did not land as version 1")
 
-        out = (
+        return (
             txn_read(spark, t)
             .groupBy((F.col("ck") % 10).cast("long").alias("bucket"))
             .agg(
@@ -562,8 +561,6 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket")
             .localCheckpoint()
         )
-        base.unpersist()
-        return out
 
 
 @query(
@@ -620,6 +617,27 @@ def txnlog_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves — Delta semantics); HISTORY/DETAIL read KB-scale manifest
     JSON, never data; the four snapshot reads are manifest-planned
     scans of only each version's live files."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # persisted: create, the merge batch, and the delete keys all
+    # derive from this rollup — one orders aggregation, not three;
+    # try/finally so a failed invariant can't leak the cache into the
+    # driver's shared session
+    base = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(cents).cast("long").alias("tc"))
+        .persist()
+    )
+    try:
+        rows = _restore_history_rows(spark, base)
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        rows, "version int, op string, n_rows bigint, sum_cents bigint"
+    )
+
+
+def _restore_history_rows(spark: SparkSession, base: DataFrame) -> list:
     from ..sources.txnlog import (
         _read_manifest,
         txn_create,
@@ -631,15 +649,6 @@ def txnlog_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn_restore,
     )
 
-    o = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    # persisted: create, the merge batch, and the delete keys all
-    # derive from this rollup — one orders aggregation, not three
-    base = (
-        o.groupBy(F.col("o_custkey").alias("ck"))
-        .agg(F.sum(cents).cast("long").alias("tc"))
-        .persist()
-    )
     with tempfile.TemporaryDirectory() as tmp:
         t = f"{tmp}/txn_table"
         txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
@@ -682,10 +691,7 @@ def txnlog_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"HISTORY row count for v{ver} disagrees with its read"
                 )
             rows.append((ver, hist[ver]["op"], int(s["n"]), int(s["s"])))
-    base.unpersist()
-    return spark.createDataFrame(
-        rows, "version int, op string, n_rows bigint, sum_cents bigint"
-    )
+    return rows
 
 
 @query(

@@ -68,6 +68,20 @@ _JSON_NATIVE_STAT_TYPES = (
     "boolean",
 )
 
+# Z-order cluster columns additionally feed min/max NORMALIZATION
+# (operators/zorder), so strings/booleans are out even though their
+# stats would survive the JSON round-trip.
+_NUMERIC_STAT_TYPES = (
+    "byte",
+    "short",
+    "int",
+    "integer",
+    "bigint",
+    "long",
+    "float",
+    "double",
+)
+
 
 # File-hit discovery joins the candidate scan against the distinct
 # update/delete key set.  A CDC-sized batch (the normal MERGE regime)
@@ -273,7 +287,10 @@ def txn_scan_plan(
     if v < 0:
         raise FileNotFoundError(f"no txnlog table at {table}")
     m = _read_manifest(table, v)
+    return _scan_plan(m, col_ranges)
 
+
+def _scan_plan(m: dict, col_ranges: dict[str, tuple]) -> tuple[list[dict], int]:
     def keep(e: dict) -> bool:
         for col, (lo, hi) in col_ranges.items():
             if col == e["stat_col"]:
@@ -305,8 +322,10 @@ def txn_read_where(
     filtering a full :func:`txn_read` — just cheaper after a Z-order
     OPTIMIZE laid files out with small per-column bounding boxes."""
     v = latest_version(table) if version is None else version
-    selected, _total = txn_scan_plan(table, col_ranges, version=v)
+    if v < 0:
+        raise FileNotFoundError(f"no txnlog table at {table}")
     m = _read_manifest(table, v)
+    selected, _total = _scan_plan(m, col_ranges)
     if not selected:
         df = spark.createDataFrame([], _manifest_schema(m))
     else:
@@ -648,77 +667,64 @@ def txn_optimize(
     keep = [e for e in m["files"] if e["rows"] >= target_rows]
     stat_col = m["files"][0]["stat_col"]
 
-    if cluster_cols:
-        from ..operators.zorder import zorder_key
-
-        # clustered-column stats live in the JSON manifest, same
-        # round-trip constraint as the stat column
-        types = {
-            f.name: f.dataType.simpleString()
-            for f in _manifest_schema(m).fields
-        }
-        for c in cluster_cols:
-            if c not in types:
-                raise ValueError(f"cluster col {c!r} not in table schema")
-            if types[c] not in _JSON_NATIVE_STAT_TYPES:
-                raise TypeError(
-                    f"cluster col {c!r} has type {types[c]}, whose min/max "
-                    "stats do not survive a JSON manifest round-trip"
-                )
+    if cluster or cluster_cols:
+        # one clustering path: sort key is the stat column (range
+        # clustering) or the Morton interleave (ZORDER); everything
+        # else — bin sizing, rewrite, manifest bookkeeping — is shared
+        # so a fix to either regime cannot miss the other
+        if cluster_cols:
+            # clustered-column stats live in the JSON manifest (same
+            # round-trip constraint as the stat column) AND feed the
+            # Morton normalization, so they must be numeric
+            types = {
+                f.name: f.dataType.simpleString()
+                for f in _manifest_schema(m).fields
+            }
+            for c in cluster_cols:
+                if c not in types:
+                    raise ValueError(f"cluster col {c!r} not in table schema")
+                if types[c] not in _NUMERIC_STAT_TYPES:
+                    raise TypeError(
+                        f"cluster col {c!r} has type {types[c]}; Z-order "
+                        "normalization needs a numeric column whose stats "
+                        "survive a JSON manifest round-trip"
+                    )
         if len(small) < min_files_per_bin:
             return None
         total = sum(e["rows"] for e in small)
         n_out = max(1, -(-total // target_rows))
         merged = _read_files(spark, table, m, small)
-        zkey = zorder_key(merged, list(cluster_cols))
+        if cluster_cols:
+            from ..operators.zorder import zorder_key
+
+            sort_key = zorder_key(merged, list(cluster_cols))
+        else:
+            sort_key = F.col(stat_col)
         clustered = (
-            merged.withColumn("__zkey", zkey)
-            .repartitionByRange(n_out, "__zkey")
-            .sortWithinPartitions("__zkey")
-            .drop("__zkey")
+            merged.withColumn("__ckey", sort_key)
+            .repartitionByRange(n_out, "__ckey")
+            .sortWithinPartitions("__ckey")
+            .drop("__ckey")
         )
         new_files = _write_data_files(
-            spark, table, clustered, stat_col, extra_cols=list(cluster_cols)
-        )
-        _commit(
+            spark,
             table,
-            read_v + 1,
-            {
-                "version": read_v + 1,
-                "op": "optimize",
-                "clustered": True,
-                "clustered_cols": list(cluster_cols),
-                "read_version": read_v,
-                "files": keep + new_files,
-                "schema": m["schema"],
-                "compacted": sorted(e["path"] for e in small),
-            },
+            clustered,
+            stat_col,
+            extra_cols=list(cluster_cols) if cluster_cols else None,
         )
-        return read_v + 1
-
-    if cluster:
-        if len(small) < min_files_per_bin:
-            return None
-        total = sum(e["rows"] for e in small)
-        n_out = max(1, -(-total // target_rows))
-        merged = _read_files(spark, table, m, small)
-        clustered = merged.repartitionByRange(n_out, stat_col).sortWithinPartitions(
-            stat_col
-        )
-        new_files = _write_data_files(spark, table, clustered, stat_col)
-        _commit(
-            table,
-            read_v + 1,
-            {
-                "version": read_v + 1,
-                "op": "optimize",
-                "clustered": True,
-                "read_version": read_v,
-                "files": keep + new_files,
-                "schema": m["schema"],
-                "compacted": sorted(e["path"] for e in small),
-            },
-        )
+        manifest = {
+            "version": read_v + 1,
+            "op": "optimize",
+            "clustered": True,
+            "read_version": read_v,
+            "files": keep + new_files,
+            "schema": m["schema"],
+            "compacted": sorted(e["path"] for e in small),
+        }
+        if cluster_cols:
+            manifest["clustered_cols"] = list(cluster_cols)
+        _commit(table, read_v + 1, manifest)
         return read_v + 1
 
     bins: list[list[dict]] = []
