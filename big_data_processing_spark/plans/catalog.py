@@ -83,25 +83,21 @@ def query(
 # not registered are ignored, so the list can name entries added later
 # in the build.
 _PRIORITY: tuple[str, ...] = (
-    # new in round 5
-    "txnlog_restore_history",
-    "join_skew_salted",
-    # plan/contract changes in round 5 (must re-earn a green row)
-    "heavy_hitters_tokens",   # MG candidate recount now fully distributed
-    "dedup_minhash_pairs",    # two-arm entry (default + tight cap merged)
-    "knn_ivf_cosine",         # recall gate folded in-query
-    "knn_pq_rerank",          # recall gate folded in-query
-    "knn_ivf_pq_rerank",      # recall gate folded in-query
-    "setops_family",          # union/intersect/except twins merged
-    "doc_token_stats",        # bpeish twin folded in (one-scan contract)
-    "multimodal_decode_stats",  # audio twin folded in (media_id join)
-    # NOTE: the r5 MERGE broadcast gate (txnlog._hinted_keys) changed
-    # the txn_merge/txn_delete code path for ALL txnlog entries; the
-    # path re-earns its green rows through txnlog_merge_snapshot and
-    # txnlog_restore_history, which are already inside this round's
-    # window — listing the other four r4-green txnlog entries here
-    # would displace stale entries and break the r4∪r5 full-coverage
-    # accounting (exactly 50 entries need r5 rows).
+    # round 6: no brand-new catalog entries yet.  The 42 entries whose
+    # last green row is r4 are the stalest and automatically lead the
+    # r6 window; all 50 r5-green entries sit safely behind them.
+    #
+    # NOTE: round 6 adds manifest CHECKPOINTING to the txnlog commit
+    # path (sources/txnlog.py) — every commit may now also write a
+    # rolled-up checkpoint file and history/vacuum/replay walkers start
+    # from it.  That changes the code path under every txnlog entry, so
+    # the four r4-green txnlog entries must re-earn green rows this
+    # round: they are listed here even though their query plans are
+    # unchanged (the TABLE FORMAT beneath them changed).
+    "txnlog_compacted_read",
+    "txnlog_change_feed",
+    "txnlog_incremental_mv",
+    "txnlog_wap_publish",
 )
 
 
