@@ -95,9 +95,11 @@ _MERGE_BROADCAST_KEY_CAP = 1_000_000
 
 def _hinted_keys(keys: DataFrame) -> DataFrame:
     """``keys`` (already projected+distinct, and persist()ed by the
-    caller so the probe and the subsequent join share one evaluation)
-    with a broadcast hint iff the key count is provably under
-    ``_MERGE_BROADCAST_KEY_CAP``."""
+    caller so the probe and the subsequent join can share work — the
+    limit() probe short-circuits, so only the partitions it touched are
+    cached and the join may still recompute the rest; correct either
+    way, the persist is a best-effort saving) with a broadcast hint iff
+    the key count is provably under ``_MERGE_BROADCAST_KEY_CAP``."""
     probe = keys.limit(_MERGE_BROADCAST_KEY_CAP + 1).count()
     return F.broadcast(keys) if probe <= _MERGE_BROADCAST_KEY_CAP else keys
 
@@ -122,6 +124,136 @@ def latest_version(table: str) -> int:
 def _read_manifest(table: str, version: int) -> dict:
     with open(_log_path(table, version)) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Manifest checkpoints (Delta's _checkpoint pattern).
+#
+# HISTORY, txn_id idempotence replay and WAP-abort liveness used to walk
+# one manifest JSON per version — O(versions) driver I/O that a streaming
+# MERGE sink (one commit per micro-batch) grows without bound (~10^5
+# versions/year).  Every _CHECKPOINT_INTERVAL-th commit therefore also
+# writes a rolled-up checkpoint file
+#
+#     _txnlog/<v>.checkpoint.json
+#       {"version": v,
+#        "txn_ids": {txn_id: latest version that recorded it, ...},
+#        "history": [one txn_history row per version <= v, ascending]}
+#
+# and the walkers start from the latest checkpoint, reading only the <=
+# _CHECKPOINT_INTERVAL tail manifests after it.  Checkpoint builds are
+# themselves incremental (previous checkpoint + tail), so commit cost
+# stays O(interval), never O(versions).  Checkpoint files are additive
+# metadata: every manifest remains the source of truth, a missing or
+# stale checkpoint only costs speed, and the put-if-absent commit
+# protocol (os.link) makes racing checkpoint writers harmless.  A side
+# benefit over the pre-checkpoint code: txn_id replay protection and
+# HISTORY now survive txn_vacuum retiring old manifests, because the
+# rollup preserves what the deleted JSONs recorded.
+# ---------------------------------------------------------------------------
+
+_CHECKPOINT_INTERVAL = 10
+_KEEP_CHECKPOINTS = 2  # latest is the fast path; one spare for safety
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:08d}.checkpoint.json")
+
+
+def _latest_checkpoint(table: str) -> dict | None:
+    """Newest readable checkpoint rollup, or None.  Falls back to the
+    previous checkpoint if the newest is unreadable (half-written files
+    cannot happen under the link-exclusive protocol, but a corrupt file
+    must degrade to a slower walk, never to an error)."""
+    log = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log):
+        return None
+    versions = sorted(
+        (
+            int(f.split(".", 1)[0])
+            for f in os.listdir(log)
+            if f.endswith(".checkpoint.json") and f.split(".", 1)[0].isdigit()
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        try:
+            with open(_checkpoint_path(table, v)) as f:
+                ckpt = json.load(f)
+            # structural validation: a parsable-but-incomplete rollup
+            # must degrade to the manifest walk, not KeyError later
+            if (
+                ckpt.get("version") == v
+                and isinstance(ckpt.get("txn_ids"), dict)
+                and isinstance(ckpt.get("history"), list)
+            ):
+                return ckpt
+        except (OSError, ValueError):
+            continue
+    return None
+
+
+def _history_row(m: dict) -> list:
+    """One txn_history row (JSON-native list) from a manifest."""
+    return [
+        m["version"],
+        m.get("op"),
+        m.get("read_version"),
+        len(m["files"]),
+        sum(e["rows"] for e in m["files"]),
+        len(json.loads(m["schema"])["fields"]),
+        m.get("txn_id"),
+        len(m.get("rewrote", []) or m.get("compacted", [])),
+    ]
+
+
+def _write_checkpoint(table: str, version: int) -> None:
+    """Roll manifests up to ``version`` into a checkpoint file —
+    incrementally, starting from the previous checkpoint.  Racing
+    writers both attempt the same put-if-absent; the loser's work is
+    simply discarded."""
+    prev = _latest_checkpoint(table)
+    if prev is not None and prev["version"] >= version:
+        return
+    start = prev["version"] + 1 if prev is not None else 0
+    txn_ids: dict[str, int] = dict(prev["txn_ids"]) if prev else {}
+    history: list[list] = list(prev["history"]) if prev else []
+    for v in range(start, version + 1):
+        p = _log_path(table, v)
+        if not os.path.exists(p):
+            continue  # vacuumed before ever checkpointed — gone, as before
+        m = _read_manifest(table, v)
+        if m.get("txn_id") is not None:
+            txn_ids[m["txn_id"]] = v
+        history.append(_history_row(m))
+    path = _checkpoint_path(table, version)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": version, "txn_ids": txn_ids, "history": history}, f
+        )
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        pass  # a concurrent writer checkpointed this exact version first
+    finally:
+        os.unlink(tmp)
+    # retire all but the newest _KEEP_CHECKPOINTS rollups (each new one
+    # subsumes the old); manifests are never touched here
+    log = os.path.join(table, _LOG_DIR)
+    ckpts = sorted(
+        (
+            int(f.split(".", 1)[0])
+            for f in os.listdir(log)
+            if f.endswith(".checkpoint.json") and f.split(".", 1)[0].isdigit()
+        ),
+        reverse=True,
+    )
+    for old_v in ckpts[_KEEP_CHECKPOINTS:]:
+        try:
+            os.unlink(_checkpoint_path(table, old_v))
+        except FileNotFoundError:
+            pass  # another writer's cleanup won the race
 
 
 def _manifest_schema(m: dict):
@@ -163,6 +295,10 @@ def _commit(table: str, version: int, manifest: dict) -> None:
         ) from e
     finally:
         os.unlink(tmp)
+    if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+        # after (never before) the manifest is durable: a checkpoint may
+        # only summarize committed versions.  Cost is O(interval) reads.
+        _write_checkpoint(table, version)
 
 
 def _write_data_files(
@@ -245,6 +381,7 @@ def txn_create(
             "op": "create",
             "files": files,
             "schema": df.schema.json(),
+            "added": sorted(e["path"] for e in files),
         },
     )
     return 0
@@ -467,6 +604,10 @@ def _plan_merge(
         "files": carry + new_files,
         "schema": evolved_schema.json(),
         "rewrote": sorted(e["path"] for e in rewrite),
+        # paths THIS plan introduced (vs carried): lets txn_abort drop a
+        # staged merge in O(1) manifest reads instead of walking every
+        # committed version to prove a file isn't shared
+        "added": sorted(e["path"] for e in new_files),
     }
 
 
@@ -512,15 +653,20 @@ def txn_merge(
 
 def _applied_txn_version(table: str, txn_id: str) -> int | None:
     """Latest version whose manifest recorded ``txn_id``, else None.
-    O(versions) manifest-JSON reads — driver-side metadata, KB-scale;
-    tables under steady MERGE traffic keep version counts bounded via
-    OPTIMIZE + vacuum retention."""
-    for v in range(latest_version(table), -1, -1):
+    Walks only the manifests AFTER the latest checkpoint (<= interval
+    files), then falls back to the checkpoint's rolled-up txn_id map —
+    O(interval), not O(versions), under a streaming MERGE sink, and the
+    replay check survives vacuum retiring old manifest JSONs."""
+    ckpt = _latest_checkpoint(table)
+    floor = ckpt["version"] if ckpt is not None else -1
+    for v in range(latest_version(table), floor, -1):
         p = _log_path(table, v)
         if not os.path.exists(p):
             continue
         if _read_manifest(table, v).get("txn_id") == txn_id:
             return v
+    if ckpt is not None:
+        return ckpt["txn_ids"].get(txn_id)
     return None
 
 
@@ -587,23 +733,32 @@ def txn_publish(table: str, token: str) -> int:
 
 def txn_abort(table: str, token: str) -> list[str]:
     """Discard a staged merge: delete its manifest and every data file
-    it introduced (files carried from committed versions are untouched
-    — only paths referenced by NO committed manifest are removed)."""
+    it introduced (files carried from committed versions are untouched).
+
+    The staged manifest's ``added`` list IS the set of files the stage
+    wrote (uuid-batch-named, referenced by no committed manifest by
+    construction), so the drop is O(1) manifest reads.  A pre-``added``
+    staged manifest falls back to the old proof — walk every committed
+    version and delete only paths none of them reference."""
     path = _staged_path(table, token)
     with open(path) as f:
         m = json.load(f)
-    committed: set[str] = set()
-    for v in range(0, latest_version(table) + 1):
-        lp = _log_path(table, v)
-        if os.path.exists(lp):
-            committed |= {e["path"] for e in _read_manifest(table, v)["files"]}
+    added = m.get("added")
+    if added is None:  # legacy staged manifest without provenance
+        committed: set[str] = set()
+        for v in range(0, latest_version(table) + 1):
+            lp = _log_path(table, v)
+            if os.path.exists(lp):
+                committed |= {
+                    e["path"] for e in _read_manifest(table, v)["files"]
+                }
+        added = [e["path"] for e in m["files"] if e["path"] not in committed]
     removed = []
-    for e in m["files"]:
-        if e["path"] not in committed:
-            full = os.path.join(table, e["path"])
-            if os.path.exists(full):
-                os.unlink(full)
-                removed.append(e["path"])
+    for rel in added:
+        full = os.path.join(table, rel)
+        if os.path.exists(full):
+            os.unlink(full)
+            removed.append(rel)
     os.unlink(path)
     return sorted(removed)
 
@@ -700,11 +855,15 @@ def txn_optimize(
             sort_key = zorder_key(merged, list(cluster_cols))
         else:
             sort_key = F.col(stat_col)
+        ckey = f"__ckey_{uuid.uuid4().hex[:8]}"
         clustered = (
-            merged.withColumn("__ckey", sort_key)
-            .repartitionByRange(n_out, "__ckey")
-            .sortWithinPartitions("__ckey")
-            .drop("__ckey")
+            # collision-free temp name: a table that legitimately has a
+            # "__ckey" column must not be clobbered then dropped from
+            # the rewritten files (ADVICE r5)
+            merged.withColumn(ckey, sort_key)
+            .repartitionByRange(n_out, ckey)
+            .sortWithinPartitions(ckey)
+            .drop(ckey)
         )
         new_files = _write_data_files(
             spark,
@@ -721,6 +880,7 @@ def txn_optimize(
             "files": keep + new_files,
             "schema": m["schema"],
             "compacted": sorted(e["path"] for e in small),
+            "added": sorted(e["path"] for e in new_files),
         }
         if cluster_cols:
             manifest["clustered_cols"] = list(cluster_cols)
@@ -758,6 +918,7 @@ def txn_optimize(
             "files": carry + new_files,
             "schema": m["schema"],
             "compacted": sorted(e["path"] for b in rewrite_bins for e in b),
+            "added": sorted(e["path"] for e in new_files),
         },
     )
     return read_v + 1
@@ -770,8 +931,17 @@ def txn_vacuum(table: str, keep_versions: int = 2) -> list[str]:
     (write-audit-publish) count as live — vacuum never races an audit."""
     v = latest_version(table)
     retained = range(max(0, v - keep_versions + 1), v + 1)
+    # a retained version's manifest may already be gone when an EARLIER
+    # vacuum ran with a tighter keep_versions (the retention window can
+    # grow between runs) — such versions contribute no live references,
+    # exactly like any other already-retired version (found by the r6
+    # full-algebra randomized property: vacuum(keep=2) then
+    # vacuum(keep=4) crashed here)
     live = {
-        e["path"] for rv in retained for e in _read_manifest(table, rv)["files"]
+        e["path"]
+        for rv in retained
+        if os.path.exists(_log_path(table, rv))
+        for e in _read_manifest(table, rv)["files"]
     }
     staged_dir = os.path.join(table, _LOG_DIR, _STAGED_DIR)
     if os.path.isdir(staged_dir):
@@ -865,6 +1035,7 @@ def txn_delete(
             "files": carry + new_files,
             "schema": m["schema"],
             "rewrote": sorted(e["path"] for e in rewrite),
+            "added": sorted(e["path"] for e in new_files),
         },
     )
     return read_v + 1
@@ -886,9 +1057,16 @@ def txn_changes(
     appear on both sides with equal values and are dropped — a pure
     compaction between the versions yields an empty feed.
 
-    Returns the table schema plus ``_change_type`` in {'insert',
-    'delete', 'update_preimage', 'update_postimage'} (pre rows carry
-    from-version values, post rows to-version values). Assumes the
+    Returns the COMMON schema of the two endpoint versions plus
+    ``_change_type`` in {'insert', 'delete', 'update_preimage',
+    'update_postimage'} (pre rows carry from-version values, post rows
+    to-version values). When the schema only grew between the
+    endpoints (the ADD-COLUMN evolution path) the common schema IS the
+    from-version schema — columns added in between are by definition
+    not changes to from-version values. A RESTORE can also SHRINK the
+    schema between the endpoints (back past an evolution); comparing
+    anything but the intersection would be unresolvable on one side
+    (found by the r6 full-algebra randomized property). Assumes the
     MERGE discipline's key uniqueness per snapshot."""
     from pyspark.sql import types as T
 
@@ -899,13 +1077,26 @@ def txn_changes(
     to_paths = {e["path"] for e in m_to["files"]}
     removed = sorted(from_paths - to_paths)
     added = sorted(to_paths - from_paths)
-    schema = T.StructType.fromJson(json.loads(m_from["schema"]))
+    to_names = {
+        f["name"] for f in json.loads(m_to["schema"])["fields"]
+    }
+    schema = T.StructType(
+        [
+            f
+            for f in T.StructType.fromJson(json.loads(m_from["schema"])).fields
+            if f.name in to_names
+        ]
+    )
+    missing_keys = [k for k in key_cols if k not in {f.name for f in schema.fields}]
+    if missing_keys:
+        raise ValueError(
+            f"key columns {missing_keys} are not present in both endpoint "
+            f"schemas of the change feed ({from_version} -> {to_v})"
+        )
 
     def _side(paths: list[str], m_side: dict) -> DataFrame:
         # pinned to the OWNING version's schema, then projected onto
-        # the from-version columns: the feed compares the common
-        # (pre-evolution) schema; columns added between the versions
-        # are by definition not changes to from-version values.
+        # the common columns (see docstring).
         if not paths:
             return spark.createDataFrame([], schema)
         df = spark.read.schema(_manifest_schema(m_side)).parquet(
@@ -948,24 +1139,20 @@ def txn_history(spark: SparkSession, table: str) -> DataFrame:
     read version, file/row counts, schema width, txn_id, and what the
     commit rewrote/compacted. Manifest-JSON-derived (KB-scale driver
     metadata, no data files touched), returned as a DataFrame so the
-    audit query can join/filter it like any table."""
-    rows = []
-    for v in range(0, latest_version(table) + 1):
+    audit query can join/filter it like any table.
+
+    Reads the latest checkpoint rollup plus only the manifests after it
+    (<= interval JSONs) instead of one JSON per version; versions whose
+    manifests a checkpoint captured before vacuum retired them still
+    appear (the pre-checkpoint code silently dropped them)."""
+    ckpt = _latest_checkpoint(table)
+    rows = [tuple(r) for r in ckpt["history"]] if ckpt is not None else []
+    start = ckpt["version"] + 1 if ckpt is not None else 0
+    for v in range(start, latest_version(table) + 1):
         if not os.path.exists(_log_path(table, v)):
-            continue  # vacuumed beyond retention
+            continue  # vacuumed beyond retention, never checkpointed
         m = _read_manifest(table, v)
-        rows.append(
-            (
-                v,
-                m.get("op"),
-                m.get("read_version"),
-                len(m["files"]),
-                sum(e["rows"] for e in m["files"]),
-                len(_manifest_schema(m).fields),
-                m.get("txn_id"),
-                len(m.get("rewrote", []) or m.get("compacted", [])),
-            )
-        )
+        rows.append(tuple(_history_row(m)))
     return spark.createDataFrame(
         rows,
         "version int, op string, read_version int, n_files int, "
@@ -1019,6 +1206,7 @@ def txn_restore(table: str, to_version: int) -> int:
             "restored_version": to_version,
             "files": m["files"],
             "schema": m["schema"],
+            "added": [],
         },
     )
     return v + 1
