@@ -68,25 +68,44 @@ def main() -> None:
     # comparisons meaningless (see VERDICT r2 "Pin down bench variance").
     # The run-to-run spread is recorded in the sidecar so reviewers can
     # see which timings are stable.
-    from big_data_processing_spark.operators.util import release_barriers
+    from big_data_processing_spark.operators.util import (
+        drain_phases,
+        release_barriers,
+    )
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # setup/query split for setup-dominated entries (judge r5 item 6):
+    # the txnlog entries build a multi-commit table in-query, which
+    # masks read-path regressions under the entry total — they report
+    # their build time via timed_phase; the split from the MIN run is
+    # recorded so query_s (the read path) becomes the regression signal
+    phase_split: dict[str, dict[str, float]] = {}
     for name in sorted(CATALOG):
         q = CATALOG[name]
         runs = []
+        run_phases = []
         for _ in range(2):
+            drain_phases()  # discard anything a previous query leaked
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
+            run_phases.append(drain_phases().get(name, {}))
         # the bench owns the cache lifetime of operator persist()
         # barriers: release BETWEEN queries so caches never accumulate
         # across the catalog, but NOT between a query's two runs — the
         # min-of-2 deliberately measures the steady state where the
         # signature index (like any ANN index) is already built
         release_barriers()
-        timings[name] = round(min(runs), 3)
+        best = min(range(len(runs)), key=runs.__getitem__)
+        timings[name] = round(runs[best], 3)
         spreads[name] = round(max(runs) - min(runs), 3)
+        if run_phases[best].get("setup") is not None:
+            setup_s = run_phases[best]["setup"]
+            phase_split[name] = {
+                "setup_s": round(setup_s, 3),
+                "query_s": round(max(0.0, runs[best] - setup_s), 3),
+            }
 
     total = round(sum(timings.values()) + sum(setup.values()), 3)
     ordered = sorted(timings.values())
@@ -101,6 +120,7 @@ def main() -> None:
         "queries": timings,
         "spread": spreads,
         "setup": setup,
+        "phase_split": phase_split,
         "n_queries": len(timings),
         "runs_per_query": 2,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

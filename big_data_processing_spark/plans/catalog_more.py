@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggregates import davg, davg_sql, dsum, dsum_sql
+from ..operators.util import timed_phase
 from .catalog import _t, query
 
 
@@ -880,8 +881,9 @@ def txnlog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with tempfile.TemporaryDirectory() as tmp:
         t = f"{tmp}/txn_table"
-        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
-        txn_merge(spark, t, upd, key_cols=["ck"])
+        with timed_phase("txnlog_merge_snapshot"):
+            txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+            txn_merge(spark, t, upd, key_cols=["ck"])
         v0 = txn_read(spark, t, version=0).withColumn("version", F.lit(0).cast("int"))
         v1 = txn_read(spark, t, version=1).withColumn("version", F.lit(1).cast("int"))
         return (
@@ -955,20 +957,21 @@ def txnlog_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with tempfile.TemporaryDirectory() as tmp:
         t = f"{tmp}/txn_table"
-        txn_create(
-            spark,
-            t,
-            base.filter(F.col("ck") % 5 == 0).repartitionByRange(2, "ck"),
-            stat_col="ck",
-        )
-        for i in range(1, 5):  # fragmenting pure inserts
-            txn_merge(
-                spark, t, base.filter(F.col("ck") % 5 == i), key_cols=["ck"]
+        with timed_phase("txnlog_compacted_read"):  # fragment the table
+            txn_create(
+                spark,
+                t,
+                base.filter(F.col("ck") % 5 == 0).repartitionByRange(2, "ck"),
+                stat_col="ck",
             )
-        upd = base.filter(F.col("ck") % 100 == 0).select(
-            "ck", (F.col("tc") * 2).cast("long").alias("tc")
-        )
-        txn_merge(spark, t, upd, key_cols=["ck"])
+            for i in range(1, 5):  # fragmenting pure inserts
+                txn_merge(
+                    spark, t, base.filter(F.col("ck") % 5 == i), key_cols=["ck"]
+                )
+            upd = base.filter(F.col("ck") % 100 == 0).select(
+                "ck", (F.col("tc") * 2).cast("long").alias("tc")
+            )
+            txn_merge(spark, t, upd, key_cols=["ck"])
         pre_v = latest_version(t)
         n_before = len(_read_manifest(t, pre_v)["files"])
         opt_v = txn_optimize(spark, t, target_rows=10_000_000)
@@ -1418,12 +1421,13 @@ def txnlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with tempfile.TemporaryDirectory() as tmp:
         t = f"{tmp}/txn_table"
-        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
-        txn_merge(spark, t, upd.unionByName(ins), key_cols=["ck"])
-        del_v = txn_delete(
-            spark, t, base.filter(F.col("ck") % 61 == 0).select("ck"), ["ck"]
-        )
-        opt_v = txn_optimize(spark, t)
+        with timed_phase("txnlog_change_feed"):  # build the history
+            txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+            txn_merge(spark, t, upd.unionByName(ins), key_cols=["ck"])
+            del_v = txn_delete(
+                spark, t, base.filter(F.col("ck") % 61 == 0).select("ck"), ["ck"]
+            )
+            opt_v = txn_optimize(spark, t)
         if opt_v is None:
             raise RuntimeError("txnlog_change_feed: compaction did not engage")
         n_phantom = txn_changes(spark, t, ["ck"], del_v, opt_v).count()
@@ -1509,7 +1513,8 @@ def txnlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.col("ck") % 10).cast("long").alias("bucket")
     with tempfile.TemporaryDirectory() as tmp:
         t = f"{tmp}/txn_table"
-        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+        with timed_phase("txnlog_incremental_mv"):
+            txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
         mv0 = (
             txn_read(spark, t, version=0)
             .groupBy(bucket)
@@ -1518,11 +1523,12 @@ def txnlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("tc").cast("long").alias("sum_cents"),
             )
         )
-        txn_merge(spark, t, upd.unionByName(ins), key_cols=["ck"])
-        txn_delete(
-            spark, t, base.filter(F.col("ck") % 61 == 0).select("ck"), ["ck"]
-        )
-        end_v = txn_optimize(spark, t)
+        with timed_phase("txnlog_incremental_mv"):
+            txn_merge(spark, t, upd.unionByName(ins), key_cols=["ck"])
+            txn_delete(
+                spark, t, base.filter(F.col("ck") % 61 == 0).select("ck"), ["ck"]
+            )
+            end_v = txn_optimize(spark, t)
         if end_v is None:
             raise RuntimeError("txnlog_incremental_mv: compaction did not engage")
         sign = F.when(

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.aggregates import dsum, dsum_sql
 from ..operators.heavyhitters import heavy_hitters_topk
 from ..operators.timeseries import gap_fill_ffill, scd2_intervals
+from ..operators.util import timed_phase
 from .catalog import _t, query
 from .catalog_ext import _TOKENS  # the shared DuckDB tokenizer expression
 
@@ -523,7 +524,8 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit_checks = {"tc_non_negative": F.col("tc") >= 0}
     with tempfile.TemporaryDirectory() as tmp:
         t = f"{tmp}/txn_table"
-        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+        with timed_phase("txnlog_wap_publish"):
+            txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
 
         bad = base.filter(F.col("ck") % 100 == 0).select(
             "ck", (-F.col("tc")).cast("long").alias("tc")
@@ -651,17 +653,18 @@ def _restore_history_rows(spark: SparkSession, base: DataFrame) -> list:
 
     with tempfile.TemporaryDirectory() as tmp:
         t = f"{tmp}/txn_table"
-        txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
-        upd = base.filter(F.col("ck") % 50 == 0).select(
-            "ck", (F.col("tc") * 2).cast("long").alias("tc")
-        )
-        txn_merge(spark, t, upd, key_cols=["ck"])
-        txn_delete(
-            spark,
-            t,
-            base.filter(F.col("ck") % 61 == 0).select("ck"),
-            key_cols=["ck"],
-        )
+        with timed_phase("txnlog_restore_history"):
+            txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+            upd = base.filter(F.col("ck") % 50 == 0).select(
+                "ck", (F.col("tc") * 2).cast("long").alias("tc")
+            )
+            txn_merge(spark, t, upd, key_cols=["ck"])
+            txn_delete(
+                spark,
+                t,
+                base.filter(F.col("ck") % 61 == 0).select("ck"),
+                key_cols=["ck"],
+            )
         if txn_restore(t, 1) != 3:
             raise RuntimeError("restore did not land as version 3")
         if _read_manifest(t, 3).get("restored_version") != 1:

@@ -85,6 +85,21 @@ def test_vocab_topk_take_ordered_not_global_window(spark, sf_dir):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
+def test_bounded_global_input_guard(spark):
+    """The r6 guard in front of the two deliberately partitionless rank
+    windows: passes bounded frames through unchanged, RAISES on input
+    that would serialize through one reducer — with bounded probe work
+    (limit(cap+1), never a full count of the oversized frame)."""
+    import pytest as _pytest
+
+    from big_data_processing_spark.operators.util import bounded_global_input
+
+    small = bounded_global_input(spark.range(50), 100, "probe")
+    assert small.count() == 50
+    with _pytest.raises(ValueError, match="global-window input exceeds"):
+        bounded_global_input(spark.range(10_000), 100, "probe")
+
+
 def test_semi_join_is_semi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semi_join_building_orders")
     assert "LeftSemi" in plan
@@ -114,6 +129,9 @@ _BNLJ_JUSTIFIED = {
 _GLOBAL_WINDOW_JUSTIFIED = {
     "global_month_rank",    # ranks distinct (year, month) pairs — dozens
     "vocab_top_tokens",     # rank over the ≤100-row TakeOrdered result
+    "bpe_pair_merge_step",  # rank over the ≤20-row TakeOrdered result
+    # all three now ALSO carry the bounded_global_input limit-probe
+    # raise (r6) — this allowlist documents, the guard enforces
 }
 
 
