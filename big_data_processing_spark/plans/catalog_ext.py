@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
+    hash32,
     hash32_sql,
     hash60_sql,
     shingles_sql,
     stopword_hits_sql,
+    tokenize,
 )
 from ..functions.text import normalize_text
 from ..operators.dedup import (
@@ -2449,11 +2451,157 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
     topk = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(_VOCAB_K)
+    # r6 guard: the partitionless rank window is a no-op ONLY because
+    # the limit(k) above bounds its input — assert that structurally so
+    # a refactor dropping the limit raises instead of serializing the
+    # whole vocab through one reducer
+    from ..operators.util import bounded_global_input
+
+    topk = bounded_global_input(topk, _VOCAB_K, "vocab_top_tokens")
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .orderBy("rank")
     )
+
+
+_BPE_K = 20
+
+
+@query(
+    "bpe_pair_merge_step",
+    oracle=f"""
+    WITH tok AS (
+        SELECT list_filter({_TOKENS}, t -> t != '') AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+        FROM tok WHERE len(toks) >= 2
+    ),
+    counted AS (
+        SELECT p[1] AS left_tok, p[2] AS right_tok, COUNT(*) AS n_pairs
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT left_tok, right_tok, n_pairs, rank FROM (
+        SELECT left_tok, right_tok, n_pairs,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, left_tok ASC,
+                                       right_tok ASC) AS INT) AS rank
+        FROM counted
+    )
+    WHERE rank <= {_BPE_K}
+    ORDER BY rank
+    """,
+    tags=("text", "bpe", "vocab"),
+)
+def bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge iteration of BPE tokenizer training: exact
+    corpus-wide ADJACENT-pair frequencies (which pair would merge
+    first), top-20 with deterministic (count DESC, pair ASC) ranking —
+    r6 vocabulary-construction surface next to the unigram
+    ``vocab_top_tokens``.
+
+    Scale: pair formation is ROW-LOCAL (arrays_zip of two slices — no
+    self-join, no window over the token stream; a shuffled
+    lead()-per-doc formulation would move the whole corpus once before
+    counting); the pair count is a map-side-combinable groupBy, the
+    top-k is TakeOrderedAndProject, and the final rank window runs
+    over the guarded ≤20-row result.  Skewed hot pairs ('of the')
+    partial-aggregate per partition exactly like hot tokens."""
+    from pyspark.sql import Window
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(tokenize(F.col("text")), lambda t: t != F.lit(""))
+    sized = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    lefts = F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("l")
+    rights = F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("r")
+    pairs = sized.select(F.explode(F.arrays_zip(lefts, rights)).alias("p"))
+    counted = pairs.groupBy(
+        F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    topk = counted.orderBy(
+        F.desc("n_pairs"), F.asc("left_tok"), F.asc("right_tok")
+    ).limit(_BPE_K)
+    from ..operators.util import bounded_global_input
+
+    topk = bounded_global_input(topk, _BPE_K, "bpe_pair_merge_step")
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("left_tok"), F.asc("right_tok"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+    )
+
+
+# context-window packing: 32-token windows, stride 24 (8-token overlap)
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, list_filter({_TOKENS}, t -> t != '') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(
+                   toks[(i-1)*{_CHUNK_S}+1 :
+                        least((i-1)*{_CHUNK_S}+{_CHUNK_W}, len(toks))],
+                   ' ') AS ctext,
+               len(toks[(i-1)*{_CHUNK_S}+1 :
+                        least((i-1)*{_CHUNK_S}+{_CHUNK_W}, len(toks))])
+                   AS n_tokens
+        FROM tok, unnest(generate_series(1, greatest(1, CAST(ceil(
+            (len(toks) - {_CHUNK_W} + {_CHUNK_S}) / {_CHUNK_S}.0) AS INT))))
+            AS t(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(length(ctext) AS BIGINT) AS n_chars,
+           {hash32_sql('ctext')} AS chunk_sig
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "chunking", "training-prep"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training-data prep: every document
+    split into 32-token windows with stride 24 (8-token overlap so no
+    span is lost at a boundary), each chunk accounted with its token
+    count, char count, and a deterministic content signature — the
+    packing step between curation and tokenization in an LLM data
+    pipeline.  Documents shorter than one window yield exactly one
+    (possibly short) chunk; the hash-check covers boundary math
+    exactly (a one-off in the stride shifts every signature).
+
+    Scale: chunk formation is entirely ROW-LOCAL (sequence + transform
+    + slice inside codegen, then ONE posexplode to chunk grain) — no
+    shuffle, no window function, no self-join; output size is
+    input_tokens/stride rows regardless of document count.  The only
+    shuffle is the output ordering, which a real pipeline would skip."""
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = F.filter(tokenize(F.col("text")), lambda t: t != F.lit(""))
+    base = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(_CHUNK_W) + F.lit(_CHUNK_S)) / F.lit(_CHUNK_S)).cast(
+            "int"
+        ),
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.slice(F.col("toks"), (i - F.lit(1)) * _CHUNK_S + 1, _CHUNK_W),
+    )
+    ex = base.select("doc_id", F.posexplode(chunk_arr).alias("pos", "chunk"))
+    ctext = F.concat_ws(" ", F.col("chunk"))
+    return ex.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("chunk_idx"),
+        F.size("chunk").cast("int").alias("n_tokens"),
+        F.length(ctext).cast("long").alias("n_chars"),
+        hash32(ctext).alias("chunk_sig"),
+    ).orderBy("doc_id", "chunk_idx")
 
 
 # ---------------------------------------------------------------------------
