@@ -46,6 +46,54 @@ def stratified_sample_exact(
     )
 
 
+def weighted_sample_exact(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(n, |rows with positive weight|) rows drawn WITHOUT
+    replacement with probability proportional to ``weight_col`` —
+    Efraimidis & Spirakis (2006) exponential-rank sampling (the A-ES
+    scheme): each row gets key u^(1/w) with u uniform in (0, 1], and
+    the top-n keys are the weighted draw.
+
+    The uniform is md5-derived from (salt, key) — the same
+    deterministic-pseudo-random device as the other samplers, so the
+    draw is reproducible across runs and partitionings; change ``salt``
+    for an independent draw.  Rows with NULL or non-positive weight are
+    excluded (A-ES is defined for w > 0).
+
+    Used for quality-weighted corpus subsampling (draw documents
+    proportionally to a quality score).  Kept OUT of the driver
+    catalog deliberately: the selection boundary compares pow() of
+    transcendental doubles, which is deterministic within one engine
+    but not bit-contracted across engines the way md5 is — evidence is
+    the exact NumPy-model parity test instead of a DuckDB hash row.
+
+    Scale: the rank key is row-local codegen (md5 + pow); top-n is
+    ``orderBy().limit(n)`` — TakeOrderedAndProject, a per-partition
+    heap of n rows merged on the driver, never a global sort or a
+    partitionless window."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    rank_key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", rank_key)
+        .orderBy(F.desc("sample_key"), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
 def deterministic_fraction_sample(
     df: DataFrame, key_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:

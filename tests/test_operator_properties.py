@@ -770,3 +770,84 @@ def test_new_operators_empty_input(spark):
     )
     iv = scd2_intervals(empty_ch, "k", "attr", "ts", "id")
     assert iv.collect() == []
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis A-ES, r6)
+# ---------------------------------------------------------------------------
+
+
+def _es_model(rows, n, salt=""):
+    """Pure-Python model of weighted_sample_exact: the exact same
+    md5-derived uniform and exponential-rank key, top-n."""
+    import hashlib
+
+    keyed = []
+    for k, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = int(hashlib.md5(f"{salt}{k}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / float(1 << 32)
+        keyed.append((u ** (1.0 / float(w)), k))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [k for _, k in keyed[:n]]
+
+
+def test_weighted_sample_matches_python_model(spark):
+    """The Spark draw must equal the Python model bit-for-bit (same
+    hash, same formula) — for several salts and n values, including
+    null/zero/negative weights being excluded."""
+    from big_data_processing_spark.operators.sampling import weighted_sample_exact
+
+    rows = [(f"doc{i}", float(1 + (i * 7) % 13)) for i in range(60)]
+    rows += [("dead0", 0.0), ("dead1", -2.0), ("dead2", None)]
+    df = spark.createDataFrame(rows, "k string, w double")
+    for salt in ("", "s1", "s2"):
+        for n in (1, 5, 25):
+            got = [
+                r.k
+                for r in weighted_sample_exact(df, "k", "w", n, salt=salt)
+                .select("k")
+                .collect()
+            ]
+            want = _es_model(rows, n, salt)
+            assert sorted(got) == sorted(want), (salt, n)
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    """Across independent salts, a 20x-weight key must be selected far
+    more often than a 1x key (distribution sanity, not exactness)."""
+    from big_data_processing_spark.operators.sampling import weighted_sample_exact
+
+    rows = [("heavy", 20.0)] + [(f"light{i}", 1.0) for i in range(39)]
+    df = spark.createDataFrame(rows, "k string, w double")
+    hits = 0
+    for s in range(30):
+        sel = {
+            r.k
+            for r in weighted_sample_exact(df, "k", "w", 4, salt=f"t{s}")
+            .select("k")
+            .collect()
+        }
+        hits += "heavy" in sel
+    # P(select) for the heavy key is ~20/59 per slot without
+    # replacement (>75% over 4 slots); lights sit near 4/59 each.
+    assert hits >= 18, hits
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """The top-n must plan as TakeOrderedAndProject (per-partition
+    heap), never a global sort or partitionless window."""
+    from big_data_processing_spark.operators.sampling import weighted_sample_exact
+
+    df = spark.range(10_000).selectExpr(
+        "cast(id as string) k", "cast(1 + id % 7 as double) w"
+    )
+    plan = (
+        weighted_sample_exact(df, "k", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
