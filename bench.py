@@ -125,10 +125,16 @@ def main() -> None:
         "runs_per_query": 2,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as f:
+    # overridable so test runs at toy scales don't clobber the
+    # committed sf0.1 sidecar (that's how an sf0.001 sidecar got
+    # committed in r5)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL_PATH",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        ),
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     line = json.dumps(
         {

@@ -10,10 +10,12 @@ import subprocess
 import sys
 
 
-def test_bench_emits_single_json_line():
+def test_bench_emits_single_json_line(tmp_path):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    # keep the committed sf0.1 sidecar out of reach of this toy run
+    env["SPARK_GRAFT_DETAIL_PATH"] = str(tmp_path / "BENCH_DETAIL.json")
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -36,8 +38,7 @@ def test_bench_emits_single_json_line():
     assert 1 <= len(d["queries"]) <= 10
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
     assert d["n_queries"] >= 40
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
+    with open(tmp_path / "BENCH_DETAIL.json") as f:
         detail = json.load(f)
     assert len(detail["queries"]) == d["n_queries"]
     assert set(detail["spread"]) == set(detail["queries"])
