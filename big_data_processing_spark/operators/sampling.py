@@ -75,22 +75,22 @@ def weighted_sample_exact(
     Scale: the rank key is row-local codegen (md5 + pow); top-n is
     ``orderBy().limit(n)`` — TakeOrderedAndProject, a per-partition
     heap of n rows merged on the driver, never a global sort or a
-    partitionless window."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    partitionless window.  Output carries exactly the input columns
+    (the rank key lives in a collision-free temp column, dropped)."""
+    import uuid
+
+    from ..functions.text import hash32  # the engine's canonical 32-bit hash
+
+    h = hash32(F.col(key_col).cast("string"), seed=salt)
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))  # (0, 1]
     w = F.col(weight_col).cast("double")
-    rank_key = F.pow(u, F.lit(1.0) / w)
+    skey = f"__sample_key_{uuid.uuid4().hex[:8]}"
     return (
         df.filter(w.isNotNull() & (w > 0))
-        .withColumn("sample_key", rank_key)
-        .orderBy(F.desc("sample_key"), F.col(key_col).asc())
+        .withColumn(skey, F.pow(u, F.lit(1.0) / w))
+        .orderBy(F.desc(skey), F.col(key_col).asc())
         .limit(n)
+        .drop(skey)
     )
 
 

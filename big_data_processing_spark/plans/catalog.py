@@ -102,6 +102,11 @@ _PRIORITY: tuple[str, ...] = (
     "txnlog_change_feed",
     "txnlog_incremental_mv",
     "txnlog_wap_publish",
+    # ... and the two r5-green txnlog entries sit on the SAME changed
+    # format, so they re-earn too (code-review r6: counting them as
+    # changed keeps |never-green ∪ stale ∪ changed| = 48 ≤ 50)
+    "txnlog_merge_snapshot",
+    "txnlog_restore_history",
     # r6 plan change: bounded-global-input guard (persist + limit
     # probe) added in front of the two deliberately partitionless rank
     # windows (judge r5 'What's wrong' #2) — must re-earn green rows

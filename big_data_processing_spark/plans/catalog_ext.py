@@ -2540,7 +2540,7 @@ _CHUNK_W, _CHUNK_S = 32, 24
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, list_filter({_TOKENS}, t -> t != '') AS toks
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     chunks AS (
         SELECT doc_id, i AS chunk_idx,
@@ -2581,7 +2581,12 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the output ordering, which a real pipeline would skip."""
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = F.filter(tokenize(F.col("text")), lambda t: t != F.lit(""))
-    base = d.select("doc_id", toks.alias("toks"))
+    # NULL-text guard on BOTH sides: without it Spark emits
+    # size(NULL) = -1 / hash32('') rows where DuckDB emits NULLs — a
+    # latent hash divergence the moment regenerated testdata carries a
+    # NULL document (code-review r6 finding; bpe's size>=2 filter is
+    # already null-safe)
+    base = d.filter(F.col("text").isNotNull()).select("doc_id", toks.alias("toks"))
     n = F.size("toks")
     n_chunks = F.greatest(
         F.lit(1),

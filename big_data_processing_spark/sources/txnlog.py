@@ -211,49 +211,63 @@ def _write_checkpoint(table: str, version: int) -> None:
     """Roll manifests up to ``version`` into a checkpoint file —
     incrementally, starting from the previous checkpoint.  Racing
     writers both attempt the same put-if-absent; the loser's work is
-    simply discarded."""
-    prev = _latest_checkpoint(table)
-    if prev is not None and prev["version"] >= version:
-        return
-    start = prev["version"] + 1 if prev is not None else 0
-    txn_ids: dict[str, int] = dict(prev["txn_ids"]) if prev else {}
-    history: list[list] = list(prev["history"]) if prev else []
-    for v in range(start, version + 1):
-        p = _log_path(table, v)
-        if not os.path.exists(p):
-            continue  # vacuumed before ever checkpointed — gone, as before
-        m = _read_manifest(table, v)
-        if m.get("txn_id") is not None:
-            txn_ids[m["txn_id"]] = v
-        history.append(_history_row(m))
-    path = _checkpoint_path(table, version)
-    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {"version": version, "txn_ids": txn_ids, "history": history}, f
-        )
+    simply discarded.
+
+    BEST-EFFORT by contract: the caller's commit is already durable
+    when this runs, and a checkpoint only ever buys speed — so no
+    failure here (a vacuum racing the rollup loop, ENOSPC on the tmp
+    file, a corrupt previous rollup) may surface as a commit error.
+    A raise would make the committed MERGE look failed and a retrying
+    writer without a txn_id would re-apply the batch as a duplicate
+    version (code-review r6 finding)."""
     try:
-        os.link(tmp, path)
-    except FileExistsError:
-        pass  # a concurrent writer checkpointed this exact version first
-    finally:
-        os.unlink(tmp)
-    # retire all but the newest _KEEP_CHECKPOINTS rollups (each new one
-    # subsumes the old); manifests are never touched here
-    log = os.path.join(table, _LOG_DIR)
-    ckpts = sorted(
-        (
-            int(f.split(".", 1)[0])
-            for f in os.listdir(log)
-            if f.endswith(".checkpoint.json") and f.split(".", 1)[0].isdigit()
-        ),
-        reverse=True,
-    )
-    for old_v in ckpts[_KEEP_CHECKPOINTS:]:
+        prev = _latest_checkpoint(table)
+        if prev is not None and prev["version"] >= version:
+            return
+        start = prev["version"] + 1 if prev is not None else 0
+        txn_ids: dict[str, int] = dict(prev["txn_ids"]) if prev else {}
+        history: list[list] = list(prev["history"]) if prev else []
+        for v in range(start, version + 1):
+            p = _log_path(table, v)
+            if not os.path.exists(p):
+                continue  # vacuumed before ever checkpointed — gone, as before
+            m = _read_manifest(table, v)
+            if m.get("txn_id") is not None:
+                txn_ids[m["txn_id"]] = v
+            history.append(_history_row(m))
+        path = _checkpoint_path(table, version)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
         try:
-            os.unlink(_checkpoint_path(table, old_v))
-        except FileNotFoundError:
-            pass  # another writer's cleanup won the race
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"version": version, "txn_ids": txn_ids, "history": history},
+                    f,
+                )
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                pass  # a concurrent writer checkpointed this version first
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        # retire all but the newest _KEEP_CHECKPOINTS rollups (each new
+        # one subsumes the old); manifests are never touched here
+        log = os.path.join(table, _LOG_DIR)
+        ckpts = sorted(
+            (
+                int(f.split(".", 1)[0])
+                for f in os.listdir(log)
+                if f.endswith(".checkpoint.json") and f.split(".", 1)[0].isdigit()
+            ),
+            reverse=True,
+        )
+        for old_v in ckpts[_KEEP_CHECKPOINTS:]:
+            try:
+                os.unlink(_checkpoint_path(table, old_v))
+            except FileNotFoundError:
+                pass  # another writer's cleanup won the race
+    except Exception:
+        return  # slower walks until the next interval retries the rollup
 
 
 def _manifest_schema(m: dict):

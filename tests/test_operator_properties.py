@@ -777,9 +777,9 @@ def test_new_operators_empty_input(spark):
 # ---------------------------------------------------------------------------
 
 
-def _es_model(rows, n, salt=""):
-    """Pure-Python model of weighted_sample_exact: the exact same
-    md5-derived uniform and exponential-rank key, top-n."""
+def _es_keyed(rows, salt=""):
+    """Pure-Python model of weighted_sample_exact's rank keys: the
+    exact same md5-derived uniform and exponential-rank formula."""
     import hashlib
 
     keyed = []
@@ -790,28 +790,39 @@ def _es_model(rows, n, salt=""):
         u = (h + 1) / float(1 << 32)
         keyed.append((u ** (1.0 / float(w)), k))
     keyed.sort(key=lambda t: (-t[0], t[1]))
-    return [k for _, k in keyed[:n]]
+    return keyed
 
 
 def test_weighted_sample_matches_python_model(spark):
-    """The Spark draw must equal the Python model bit-for-bit (same
-    hash, same formula) — for several salts and n values, including
-    null/zero/negative weights being excluded."""
+    """The Spark draw must equal the Python model — for several salts
+    and n values, including null/zero/negative weights being excluded.
+
+    JVM Math.pow and CPython pow are each only ulp-accurate, so when
+    the n-th and (n+1)-th model keys sit within float noise the strict
+    set equality is relaxed to 'every selected key ranks at or above
+    the boundary key minus 1 ulp-scale epsilon' (code-review r6: a
+    boundary straddle within 1 ulp would flake the bitwise assert)."""
     from big_data_processing_spark.operators.sampling import weighted_sample_exact
 
     rows = [(f"doc{i}", float(1 + (i * 7) % 13)) for i in range(60)]
     rows += [("dead0", 0.0), ("dead1", -2.0), ("dead2", None)]
     df = spark.createDataFrame(rows, "k string, w double")
+    eps = 1e-12
     for salt in ("", "s1", "s2"):
+        keyed = _es_keyed(rows, salt)
+        model_key = {k: key for key, k in keyed}
         for n in (1, 5, 25):
-            got = [
-                r.k
-                for r in weighted_sample_exact(df, "k", "w", n, salt=salt)
-                .select("k")
-                .collect()
-            ]
-            want = _es_model(rows, n, salt)
-            assert sorted(got) == sorted(want), (salt, n)
+            sel = weighted_sample_exact(df, "k", "w", n, salt=salt)
+            got = [r.k for r in sel.select("k").collect()]
+            assert len(got) == n
+            assert sel.columns == ["k", "w"]  # no leaked temp column
+            want = [k for _, k in keyed[:n]]
+            gap = keyed[n - 1][0] - keyed[n][0] if len(keyed) > n else 1.0
+            if gap > eps:
+                assert sorted(got) == sorted(want), (salt, n)
+            else:  # boundary ambiguity within float noise: rank containment
+                floor = keyed[n - 1][0] - eps
+                assert all(model_key[k] >= floor for k in got), (salt, n)
 
 
 def test_weighted_sample_biases_toward_heavy_weights(spark):

@@ -171,6 +171,30 @@ def test_replay_and_history_survive_vacuum(spark, tmp_path):
     )
 
 
+def test_checkpoint_write_failure_never_fails_commit(tmp_path, monkeypatch):
+    """The commit is durable before the rollup runs; any checkpoint
+    failure must degrade to slower walks, never to a commit error (a
+    raise would make a committed MERGE look failed and a retrying
+    writer would duplicate the batch) — code-review r6 finding."""
+
+    def boom(table, version):
+        raise OSError("ENOSPC")
+
+    t = str(tmp_path / "t")
+    for v in range(0, 10):
+        _fake_commit(t, v, txn_id=f"txn-{v}")
+    monkeypatch.setattr(tl, "_read_manifest", boom)  # rollup loop reads fail
+    _fake_commit(t, 10, txn_id="txn-10")  # interval commit: must succeed
+    monkeypatch.undo()
+    assert tl.latest_version(t) == 10
+    assert tl._latest_checkpoint(t) is None  # no rollup landed
+    assert tl._applied_txn_version(t, "txn-3") == 3  # full walk still works
+    # next interval retries and the rollup lands
+    for v in range(11, 21):
+        _fake_commit(t, v)
+    assert tl._latest_checkpoint(t)["version"] == 20
+
+
 def test_corrupt_checkpoint_degrades_to_walk(spark, tmp_path):
     t = str(tmp_path / "t")
     for v in range(0, 25):
