@@ -249,6 +249,67 @@ def test_real_merge_sink_checkpoints_and_matches(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_sink_replay_idempotent_across_checkpoint(spark, tmp_path):
+    """The exactly-once streaming MERGE sink (txn_id = query+batch)
+    must stay replay-idempotent once its table's history crosses a
+    manifest-checkpoint boundary: the replay check for an OLD batch id
+    is answered from the rollup's txn_id map, not a manifest walk —
+    and a restart that re-delivers every batch burns zero versions."""
+    import json as _json
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    t = str(tmp_path / "sink")
+    spark_df = spark.createDataFrame([(k, 0) for k in range(5)], ["k", "v"])
+    txn_create(spark, t, spark_df, stat_col="k")
+    # 12 one-file micro-batches -> versions 1..12, rollup lands at v10
+    for b in range(1, 13):
+        with open(src / f"b{b}.json", "w") as f:
+            f.write(_json.dumps({"k": b, "v": 100 + b}) + "\n")
+
+        def sink(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            txn_merge(spark, t, batch_df, ["k"], txn_id=f"q1-{batch_id}")
+
+        q = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_a"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    assert latest_version(t) == 12
+    assert os.path.exists(tl._checkpoint_path(t, 10))
+
+    # fresh stream checkpoint: ALL batches re-delivered; pre-rollup
+    # batch ids resolve via the checkpoint map, post-rollup via the
+    # tail walk — zero new versions either way
+    def sink2(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        txn_merge(spark, t, batch_df, ["k"], txn_id=f"q1-{batch_id}")
+
+    q = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", str(tmp_path / "ck_b"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert latest_version(t) == 12
+    got = {(r.k, r.v) for r in txn_read(spark, t).collect()}
+    want = {(k, 0) for k in range(5) if not 1 <= k <= 12}
+    want |= {(b, 100 + b) for b in range(1, 13)}
+    assert got == want
+
+
 def test_wap_abort_reads_no_manifests(spark, tmp_path, monkeypatch):
     """The staged manifest's `added` provenance makes abort O(1): no
     walk over committed manifests, and exactly the staged files die."""
