@@ -153,6 +153,22 @@ def test_history_reads_bounded_and_complete(spark, tmp_path, monkeypatch):
     assert byv[54].txn_id == "txn-54"  # tail row
 
 
+def test_history_identical_with_and_without_checkpoint(spark, tmp_path, monkeypatch):
+    """The rollup is a pure accelerator: HISTORY (and replay answers)
+    computed from checkpoint+tail must equal the full manifest walk
+    row for row while every manifest still exists."""
+    t = str(tmp_path / "t")
+    for v in range(0, 34):
+        _fake_commit(t, v, txn_id=f"txn-{v}" if v % 3 == 0 else None)
+    fast = [tuple(r) for r in txn_history(spark, t).collect()]
+    replay_fast = {i: tl._applied_txn_version(t, f"txn-{i}") for i in (0, 15, 33)}
+    monkeypatch.setattr(tl, "_latest_checkpoint", lambda table: None)
+    slow = [tuple(r) for r in txn_history(spark, t).collect()]
+    replay_slow = {i: tl._applied_txn_version(t, f"txn-{i}") for i in (0, 15, 33)}
+    assert fast == slow and len(fast) == 34
+    assert replay_fast == replay_slow == {0: 0, 15: 15, 33: 33}
+
+
 def test_replay_and_history_survive_vacuum(spark, tmp_path):
     t = str(tmp_path / "t")
     for v in range(0, 55):
