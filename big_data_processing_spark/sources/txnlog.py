@@ -942,8 +942,17 @@ def txn_vacuum(table: str, keep_versions: int = 2) -> list[str]:
     """Delete data files referenced by no retained manifest (old
     versions beyond ``keep_versions`` lose time travel). Returns the
     deleted paths.  Files referenced by PENDING staged merges
-    (write-audit-publish) count as live — vacuum never races an audit."""
+    (write-audit-publish) count as live — vacuum never races an audit.
+
+    Before retiring any manifest, the commit log is rolled up into a
+    checkpoint at the current version (best-effort, O(tail)), so
+    DESCRIBE HISTORY and txn_id replay protection NEVER lose a version
+    to retention — without this, versions committed after the last
+    interval rollup and vacuumed before the next one would vanish from
+    both (r6)."""
     v = latest_version(table)
+    if v >= 0:
+        _write_checkpoint(table, v)
     retained = range(max(0, v - keep_versions + 1), v + 1)
     # a retained version's manifest may already be gone when an EARLIER
     # vacuum ran with a tighter keep_versions (the retention window can

@@ -176,15 +176,14 @@ def test_replay_and_history_survive_vacuum(spark, tmp_path):
     removed = txn_vacuum(t, keep_versions=3)
     assert removed == []  # fabricated paths have no physical files
     assert not os.path.exists(tl._log_path(t, 0))  # manifest retired
-    # pre-checkpoint code lost both of these at vacuum time:
+    # pre-checkpoint code lost ALL of this at vacuum time; vacuum now
+    # rolls the log up to v54 BEFORE retiring manifests, so even v51
+    # (committed after the v50 interval rollup) keeps its HISTORY row
+    # and its replay protection
     assert tl._applied_txn_version(t, "txn-2") == 2
-    # versions <= the v50 rollup survive via the checkpoint; 52-54 via
-    # retained manifests; v51 fell in the gap (vacuumed before any
-    # rollup captured it) and is honestly absent — same loss the
-    # pre-checkpoint code had for EVERY vacuumed version
-    assert [r.version for r in txn_history(spark, t).collect()] == (
-        list(range(51)) + [52, 53, 54]
-    )
+    assert tl._applied_txn_version(t, "txn-51") == 51
+    assert [r.version for r in txn_history(spark, t).collect()] == list(range(55))
+    assert tl._latest_checkpoint(t)["version"] == 54
 
 
 def test_checkpoint_write_failure_never_fails_commit(tmp_path, monkeypatch):
