@@ -62,8 +62,11 @@ def weighted_sample_exact(
     The uniform is md5-derived from (salt, key) — the same
     deterministic-pseudo-random device as the other samplers, so the
     draw is reproducible across runs and partitionings; change ``salt``
-    for an independent draw.  Rows with NULL or non-positive weight are
-    excluded (A-ES is defined for w > 0).
+    for an independent draw.  Rows with NULL, NaN or non-positive
+    weight are excluded (A-ES is defined for finite w > 0; NaN weights
+    would otherwise rank FIRST — NaN > 0 is true and NaN sorts
+    greatest under desc — so a 0/0 in a quality score would fill the
+    sample with exactly the garbage rows).
 
     Used for quality-weighted corpus subsampling (draw documents
     proportionally to a quality score).  Kept OUT of the driver
@@ -86,7 +89,7 @@ def weighted_sample_exact(
     w = F.col(weight_col).cast("double")
     skey = f"__sample_key_{uuid.uuid4().hex[:8]}"
     return (
-        df.filter(w.isNotNull() & (w > 0))
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn(skey, F.pow(u, F.lit(1.0) / w))
         .orderBy(F.desc(skey), F.col(key_col).asc())
         .limit(n)

@@ -155,20 +155,29 @@ def _read_manifest(table: str, version: int) -> dict:
 _CHECKPOINT_INTERVAL = 10
 _KEEP_CHECKPOINTS = 2  # latest is the fast path; one spare for safety
 
+# Rollup retention horizons (the Delta analogy: DESCRIBE HISTORY has a
+# retention window; setTransaction state is bounded).  Without a bound
+# the rollup grows one history row + one txn_id per version EVER
+# committed, making the every-Nth-commit rewrite amortized O(versions)
+# again (code-review r6).  10^4 versions ≈ a week of per-minute
+# micro-batch commits: HISTORY beyond it ages out of the rollup, and a
+# replayed txn_id older than it is no longer recognized (streaming
+# re-delivery only ever replays recent batches; a replay horizon of
+# 10^4 commits is far beyond any engine's redelivery window).
+_CHECKPOINT_HISTORY_KEEP = 10_000
+_CHECKPOINT_TXN_KEEP = 10_000
+
 
 def _checkpoint_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:08d}.checkpoint.json")
 
 
-def _latest_checkpoint(table: str) -> dict | None:
-    """Newest readable checkpoint rollup, or None.  Falls back to the
-    previous checkpoint if the newest is unreadable (half-written files
-    cannot happen under the link-exclusive protocol, but a corrupt file
-    must degrade to a slower walk, never to an error)."""
+def _checkpoint_versions(table: str) -> list[int]:
+    """Versions with a checkpoint file on disk, newest first."""
     log = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(log):
-        return None
-    versions = sorted(
+        return []
+    return sorted(
         (
             int(f.split(".", 1)[0])
             for f in os.listdir(log)
@@ -176,6 +185,19 @@ def _latest_checkpoint(table: str) -> dict | None:
         ),
         reverse=True,
     )
+
+
+def _latest_checkpoint(table: str) -> dict | None:
+    """Newest readable checkpoint rollup, or None.
+
+    Falls back to the previous checkpoint when the newest is corrupt.
+    While every manifest still exists that fallback only costs speed;
+    AFTER vacuum has retired manifests the newest rollup is part of
+    the correctness state (it is the only record of the retired
+    versions), so vacuum gates retirement on a verified rollup and
+    durable storage of `_txnlog/` is assumed, exactly as for the
+    manifests themselves."""
+    versions = _checkpoint_versions(table)
     for v in versions:
         try:
             with open(_checkpoint_path(table, v)) as f:
@@ -235,6 +257,12 @@ def _write_checkpoint(table: str, version: int) -> None:
             if m.get("txn_id") is not None:
                 txn_ids[m["txn_id"]] = v
             history.append(_history_row(m))
+        # retention horizons: without them the rollup re-serializes one
+        # row per version EVER committed on every Nth commit — O(total
+        # versions), the exact cost class checkpoints exist to remove
+        history = history[-_CHECKPOINT_HISTORY_KEEP:]
+        txn_floor = version - _CHECKPOINT_TXN_KEEP
+        txn_ids = {t: tv for t, tv in txn_ids.items() if tv > txn_floor}
         path = _checkpoint_path(table, version)
         tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
         try:
@@ -252,16 +280,7 @@ def _write_checkpoint(table: str, version: int) -> None:
                 os.unlink(tmp)
         # retire all but the newest _KEEP_CHECKPOINTS rollups (each new
         # one subsumes the old); manifests are never touched here
-        log = os.path.join(table, _LOG_DIR)
-        ckpts = sorted(
-            (
-                int(f.split(".", 1)[0])
-                for f in os.listdir(log)
-                if f.endswith(".checkpoint.json") and f.split(".", 1)[0].isdigit()
-            ),
-            reverse=True,
-        )
-        for old_v in ckpts[_KEEP_CHECKPOINTS:]:
+        for old_v in _checkpoint_versions(table)[_KEEP_CHECKPOINTS:]:
             try:
                 os.unlink(_checkpoint_path(table, old_v))
             except FileNotFoundError:
@@ -945,14 +964,24 @@ def txn_vacuum(table: str, keep_versions: int = 2) -> list[str]:
     (write-audit-publish) count as live — vacuum never races an audit.
 
     Before retiring any manifest, the commit log is rolled up into a
-    checkpoint at the current version (best-effort, O(tail)), so
-    DESCRIBE HISTORY and txn_id replay protection NEVER lose a version
-    to retention — without this, versions committed after the last
-    interval rollup and vacuumed before the next one would vanish from
-    both (r6)."""
+    checkpoint at the current version (O(tail)), so DESCRIBE HISTORY
+    and txn_id replay protection NEVER lose a version to retention —
+    without this, versions committed after the last interval rollup
+    and vacuumed before the next one would vanish from both (r6).
+    Manifest retirement is GATED on that rollup being verifiably on
+    disk: _write_checkpoint is best-effort (it may not raise into a
+    caller), so if the rollup failed — ENOSPC, a racing writer — the
+    old manifests are simply kept until a later vacuum succeeds; data
+    FILE reclamation is unaffected either way, since file liveness
+    derives from the retained manifests, not the rollup (code-review
+    r6: retiring manifests after a silently failed rollup would
+    permanently destroy replay protection)."""
     v = latest_version(table)
+    rolled_up = False
     if v >= 0:
         _write_checkpoint(table, v)
+        ckpt = _latest_checkpoint(table)
+        rolled_up = ckpt is not None and ckpt["version"] >= v
     retained = range(max(0, v - keep_versions + 1), v + 1)
     # a retained version's manifest may already be gone when an EARLIER
     # vacuum ran with a tighter keep_versions (the retention window can
@@ -981,10 +1010,11 @@ def txn_vacuum(table: str, keep_versions: int = 2) -> list[str]:
             if f.endswith(".parquet") and rel not in live:
                 os.unlink(full)
                 removed.append(rel)
-    for rv in range(0, retained.start):
-        p = _log_path(table, rv)
-        if os.path.exists(p):
-            os.unlink(p)
+    if rolled_up:
+        for rv in range(0, retained.start):
+            p = _log_path(table, rv)
+            if os.path.exists(p):
+                os.unlink(p)
     return sorted(removed)
 
 
@@ -1167,7 +1197,11 @@ def txn_history(spark: SparkSession, table: str) -> DataFrame:
     Reads the latest checkpoint rollup plus only the manifests after it
     (<= interval JSONs) instead of one JSON per version; versions whose
     manifests a checkpoint captured before vacuum retired them still
-    appear (the pre-checkpoint code silently dropped them)."""
+    appear (the pre-checkpoint code silently dropped them).  Like
+    Delta's DESCRIBE HISTORY retention, the rollup carries a bounded
+    horizon (``_CHECKPOINT_HISTORY_KEEP`` newest versions) so rollup
+    rewrites never grow O(total versions); a log older than the
+    horizon ages out of this view."""
     ckpt = _latest_checkpoint(table)
     rows = [tuple(r) for r in ckpt["history"]] if ckpt is not None else []
     start = ckpt["version"] + 1 if ckpt is not None else 0

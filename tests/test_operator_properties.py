@@ -805,7 +805,9 @@ def test_weighted_sample_matches_python_model(spark):
     from big_data_processing_spark.operators.sampling import weighted_sample_exact
 
     rows = [(f"doc{i}", float(1 + (i * 7) % 13)) for i in range(60)]
-    rows += [("dead0", 0.0), ("dead1", -2.0), ("dead2", None)]
+    # 0/negative/NULL/NaN weights must all be excluded — NaN passes a
+    # bare w > 0 in Spark and then sorts FIRST under desc (r6 review)
+    rows += [("dead0", 0.0), ("dead1", -2.0), ("dead2", None), ("dead3", float("nan"))]
     df = spark.createDataFrame(rows, "k string, w double")
     eps = 1e-12
     for salt in ("", "s1", "s2"):

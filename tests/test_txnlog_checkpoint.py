@@ -210,6 +210,51 @@ def test_checkpoint_write_failure_never_fails_commit(tmp_path, monkeypatch):
     assert tl._latest_checkpoint(t)["version"] == 20
 
 
+def test_vacuum_keeps_manifests_when_rollup_fails(tmp_path, monkeypatch):
+    """Manifest retirement is gated on a VERIFIED rollup: when the
+    pre-vacuum checkpoint write silently fails (it is best-effort by
+    contract), vacuum must keep the old manifest JSONs — deleting them
+    would permanently destroy replay protection and HISTORY for those
+    versions (code-review r6 second-pass finding).  Data-file
+    reclamation is independent of the gate."""
+    t = str(tmp_path / "t")
+    for v in range(0, 8):
+        _fake_commit(t, v, txn_id=f"txn-{v}")
+    monkeypatch.setattr(tl, "_write_checkpoint", lambda table, version: None)
+    txn_vacuum(t, keep_versions=2)
+    monkeypatch.undo()
+    # every manifest survives; replay protection intact via full walk
+    assert all(os.path.exists(tl._log_path(t, v)) for v in range(8))
+    assert tl._applied_txn_version(t, "txn-1") == 1
+    # a later vacuum with a working rollup retires them for real
+    txn_vacuum(t, keep_versions=2)
+    assert not os.path.exists(tl._log_path(t, 0))
+    assert tl._applied_txn_version(t, "txn-1") == 1  # now via the rollup
+
+
+def test_rollup_truncates_history_and_txn_horizon(tmp_path, monkeypatch):
+    """The rollup carries bounded retention horizons (Delta-style): the
+    every-Nth-commit rewrite must not grow with TOTAL versions ever
+    committed (code-review r6 second-pass finding)."""
+    monkeypatch.setattr(tl, "_CHECKPOINT_HISTORY_KEEP", 15)
+    monkeypatch.setattr(tl, "_CHECKPOINT_TXN_KEEP", 15)
+    t = str(tmp_path / "t")
+    for v in range(0, 41):
+        _fake_commit(t, v, txn_id=f"txn-{v}")
+    ckpt = tl._latest_checkpoint(t)
+    assert ckpt["version"] == 40
+    assert len(ckpt["history"]) == 15  # versions 26..40 only
+    assert [r[0] for r in ckpt["history"]] == list(range(26, 41))
+    assert set(ckpt["txn_ids"].values()) == set(range(26, 41))
+    # inside the horizon: answered from the map; beyond it the replay
+    # guard no longer recognizes the txn_id — the documented retention
+    # contract (a redelivery 15+ commits late is far outside any
+    # streaming engine's replay window)
+    assert tl._applied_txn_version(t, "txn-30") == 30
+    assert tl._applied_txn_version(t, "txn-5") is None
+    monkeypatch.undo()
+
+
 def test_corrupt_checkpoint_degrades_to_walk(spark, tmp_path):
     t = str(tmp_path / "t")
     for v in range(0, 25):
