@@ -43,6 +43,11 @@ SUBSET = [
     # round-5 additions: salt assignment varies with partition layout
     # (result must not), distributed MG merge
     "join_skew_salted",
+    # round-6 additions: pair counts merge across partitions before the
+    # tie-broken top-k; chunk signatures are row-local but ride an
+    # explode whose task layout varies with parallelism
+    "bpe_pair_merge_step",
+    "doc_chunk_windows",
 ]
 
 
