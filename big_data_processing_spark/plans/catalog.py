@@ -83,9 +83,10 @@ def query(
 # not registered are ignored, so the list can name entries added later
 # in the build.
 _PRIORITY: tuple[str, ...] = (
-    # new in round 6 (training-prep text surface)
+    # new in round 6 (training-prep text surface + dedup closure)
     "bpe_pair_merge_step",
     "doc_chunk_windows",
+    "dedup_canonical_docs",
     # The 42 entries whose last green row is r4 are the stalest and
     # automatically lead the r6 window; all 50 r5-green entries sit
     # safely behind them (window re-simulated, see

@@ -608,6 +608,126 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_summary(comp)
 
 
+def _canonical_oracle() -> str:
+    # Same component fixpoint as _cluster_oracle, then quality-argmax
+    # per cluster (singletons are their own canonical).  quality_score
+    # reuses _score_sql — the identical IEEE expression the hash-green
+    # doc_quality_scores entry already proves matches Spark exactly, so
+    # the argmax ordering cannot diverge cross-engine.
+    return f"""
+    WITH RECURSIVE
+    mh AS (SELECT id_a, id_b FROM ({_minhash_oracle(max_bucket=DEFAULT_MAX_BUCKET_SIZE)})),
+    members AS (SELECT doc_id AS id, md5({_NORM}) AS digest FROM documents),
+    grp AS (SELECT digest, MIN(id) AS keep_id, COUNT(*) AS n
+            FROM members GROUP BY digest),
+    star AS (SELECT g.keep_id AS id_a, m.id AS id_b
+             FROM members m JOIN grp g USING (digest)
+             WHERE g.n > 1 AND m.id != g.keep_id),
+    pairs AS (SELECT id_a, id_b FROM mh UNION SELECT id_a, id_b FROM star),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, root) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+    assign AS (
+        SELECT d.doc_id AS node, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    ),
+    scored AS (
+        SELECT a.node, a.cluster_id, q.quality_score
+        FROM assign a JOIN (
+            SELECT doc_id, {_score_sql()} AS quality_score FROM documents
+        ) q ON q.doc_id = a.node
+    ),
+    ranked AS (
+        SELECT node, cluster_id, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, node ASC) AS rk
+        FROM scored
+    )
+    SELECT cluster_id, COUNT(*) AS n_docs,
+           MIN(CASE WHEN rk = 1 THEN node END) AS canonical_doc,
+           MIN(CASE WHEN rk = 1 THEN quality_score END) AS canonical_quality,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle=_canonical_oracle(),
+    tags=("dedup", "clusters", "curation"),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the decision step that closes the
+    dedup pipeline: every document lands in a near-dup cluster (the
+    dedup_cluster_assign components; unclustered docs are singleton
+    clusters of themselves), and each cluster KEEPS its highest-
+    quality member (quality_features score, doc_id tie-break) while
+    the rest are counted as dropped.  The keep-list a 100 TB curation
+    run actually materializes is `filter(node == canonical)`; this
+    entry reports the per-cluster accounting so the hash pins both the
+    clustering and the argmax.
+
+    Scale: components are the label-propagation fixpoint (two longs
+    per doc); quality is row-local; the argmax is a window PARTITIONED
+    by cluster — parallel across clusters, never global.  Float safety:
+    the score is the same IEEE expression on both engines (the
+    hash-green doc_quality_scores entry is the proof), and exact ties
+    (byte-identical clones) break on doc_id."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(
+        d,
+        num_hashes=_MH_NUM,
+        bands=_MH_BANDS,
+        shingle_n=_MH_N,
+        jaccard_threshold=_MH_THRESH,
+    ).select("id_a", "id_b")
+    members = spread(d, "doc_id").select(
+        F.col("doc_id").alias("id"), F.md5(normalize_text("text")).alias("digest")
+    )
+    grp = members.groupBy("digest").agg(
+        F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+    star = (
+        members.join(grp, "digest")
+        .filter((F.col("n") > 1) & (F.col("id") != F.col("keep_id")))
+        .select(F.col("keep_id").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    comp = connected_components(mh.unionByName(star))
+    assign = (
+        d.select(F.col("doc_id").alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id")
+        )
+    )
+    q = quality_features(d).select(
+        F.col("doc_id").alias("node"), "quality_score"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("node")
+    )
+    ranked = assign.join(q, "node").withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.when(F.col("rk") == 1, F.col("node"))).alias("canonical_doc"),
+            F.min(F.when(F.col("rk") == 1, F.col("quality_score"))).alias(
+                "canonical_quality"
+            ),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -45,9 +45,11 @@ SUBSET = [
     "join_skew_salted",
     # round-6 additions: pair counts merge across partitions before the
     # tie-broken top-k; chunk signatures are row-local but ride an
-    # explode whose task layout varies with parallelism
+    # explode whose task layout varies with parallelism; the canonical
+    # argmax depends on the CC label fixpoint being layout-independent
     "bpe_pair_merge_step",
     "doc_chunk_windows",
+    "dedup_canonical_docs",
 ]
 
 
