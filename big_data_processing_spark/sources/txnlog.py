@@ -425,7 +425,13 @@ def txn_read(
 ) -> DataFrame:
     """Snapshot read: latest manifest, or ``version`` for time travel.
     Only the files the manifest lists are scanned — a reader never sees
-    another writer's in-flight files."""
+    another writer's in-flight files.
+
+    Time travel reaches exactly the versions vacuum retention kept.  A
+    version whose manifest survived (e.g. kept because a vacuum-time
+    rollup failed) but whose files were reclaimed fails at scan time —
+    file retention and log retention are separate axes, as in Delta
+    (DESCRIBE HISTORY outlives time travel)."""
     v = latest_version(table) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no txnlog table at {table}")
@@ -1253,6 +1259,22 @@ def txn_restore(table: str, to_version: int) -> int:
             f"version {to_version} was vacuumed beyond retention"
         )
     m = _read_manifest(table, to_version)
+    # log retention and file retention are separate axes: a manifest
+    # can outlive its files (vacuum keeps manifests when its rollup
+    # failed).  Restoring such a version would commit a snapshot whose
+    # reads fail at scan time — check the files up front, as Delta's
+    # RESTORE does.  O(files of one version) driver existence probes,
+    # only on this explicit operator.
+    missing = [
+        e["path"]
+        for e in m["files"]
+        if not os.path.exists(os.path.join(table, e["path"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"version {to_version} lost {len(missing)} data file(s) to "
+            f"vacuum retention (e.g. {missing[0]}); cannot restore"
+        )
     _commit(
         table,
         v + 1,

@@ -430,6 +430,26 @@ def test_restore_to_vacuumed_version_fails_labeled(spark, tmp_path):
     assert txn_restore(t, 2) == 3
 
 
+def test_restore_to_version_with_reclaimed_files_fails_labeled(spark, tmp_path, monkeypatch):
+    """Log retention and file retention are separate: when a failed
+    vacuum-time rollup kept old manifests but reclaimed their files,
+    RESTORE to such a version must fail with the labeled error instead
+    of committing a snapshot whose reads break at scan time."""
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    txn_create(spark, t, df, stat_col="k")
+    # two merges that REWRITE v0's file so retention can reclaim it
+    txn_merge(spark, t, spark.createDataFrame([(1, -1)], ["k", "v"]), ["k"])
+    txn_merge(spark, t, spark.createDataFrame([(2, -2)], ["k", "v"]), ["k"])
+    monkeypatch.setattr(tl, "_write_checkpoint", lambda table, version: None)
+    txn_vacuum(t, keep_versions=1)
+    monkeypatch.undo()
+    assert os.path.exists(tl._log_path(t, 0))  # manifest kept (gate)
+    with pytest.raises(FileNotFoundError, match="lost .* data file"):
+        txn_restore(t, 0)
+    assert txn_restore(t, 2) == 3  # current snapshot still restores
+
+
 def test_vacuum_keeps_staged_files_live_across_restore(spark, tmp_path):
     """Judge r5 item 5b: a WAP stage planned before a RESTORE must keep
     its files through vacuum (audit never races retention); publishing
@@ -593,7 +613,33 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
             versions.append((snapshot(), list(cols)))
         elif op == "vacuum":
             keep = rng.randint(2, 4)
-            txn_vacuum(t, keep_versions=keep)
+            if rng.random() < 0.3:
+                # the vacuum-time rollup silently fails: manifests must
+                # all be KEPT (retirement is gated on a verified
+                # rollup), but data files beyond retention are still
+                # reclaimed — so reads of those versions are no longer
+                # valid even though their manifests remain
+                from unittest import mock
+
+                n_manifests_before = sum(
+                    os.path.exists(tl._log_path(t, rv))
+                    for rv in range(len(versions))
+                )
+                with mock.patch.object(
+                    tl, "_write_checkpoint", lambda table, version: None
+                ):
+                    txn_vacuum(t, keep_versions=keep)
+                n_manifests_after = sum(
+                    os.path.exists(tl._log_path(t, rv))
+                    for rv in range(len(versions))
+                )
+                assert n_manifests_after == n_manifests_before, (
+                    f"seed={seed}: failed rollup must not retire manifests"
+                )
+            else:
+                txn_vacuum(t, keep_versions=keep)
+            # either way, files beyond retention are gone: the model
+            # stops reading those versions
             vacuumed_below = max(vacuumed_below, len(versions) - keep)
 
     # --- model check every surviving artifact ---
