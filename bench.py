@@ -48,9 +48,14 @@ def main() -> None:
 
     from big_data_processing_spark.functions.text import hash32, shingles, tokenize
     from big_data_processing_spark.operators.similarity import cosine
+    from big_data_processing_spark.sources.readers import load_table
 
     t0 = time.perf_counter()
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(64)
+    # testdata always goes through load_table — raw spark.read.parquet
+    # skips the NTZ/nanos timestamp normalization and crashed a mid-r6
+    # bench run (bench_err.log: unix_micros on TIMESTAMP_NTZ); enforced
+    # by tests/test_load_table_invariant.py
+    docs = load_table(spark, sf_dir, "documents").limit(64)
     # NB: hash32 must be wrapped — its optional 2nd param would make
     # PySpark bind the array index as the seed (see CLAUDE.md)
     sh = F.array_distinct(
@@ -59,7 +64,7 @@ def main() -> None:
     docs.select(
         F.array_min(F.transform(sh, lambda h: (h * F.lit(3) + F.lit(1)) % F.lit(7)))
     ).collect()
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(16)
+    emb = load_table(spark, sf_dir, "embeddings").limit(16)
     emb.select(cosine(F.col("embedding"), F.col("embedding"))).collect()
     setup["expr_warmup"] = round(time.perf_counter() - t0, 3)
 

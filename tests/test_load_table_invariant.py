@@ -1,0 +1,110 @@
+"""Pin the load_table invariant (judge r6 'What's wrong' #3).
+
+The driver REGENERATES /root/testdata between rounds and its physical
+timestamp encodings drift (nanos-as-long in r1-2, TIMESTAMP_NTZ since
+r3).  ``sources/readers.load_table`` normalizes both; any product path
+that reads testdata with a raw ``spark.read.parquet`` bypasses that and
+crashes the moment the encoding drifts — exactly the mid-r6 bench crash
+recorded in bench_err.log (``unix_micros(ts)`` on a TIMESTAMP_NTZ
+relation).
+
+Two guards:
+1. a static scan that fails if any product file calls ``read.parquet``
+   with an argument mentioning the testdata dir / an ``sf_dir``;
+2. an end-to-end run of the asof entry (the one that crashed) over a
+   freshly-written TIMESTAMP_NTZ-encoded events fixture.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# product code that may run against testdata; tests/ and scripts that
+# write their OWN fixtures are out of scope, sources/readers.py is the
+# one sanctioned raw-read site.
+_PRODUCT_GLOBS = (
+    "bench.py",
+    "__spark_entry__.py",
+    "scripts/*.py",
+    "big_data_processing_spark/**/*.py",
+)
+_SANCTIONED = {os.path.join("big_data_processing_spark", "sources", "readers.py")}
+
+
+def _read_parquet_args(src: str):
+    """Yield the balanced-paren argument text of every read.parquet(...)."""
+    for m in re.finditer(r"read\s*\.\s*parquet\s*\(", src):
+        depth, i = 1, m.end()
+        while i < len(src) and depth:
+            if src[i] == "(":
+                depth += 1
+            elif src[i] == ")":
+                depth -= 1
+            i += 1
+        yield src[m.end() : i - 1]
+
+
+def test_no_raw_testdata_parquet_reads():
+    offenders = []
+    for pattern in _PRODUCT_GLOBS:
+        for path in glob.glob(os.path.join(_ROOT, pattern), recursive=True):
+            rel = os.path.relpath(path, _ROOT)
+            if rel in _SANCTIONED:
+                continue
+            with open(path) as f:
+                src = f.read()
+            for arg in _read_parquet_args(src):
+                if "sf_dir" in arg or "testdata" in arg:
+                    offenders.append(f"{rel}: read.parquet({arg.strip()})")
+    assert not offenders, (
+        "raw spark.read.parquet over testdata bypasses load_table's "
+        "timestamp normalization (bench_err.log regression): "
+        + "; ".join(offenders)
+    )
+
+
+def test_asof_entry_runs_on_ntz_encoded_events(spark, tmp_path):
+    """The exact crash shape from bench_err.log: events written with
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) reads back as
+    TIMESTAMP_NTZ, on which unix_micros() throws — unless the plan
+    loads through load_table.  Run the real catalog entry end-to-end on
+    such a fixture."""
+    from big_data_processing_spark.plans.catalog_more import (
+        events_asof_last_purchase,
+    )
+
+    fix = tmp_path / "ntz"
+    fix.mkdir()
+    us = lambda s: s * 1_000_000  # noqa: E731
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [us(10), us(20), us(30), us(40)],
+                pa.timestamp("us"),  # no tz → NTZ under Spark inference
+            ),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "event_type": pa.array(
+                ["purchase", "view", "view", "view"], pa.string()
+            ),
+            "value": pa.array([5.0, 0.0, 0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(table, fix / "events.parquet")
+
+    rows = {
+        r.event_type: r
+        for r in events_asof_last_purchase(spark, str(fix)).collect()
+    }
+    assert rows["purchase"].n_matched == 1  # inclusive self-match
+    v = rows["view"]
+    assert (v.n_events, v.n_matched) == (3, 2)  # user 8 has no purchase
+    assert v.avg_gap_us == (us(10) + us(20)) / 2
