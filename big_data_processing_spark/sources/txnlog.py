@@ -244,7 +244,19 @@ def _write_checkpoint(table: str, version: int) -> None:
     version (code-review r6 finding)."""
     try:
         prev = _latest_checkpoint(table)
-        if prev is not None and prev["version"] >= version:
+        prev_v = prev["version"] if prev is not None else -1
+        if prev_v >= version:
+            return
+        # Degraded-read guard (ADVICE r6): if a checkpoint NEWER than
+        # the one we could read exists on disk, the newest rollup may
+        # be the only record of versions vacuum already retired — an
+        # incremental rebuild from the older fallback would produce a
+        # structurally-valid checkpoint that silently LOST those
+        # versions' txn_ids/history, and future vacuums would gate on
+        # it as verified.  A transient read error must cost speed only,
+        # never coverage: refuse to supersede a rollup we couldn't read.
+        newest_on_disk = next(iter(_checkpoint_versions(table)), -1)
+        if newest_on_disk > prev_v:
             return
         start = prev["version"] + 1 if prev is not None else 0
         txn_ids: dict[str, int] = dict(prev["txn_ids"]) if prev else {}

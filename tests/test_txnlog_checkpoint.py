@@ -269,6 +269,43 @@ def test_corrupt_checkpoint_degrades_to_walk(spark, tmp_path):
     assert [r.version for r in txn_history(spark, t).collect()] == list(range(25))
 
 
+def test_unreadable_newest_checkpoint_is_never_superseded(tmp_path):
+    """Degraded-read guard (ADVICE r6): after vacuum, the newest rollup
+    can be the ONLY record of retired versions.  If it exists on disk
+    but cannot be read (transient OSError / corruption), an incremental
+    rebuild from the older fallback would emit a structurally-valid
+    NEWER checkpoint that silently lost that coverage — so
+    _write_checkpoint must refuse while an unreadable newer rollup
+    exists, and resume once the degraded file is cleared."""
+    t = str(tmp_path / "t")
+    for v in range(0, 25):
+        _fake_commit(t, v, txn_id=f"txn-{v}")
+    log = os.path.join(t, tl._LOG_DIR)
+    # corrupt ONLY the newest rollup (v=20); the v=10 fallback stays
+    with open(os.path.join(log, "00000020.checkpoint.json"), "w") as fh:
+        fh.write("{not json")
+    assert tl._latest_checkpoint(t)["version"] == 10  # degraded read
+
+    for v in range(25, 35):
+        _fake_commit(t, v, txn_id=f"txn-{v}")  # would roll up at 30
+    ckpts = sorted(f for f in os.listdir(log) if f.endswith(".checkpoint.json"))
+    assert "00000030.checkpoint.json" not in ckpts, (
+        "a rebuild from the v=10 fallback superseded the unreadable "
+        "v=20 rollup — silent loss of replay coverage"
+    )
+
+    # operator clears the corrupt file → checkpointing resumes from the
+    # readable v=10 rollup and the manifests (all still present) close
+    # the gap with NO lost coverage
+    os.remove(os.path.join(log, "00000020.checkpoint.json"))
+    for v in range(35, 45):
+        _fake_commit(t, v, txn_id=f"txn-{v}")
+    ckpt = tl._latest_checkpoint(t)
+    assert ckpt["version"] == 40
+    assert ckpt["txn_ids"]["txn-15"] == 15  # the once-gapped range
+    assert len(ckpt["history"]) == 41
+
+
 def test_checkpoint_incremental_not_full_rewalk(tmp_path, monkeypatch):
     t = str(tmp_path / "t")
     for v in range(0, 45):
