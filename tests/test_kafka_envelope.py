@@ -88,6 +88,127 @@ def test_kafka_source_option_assembly():
     assert opts2["startingOffsets"] == "latest"
 
 
+# The full public option surface of Structured Streaming's Kafka source
+# (kafka.* keys pass through to the Kafka consumer verbatim).  Pinned
+# here so kafka_source_options can never emit a key the connector would
+# silently ignore — option names are matched exactly by the source.
+_KAFKA_SOURCE_OPTION_CONTRACT = {
+    "subscribe",
+    "startingOffsets",
+    "failOnDataLoss",
+    "maxOffsetsPerTrigger",
+}
+
+
+def test_kafka_option_contract_surface():
+    """Every emitted option is either a kafka.*-prefixed passthrough or
+    one of the connector's documented option names, every value is a
+    string (DataStreamReader.option stringifies, but the dict is also
+    used for audit logging), and the full surface round-trips through
+    the exact loop kafka_source runs."""
+    from big_data_processing_spark.streaming.kafka import kafka_source_options
+
+    for kwargs in (
+        {},
+        {"starting_offsets": "latest"},
+        {"max_offsets_per_trigger": None},
+        {"fail_on_data_loss": True, "max_offsets_per_trigger": 5},
+    ):
+        opts = kafka_source_options("b:9092", "t", **kwargs)
+        for k, v in opts.items():
+            assert k.startswith("kafka.") or k in _KAFKA_SOURCE_OPTION_CONTRACT, (
+                f"option {k!r} is not part of the Kafka source contract"
+            )
+            assert isinstance(v, str)
+        assert opts["kafka.bootstrap.servers"] == "b:9092"
+
+
+def test_kafka_source_reaches_connector_resolution(spark):
+    """kafka_source() executed for real: option assembly, the option
+    loop, and format('kafka') all run; resolution fails ONLY at the
+    connector-jar lookup (no spark-sql-kafka in the sandbox), with
+    Spark's labeled missing-data-source error.  This shrinks the S6
+    untested surface to exactly one thing: the jar itself."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from big_data_processing_spark.streaming.kafka import kafka_source
+
+    with pytest.raises(AnalysisException, match="Failed to find data source: kafka"):
+        kafka_source(spark, "broker-1:9092", "weather-data-stream")
+
+
+def test_kafka_wire_schema_through_pipeline_to_merge_sink(spark, tmp_path):
+    """The envelope pipeline driven from a streaming source carrying
+    the EXACT Kafka wire schema — (key binary, value binary, topic,
+    partition, offset, timestamp, timestampType), the 7 columns
+    format('kafka').load() produces — into a foreachBatch MERGE sink:
+    later envelopes for the same location key UPDATE the row instead of
+    appending (the exactly-once upsert posture a Kafka consumer needs
+    under at-least-once redelivery)."""
+    import os
+
+    from big_data_processing_spark.plans.weather import LOCATION_SCHEMA
+    from big_data_processing_spark.sources.writers import merge_upsert
+
+    src = tmp_path / "kafka_wire"
+    os.makedirs(src)
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(_envelope("data", "location.csv", 1, "3,6.9,79.8,10,19800,Asia/Colombo,+0530,Colombo") + "\n")
+        f.write(_envelope("data", "location.csv", 2, "4,7.3,80.6,300,19900,Asia/Colombo,+0530,Kandy") + "\n")
+
+    # file-backed stand-in emitting the Kafka source's exact schema
+    raw = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(
+            F.lit(b"location.csv").alias("key"),
+            F.encode(F.col("value"), "utf-8").alias("value"),
+            F.lit("weather-data-stream").alias("topic"),
+            F.lit(0).cast("int").alias("partition"),
+            F.get_json_object(F.col("value"), "$.line_number")
+            .cast("long")
+            .alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).cast("int").alias("timestampType"),
+        )
+    )
+    assert [f.name for f in raw.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp", "timestampType",
+    ]
+    typed = typed_rows(
+        route_table(parse_envelope(raw)), "location", LOCATION_SCHEMA
+    ).drop("filename", "line_number")
+    target = str(tmp_path / "locations_tbl")
+
+    def merge_sink(batch, batch_id):
+        if not os.path.isdir(target):
+            batch.write.parquet(target)
+        else:
+            merge_upsert(spark, target, batch, key_cols=["location_id"])
+
+    q = (
+        typed.writeStream.option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .foreachBatch(merge_sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(target).count() == 2
+
+        # redelivery/correction for key 3: MERGE must update, not append
+        with open(src / "b2.jsonl", "w") as f:
+            f.write(_envelope("data", "location.csv", 3, "3,6.9,79.8,11,19800,Asia/Colombo,+0530,Colombo-2") + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.location_id: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {3, 4}
+    assert rows[3].city_name == "Colombo-2"  # updated in place
+
+
 def test_envelope_pipeline_end_to_end_streaming(spark, tmp_path):
     """The full envelope pipeline — parse → route → type — executed as
     an actual Structured Streaming query over a file-backed source
