@@ -62,7 +62,13 @@ def weighted_sample_exact(
     The uniform is md5-derived from (salt, key) — the same
     deterministic-pseudo-random device as the other samplers, so the
     draw is reproducible across runs and partitionings; change ``salt``
-    for an independent draw.  Rows with NULL, NaN or non-positive
+    for an independent draw.  PRECONDITION: ``key_col`` must be unique
+    (true of the other deterministic samplers too) — duplicate keys get
+    identical rank keys AND identical tie-breaks, so which physical
+    duplicate survives at the ``limit(n)`` boundary would be
+    partition-layout-dependent.  Note also that draws with the same
+    salt are fully correlated ACROSS tables sharing key values: use a
+    per-purpose salt for independent draws, exactly as documented.  Rows with NULL, NaN or non-positive
     weight are excluded (A-ES is defined for finite w > 0; NaN weights
     would otherwise rank FIRST — NaN > 0 is true and NaN sorts
     greatest under desc — so a 0/0 in a quality score would fill the

@@ -193,7 +193,13 @@ def timed_phase(entry: str, phase: str = "setup"):
 
 
 def drain_phases() -> dict[str, dict[str, float]]:
-    """Return and clear all recorded phase timings (rounded seconds)."""
+    """Return and clear all recorded phase timings (rounded seconds).
+
+    CONSUMER CONTRACT: _PHASES is process-global and accumulates from
+    ANY run of a phase-instrumented entry (bench, driver_sim, pytest);
+    a consumer that attributes timings to its own run must drain once
+    BEFORE timing starts (discarding stale entries) and once after —
+    bench.py does both; driver_sim drains before its replay loop."""
     out = {
         e: {p: round(s, 3) for p, s in d.items()} for e, d in _PHASES.items()
     }

@@ -59,6 +59,12 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     print(f"{len(qs)} queries, {len(oracles)} with oracle")
+    # phase-timing registry is process-global; drain stale entries so a
+    # later consumer can't mis-attribute this replay's timings (see
+    # operators/util.drain_phases consumer contract)
+    from big_data_processing_spark.operators.util import drain_phases
+
+    drain_phases()
     failed = []
     for name in sorted(qs):
         sdf = qs[name](spark, SF_DIR).toPandas()
