@@ -393,6 +393,8 @@ def _memo_artifact(
     import shutil
     import tempfile
 
+    from ..operators.util import timed_phase
+
     global _ARTIFACT_DIR
     key = (os.path.abspath(sf_dir), name)
     path = _ARTIFACTS.get(key)
@@ -401,7 +403,10 @@ def _memo_artifact(
             _ARTIFACT_DIR = tempfile.mkdtemp(prefix="spark_dedup_memo_")
             atexit.register(shutil.rmtree, _ARTIFACT_DIR, ignore_errors=True)
         path = os.path.join(_ARTIFACT_DIR, f"{name}_{len(_ARTIFACTS)}")
-        build().write.mode("overwrite").parquet(path)
+        # recorded as one-time "setup" so bench.py can report the build
+        # separately from the steady-state serving time it amortizes
+        with timed_phase(f"artifact:{name}"):
+            build().write.mode("overwrite").parquet(path)
         _ARTIFACTS[key] = path
     return spark.read.parquet(path)
 
@@ -426,10 +431,13 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (node, cluster_id) over the MinHash pairs
     plus exact normalized-digest star edges — the cluster assignment
     both accounting entries consume."""
+    # resolve the pairs artifact BEFORE the components build so nested
+    # timed_phase blocks don't double-count the pairs build as setup
+    mh_pairs = _dedup_pairs_default(spark, sf_dir)
 
     def build() -> DataFrame:
         d = _t(spark, sf_dir, "documents")
-        mh = _dedup_pairs_default(spark, sf_dir).select("id_a", "id_b")
+        mh = mh_pairs.select("id_a", "id_b")
         members = spread(d, "doc_id").select(
             F.col("doc_id").alias("id"),
             F.md5(normalize_text("text")).alias("digest"),
@@ -1186,6 +1194,147 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "knn_ivf_cosine",
     )
     return approx
+
+
+# Incoming-batch split for the IVF maintenance entry: vec_id % 5 == 0
+# is "new traffic" (20%), the rest is the already-indexed base corpus.
+_IVF_REFRESH_MOD = 5
+# distance quantum: per-row squared-L2 is a bit-identical IEEE fold on
+# both engines (proven by the hash-green knn_ivf_cosine assignment);
+# flooring it to integer micro-units makes the per-cell SUM exact and
+# order-independent — no float aggregation anywhere in this entry.
+_IVF_QD2_UNIT = "1e6"
+
+
+def _ivf_refresh_oracle(sf_dir: str) -> str:
+    """DuckDB twin of knn_ivf_refresh: identical centroid literals,
+    identical argmin cell assignment (ties to lowest cell id), the
+    incoming split recomputed from vec_id, and integer-quantized
+    distance sums (FLOOR(d2 * 1e6)) so every aggregate is exact."""
+    centroids = _ivf_centroids_for(sf_dir)
+    cent_rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for j, c in enumerate(centroids)
+    )
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, len(b.v)), "
+        "i -> (b.v[i]::DOUBLE - c.cvec[i]) * (b.v[i]::DOUBLE - c.cvec[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH cent(cid, cvec) AS (VALUES {cent_rows}),
+    base AS (
+        SELECT vec_id, embedding AS v,
+               (vec_id % {_IVF_REFRESH_MOD} = 0) AS is_new
+        FROM embeddings
+    ),
+    dists AS (
+        SELECT b.vec_id, b.is_new, c.cid, {d2} AS d2
+        FROM base b, cent c
+    ),
+    assign AS (
+        SELECT vec_id, is_new, cid AS cell,
+               CAST(FLOOR(d2 * {_IVF_QD2_UNIT}) AS BIGINT) AS q_d2
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cid) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN NOT is_new THEN q_d2 ELSE 0 END) AS BIGINT)
+               AS sum_qd2_base,
+           CAST(SUM(q_d2) AS BIGINT) AS sum_qd2_merged,
+           CAST(CASE WHEN SUM(CASE WHEN is_new THEN 1 ELSE 0 END) * {_IVF_REFRESH_MOD}
+                     > SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END AS INT) AS refresh_flag
+    FROM assign GROUP BY cell ORDER BY cell
+    """
+
+
+@query(
+    "knn_ivf_refresh",
+    oracle=_ivf_refresh_oracle,
+    tags=("similarity", "ivf", "maintenance", "txnlog"),
+)
+def knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE after MERGE traffic — the operational loop
+    a 100 TB vector corpus runs continuously: new vectors land in the
+    table (here: a real txnlog MERGE of the incoming 20% into a base
+    snapshot — composing two hash-proven subsystems), get assigned to
+    the EXISTING persisted centroids, and the per-cell report decides
+    when the coarse quantizer must be re-fit: occupancy before/after,
+    added count, quantized assignment-distance mass (the distortion
+    signal — if new traffic lands far from old centroids the sum grows
+    superlinearly), and a refresh flag when a cell's membership grew
+    faster than the incoming share.
+
+    Reading the assignment off the MERGED SNAPSHOT (not the input
+    frames) means the hash also certifies the MERGE preserved every
+    vector bit-exactly through the table format.
+
+    Scale: assignment is row-local (16 fold exprs per row, no shuffle);
+    the report is one groupBy(cell) with exact integer sums — the same
+    linear shape as the index build's assignment pass.  Float safety:
+    distances are quantized to integer micro-units per ROW (bit-identical
+    IEEE folds both engines), so no float ever crosses an aggregation."""
+    import tempfile
+
+    from ..operators.similarity import _ivf_cell_fns
+    from ..operators.util import timed_phase
+    from ..sources.txnlog import txn_create, txn_merge, txn_read
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids_for(sf_dir)
+    cell_dists, nearest_cells = _ivf_cell_fns(centroids)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = f"{tmp}/embeddings_tbl"
+        with timed_phase("knn_ivf_refresh"):
+            txn_create(
+                spark, table, emb.filter(F.col("vec_id") % _IVF_REFRESH_MOD != 0),
+                stat_col="vec_id",
+            )
+            txn_merge(
+                spark, table,
+                emb.filter(F.col("vec_id") % _IVF_REFRESH_MOD == 0),
+                key_cols=["vec_id"],
+            )
+        snap = txn_read(spark, table)
+        assigned = snap.select(
+            "vec_id",
+            (F.col("vec_id") % _IVF_REFRESH_MOD == 0).alias("is_new"),
+            nearest_cells(F.col("embedding"), 1).getItem(0).alias("cell"),
+            F.floor(
+                F.array_min(cell_dists(F.col("embedding")))
+                * F.expr(_IVF_QD2_UNIT)
+            )
+            .cast("long")
+            .alias("q_d2"),
+        )
+        n_new = F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        n_old = F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+        return (
+            assigned.groupBy(F.col("cell").cast("int").alias("cell"))
+            .agg(
+                n_old.cast("long").alias("n_base"),
+                F.count(F.lit(1)).cast("long").alias("n_merged"),
+                n_new.cast("long").alias("n_added"),
+                F.sum(F.when(F.col("is_new"), 0).otherwise(F.col("q_d2")))
+                .cast("long")
+                .alias("sum_qd2_base"),
+                F.sum("q_d2").cast("long").alias("sum_qd2_merged"),
+                F.when(n_new * _IVF_REFRESH_MOD > n_old, 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("refresh_flag"),
+            )
+            .orderBy("cell")
+            .localCheckpoint()
+        )
 
 
 # ---------------------------------------------------------------------------

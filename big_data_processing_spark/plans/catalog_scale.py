@@ -770,3 +770,161 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if plan.count("_salt") < 2:
         raise RuntimeError("salted plan lost its salt expansion")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 7: serving layer over a materialized rollup + one-pass
+# multi-rollup (GROUPING SETS) — the dashboard patterns at fact scale.
+# ---------------------------------------------------------------------------
+
+# The serving measure is summed at DECIMAL(27,6) in the rollup and the
+# rollup's decimals are summed AGAIN in the serving query — exact at
+# both levels, so the top-5 ordering and the served doubles are
+# bit-identical across engines (the dsum discipline, applied twice).
+_NMR_DEC = "decimal(27,6)"
+
+
+def _nation_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized monthly revenue rollup (nation x year x month) —
+    the serving table a dashboard hits instead of the fact tables.
+    Built ONCE per process via the shared artifact memo (parquet, no
+    driver collect); at 100 TB this is the nightly-maintained rollup
+    (or the A12 incremental MV) and serving queries never touch
+    lineitem."""
+    from .catalog_ext import _memo_artifact
+
+    def build() -> DataFrame:
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            _NMR_DEC
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("year"),
+                F.month("o_orderdate").alias("month"),
+            )
+            .agg(F.sum(rev).alias("rev"), F.count(F.lit(1)).alias("n_items"))
+        )
+
+    return _memo_artifact(spark, sf_dir, "nation_monthly_rollup", build)
+
+
+@query(
+    "serving_top_nations_monthly",
+    oracle="""
+    WITH rollup AS (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS year,
+               CAST(month(o_orderdate) AS INT) AS month,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    top5 AS (
+        SELECT nation FROM rollup GROUP BY nation
+        ORDER BY SUM(rev) DESC, nation LIMIT 5
+    )
+    SELECT r.nation, r.year,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS yearly_revenue,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_monthly_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_months
+    FROM rollup r JOIN top5 USING (nation)
+    GROUP BY r.nation, r.year
+    ORDER BY r.nation, r.year
+    """,
+    tags=("serving", "rollup", "cte", "topk"),
+)
+def serving_top_nations_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-layer CTE-join at fact scale — the reference dashboard's
+    requirement2 'yearly breakdown for top-5 districts' shape
+    (weather-dashboard/app/queries/requirement2_top_districts.sql:30-45)
+    re-expressed over the TPC-H star: top-5 nations by ALL-TIME revenue
+    from the materialized monthly rollup, joined back for the
+    per-(nation, year) breakdown.  The rollup itself is the serving
+    table (materialized once, see _nation_monthly_rollup); the query
+    the dashboard runs NEVER touches lineitem.
+
+    Scale: the rollup is |nations x months| rows — the serving query is
+    metadata-scale regardless of fact volume; top-5 is an exact decimal
+    argsort with a name tie-break; the join-back broadcasts 5 rows.
+    Float safety: revenue stays DECIMAL through BOTH aggregation levels
+    and converts to double once, via the string hop."""
+    roll = _nation_monthly_rollup(spark, sf_dir)
+    top5 = (
+        roll.groupBy("nation")
+        .agg(F.sum("rev").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("nation"))
+        .limit(5)
+        .select("nation")
+    )
+    yearly = F.sum("rev").cast("string").cast("double")
+    return (
+        roll.join(F.broadcast(top5), "nation")
+        .groupBy("nation", "year")
+        .agg(
+            yearly.alias("yearly_revenue"),
+            (yearly / F.count(F.lit(1))).alias("avg_monthly_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+        )
+        .orderBy("nation", "year")
+    )
+
+
+@query(
+    "dashboard_grouping_sets",
+    oracle=f"""
+    SELECT CAST(COALESCE(yr, -1) AS INT) AS year_g,
+           COALESCE(pri, 'ALL') AS priority_g,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS revenue
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               o_orderpriority AS pri, o_totalprice
+        FROM orders
+    )
+    GROUP BY GROUPING SETS ((yr), (pri), (yr, pri), ())
+    ORDER BY year_g, priority_g
+    """,
+    tags=("agg", "grouping-sets", "dashboard"),
+)
+def dashboard_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-rollup via GROUPING SETS — the Spark-first
+    replacement for the reference dashboard's per-page query fan
+    (each page issues separate dropdown-DISTINCT and per-dimension
+    aggregate queries, e.g. page1_precipitation.py:141-154): the
+    (year), (priority), (year, priority) and grand-total rollups the
+    page needs come out of ONE fact scan and one shuffle instead of
+    four queries.  Aggregated-away dimensions are served as -1/'ALL'
+    sentinels (the dropdown rows are exactly the single-dimension
+    arms).
+
+    Scale: GROUPING SETS expands rows 4x BEFORE the exchange but each
+    partial aggregates map-side, so the shuffle carries ~|groups|, not
+    ~|rows| x 4; revenue is decimal-exact (order-independent)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets_v")
+    return spark.sql(
+        """
+        SELECT CAST(COALESCE(yr, -1) AS INT) AS year_g,
+               COALESCE(pri, 'ALL') AS priority_g,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS STRING)
+                    AS DOUBLE) AS revenue
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                   o_orderpriority AS pri, o_totalprice
+            FROM orders_gsets_v
+        )
+        GROUP BY GROUPING SETS ((yr), (pri), (yr, pri), ())
+        ORDER BY year_g, priority_g
+        """
+    )

@@ -50,6 +50,14 @@ SUBSET = [
     "bpe_pair_merge_step",
     "doc_chunk_windows",
     "dedup_canonical_docs",
+    # round-7 additions: two-level decimal aggregation through a
+    # materialized artifact (row order in the parquet varies with
+    # layout, values must not), quantized-distance sums merged across
+    # partitions after a txnlog MERGE, grouping-sets expansion whose
+    # partial-agg combining varies with task layout
+    "serving_top_nations_monthly",
+    "knn_ivf_refresh",
+    "dashboard_grouping_sets",
 ]
 
 
