@@ -14,6 +14,7 @@ def test_bench_emits_single_json_line(tmp_path):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    env["SPARK_GRAFT_BENCH_RUNS"] = "2"  # keep the toy run inside the timeout
     # keep the committed sf0.1 sidecar out of reach of this toy run
     env["SPARK_GRAFT_DETAIL_PATH"] = str(tmp_path / "BENCH_DETAIL.json")
     proc = subprocess.run(
@@ -42,4 +43,9 @@ def test_bench_emits_single_json_line(tmp_path):
         detail = json.load(f)
     assert len(detail["queries"]) == d["n_queries"]
     assert set(detail["spread"]) == set(detail["queries"])
-    assert detail["runs_per_query"] == 2
+    assert detail["runs_per_query"] == 2  # honored from the env override
+    # one-time artifact builds must be split out, not hidden in timings
+    one_time = [
+        n for n, s in detail["phase_split"].items() if s.get("one_time")
+    ]
+    assert "dedup_canonical_docs" in one_time or "dedup_cluster_assign" in one_time
