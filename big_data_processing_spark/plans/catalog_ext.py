@@ -1164,6 +1164,23 @@ def _assert_recall(
         )
 
 
+def _knn_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k ids (query_id, neighbor_id) for the standard
+    query subset — the ground truth every ANN recall gate compares
+    against.  All three gated entries (IVF, PQ, IVF+PQ) used to
+    recompute this identical brute-force pass per entry; it is pure
+    integer ids, so the artifact memo shares one materialization per
+    process (r7 — same reasoning as the dedup artifacts)."""
+
+    def build() -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings")
+        return brute_force_knn(
+            emb, emb.filter(F.col("vec_id") % _KNN_QMOD == 0), k=_KNN_K
+        ).select("query_id", "neighbor_id")
+
+    return _memo_artifact(spark, sf_dir, "knn_exact_topk", build)
+
+
 @query("knn_ivf_cosine", oracle=_ivf_knn_oracle, tags=("similarity", "knn", "ivf"))
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (deterministic Lloyd's coarse quantizer,
@@ -1188,7 +1205,7 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     _assert_recall(
-        brute_force_knn(emb, queries, k=_KNN_K).select("query_id", "neighbor_id"),
+        _knn_exact_baseline(spark, sf_dir),
         approx.select("query_id", "neighbor_id"),
         0.7,
         "knn_ivf_cosine",
@@ -1501,7 +1518,7 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     _assert_recall(
-        brute_force_knn(emb, queries, k=_KNN_K).select("query_id", "neighbor_id"),
+        _knn_exact_baseline(spark, sf_dir),
         approx.select("query_id", "neighbor_id"),
         0.6,
         "knn_pq_rerank",
@@ -1673,7 +1690,7 @@ def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     _assert_recall(
-        brute_force_knn(emb, queries, k=_KNN_K).select("query_id", "neighbor_id"),
+        _knn_exact_baseline(spark, sf_dir),
         approx.select("query_id", "neighbor_id"),
         0.5,
         "knn_ivf_pq_rerank",

@@ -390,10 +390,9 @@ def test_ivf_refresh_assignment_is_row_local(spark, sf_dir):
     """IVF maintenance: centroid assignment must not shuffle or join —
     the only exchange in the plan feeds the per-cell aggregate, and the
     quantized-distance report never compares vectors pairwise (no join
-    at all in the post-snapshot section)."""
-    plan = _plan(spark, sf_dir, "knn_ivf_refresh")
-    # the entry ends at a localCheckpoint scan; re-derive the aggregate
-    # plan instead: assignment feeds exactly one grouping exchange
+    at all in the post-snapshot section).  The catalog entry itself
+    ends at a localCheckpoint scan (plan-opaque), so the probe
+    re-derives the assignment+report plan from the same builders."""
     from pyspark.sql import functions as F
 
     from big_data_processing_spark.operators.similarity import _ivf_cell_fns
