@@ -546,13 +546,23 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
     vacuumed_below = 0  # versions < this have lost their manifests
     cols = list(base_cols)
     evolved = False
+    corrupt_at: int | None = None  # version of a corrupted newest rollup
 
     def snapshot():
         return {k: dict(r) for k, r in state.items()}
 
     for _ in range(n_ops):
         op = rng.choice(
-            ["merge", "delete", "restore", "optimize", "wap", "evolve", "vacuum"]
+            [
+                "merge",
+                "delete",
+                "restore",
+                "optimize",
+                "wap",
+                "evolve",
+                "vacuum",
+                "corrupt_ckpt",
+            ]
         )
         if op == "merge":
             upd = {}
@@ -678,6 +688,30 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
             # either way, files beyond retention are gone: the model
             # stops reading those versions
             vacuumed_below = max(vacuumed_below, len(versions) - keep)
+        elif op == "corrupt_ckpt":
+            # transient-storage injection (r7, ADVICE guard): corrupt
+            # the newest rollup, or heal a previous corruption.  While
+            # degraded, walkers fall back to older rollups + manifests
+            # and _write_checkpoint must REFUSE to supersede (a rebuild
+            # from the fallback would silently lose coverage); every
+            # model check below must hold regardless.
+            if corrupt_at is None:
+                cvs = tl._checkpoint_versions(t)
+                if not cvs:
+                    continue
+                corrupt_at = cvs[0]
+                with open(tl._checkpoint_path(t, corrupt_at), "w") as fh:
+                    fh.write("{corrupt")
+            else:
+                os.remove(tl._checkpoint_path(t, corrupt_at))
+                corrupt_at = None
+
+    if corrupt_at is not None:
+        # degraded the whole tail: nothing may have superseded the
+        # unreadable newest rollup
+        assert tl._checkpoint_versions(t)[0] == corrupt_at, (
+            f"seed={seed}: a rebuild superseded the corrupt rollup"
+        )
 
     # --- model check every surviving artifact ---
     for v in range(vacuumed_below, len(versions)):
