@@ -661,13 +661,22 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
         elif op == "vacuum":
             keep = rng.randint(2, 4)
             if rng.random() < 0.3:
-                # the vacuum-time rollup silently fails: manifests must
-                # all be KEPT (retirement is gated on a verified
-                # rollup), but data files beyond retention are still
-                # reclaimed — so reads of those versions are no longer
-                # valid even though their manifests remain
+                # the vacuum-time rollup silently fails.  Retirement is
+                # gated on a VERIFIED rollup covering the current
+                # version: if an interval rollup already on disk covers
+                # it, retiring manifests is legitimate despite the
+                # failed write (found by the r7 corruption-injection
+                # sweep, seed 196 — vacuum landed exactly on a
+                # checkpoint-interval version); otherwise every
+                # manifest must be kept.  Data files beyond retention
+                # are reclaimed either way.
                 from unittest import mock
 
+                pre = tl._latest_checkpoint(t)
+                covered = (
+                    pre is not None
+                    and pre["version"] >= tl.latest_version(t)
+                )
                 n_manifests_before = sum(
                     os.path.exists(tl._log_path(t, rv))
                     for rv in range(len(versions))
@@ -680,9 +689,10 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
                     os.path.exists(tl._log_path(t, rv))
                     for rv in range(len(versions))
                 )
-                assert n_manifests_after == n_manifests_before, (
-                    f"seed={seed}: failed rollup must not retire manifests"
-                )
+                if not covered:
+                    assert n_manifests_after == n_manifests_before, (
+                        f"seed={seed}: failed rollup must not retire manifests"
+                    )
             else:
                 txn_vacuum(t, keep_versions=keep)
             # either way, files beyond retention are gone: the model
