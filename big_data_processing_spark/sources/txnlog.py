@@ -1301,3 +1301,71 @@ def txn_restore(table: str, to_version: int) -> int:
         },
     )
     return v + 1
+
+
+def txn_clone(src: str, dst: str, version: int | None = None) -> int:
+    """CLONE: create ``dst`` as a NEW txnlog table whose v0 snapshot is
+    ``src`` at ``version`` (latest by default) — Delta CLONE semantics,
+    except data files are HARDLINKED instead of referenced: zero data
+    bytes move on one filesystem (cross-device falls back to a real
+    copy), and unlike Delta's shallow clone the result is FULLY
+    isolated — vacuum on either table unlinks only its own directory
+    entry, the shared inode lives until both sides drop it, and the
+    format's files are immutable so sharing an inode is always safe.
+
+    The clone starts fresh history: one v0 manifest with op "clone"
+    recording provenance (source path + version).  The source's
+    history, txn_ids, checkpoints and WAP stages do NOT carry over.
+    Like RESTORE, the target manifest AND its files must still exist
+    (file and log retention are separate axes) — probed up front with
+    the labeled error.  Cost: O(files of one version) driver-side
+    probes + link calls, no Spark job.
+
+    Uses: dev/test sandboxes off a production table, reproducible
+    benchmark fixtures (build the multi-commit base once, clone per
+    run), point-in-time forks for backfill experiments."""
+    import shutil
+
+    if latest_version(dst) >= 0:
+        raise FileExistsError(f"txnlog table already exists: {dst}")
+    head = latest_version(src)
+    v = head if version is None else version
+    if v < 0 or v > head:
+        raise ValueError(f"cannot clone {src} at version {version}")
+    if not os.path.exists(_log_path(src, v)):
+        raise FileNotFoundError(
+            f"version {v} was vacuumed beyond retention"
+        )
+    m = _read_manifest(src, v)
+    missing = [
+        e["path"]
+        for e in m["files"]
+        if not os.path.exists(os.path.join(src, e["path"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"version {v} lost {len(missing)} data file(s) to vacuum "
+            f"retention (e.g. {missing[0]}); cannot clone"
+        )
+    for e in m["files"]:
+        s = os.path.join(src, e["path"])
+        d = os.path.join(dst, e["path"])
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)  # cross-device: pay the copy
+    _commit(
+        dst,
+        0,
+        {
+            "version": 0,
+            "op": "clone",
+            "cloned_from": os.path.abspath(src),
+            "cloned_version": v,
+            "files": m["files"],
+            "schema": m["schema"],
+            "added": sorted(e["path"] for e in m["files"]),
+        },
+    )
+    return 0

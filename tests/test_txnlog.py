@@ -1048,3 +1048,78 @@ def test_read_where_prunes_on_stat_col_without_zorder(spark, tmp_path):
     assert tot >= 8 and len(sel) <= 2, (len(sel), tot)
     got = {(r.k, r.v) for r in txn_read_where(spark, t, {"k": (0, 99)}).collect()}
     assert got == {(i, i * 10) for i in range(100)}
+
+
+def test_clone_snapshot_independence_and_vacuum_isolation(spark, tmp_path):
+    """txn_clone: (a) the clone's v0 equals src@version; (b) writes to
+    either table never show in the other; (c) vacuum on the SOURCE
+    reclaiming the cloned files does not break the clone (hardlink
+    inodes survive the source's unlink — the Delta shallow-clone
+    caveat this design removes); (d) cloning an old version is a
+    point-in-time fork; (e) the clone records provenance."""
+    import json
+
+    from big_data_processing_spark.sources.txnlog import (
+        txn_clone,
+        txn_history,
+        _read_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    txn_create(spark, src, df, stat_col="k")
+    upd = spark.createDataFrame([(1, -1)], "k long, v long")
+    txn_merge(spark, src, upd, ["k"])  # src v1
+
+    dst = str(tmp_path / "dst")
+    assert txn_clone(src, dst) == 0
+    want_v1 = {(i, -1 if i == 1 else 2 * i) for i in range(50)}
+    assert _rows(txn_read(spark, dst)) == want_v1
+
+    # independence, both directions
+    txn_merge(spark, dst, spark.createDataFrame([(2, -2)], "k long, v long"), ["k"])
+    txn_merge(spark, src, spark.createDataFrame([(3, -3)], "k long, v long"), ["k"])
+    assert (2, -2) in _rows(txn_read(spark, dst))
+    assert (3, -3) not in _rows(txn_read(spark, dst))
+    assert (2, -2) not in _rows(txn_read(spark, src))
+
+    # source churns past retention, vacuum reclaims the cloned files
+    for i in range(4, 8):
+        txn_merge(spark, src, spark.createDataFrame([(i, -i)], "k long, v long"), ["k"])
+    txn_vacuum(src, keep_versions=2)
+    got = _rows(txn_read(spark, dst))
+    assert {(1, -1), (2, -2)} <= got and len(got) == 50
+
+    # point-in-time fork + provenance
+    fork = str(tmp_path / "fork_v0")
+    txn_clone(src, fork, version=latest_version(src))
+    m = _read_manifest(fork, 0)
+    assert m["op"] == "clone" and m["cloned_version"] == latest_version(src)
+    assert m["cloned_from"].endswith("src")
+    h = txn_history(spark, fork).collect()
+    assert len(h) == 1 and h[0].op == "clone"  # fresh history
+
+
+def test_clone_labeled_errors(spark, tmp_path):
+    """Clone shares RESTORE's retention contract: vacuumed manifest and
+    reclaimed files fail up front with the labeled error; an existing
+    destination is refused."""
+    from big_data_processing_spark.sources.txnlog import txn_clone
+
+    src = str(tmp_path / "src")
+    df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    txn_create(spark, src, df, stat_col="k")
+    for i in range(5):
+        txn_merge(
+            spark, src, spark.createDataFrame([(i, -i)], "k long, v long"), ["k"]
+        )
+    txn_vacuum(src, keep_versions=2)
+
+    with pytest.raises(FileNotFoundError, match="vacuumed beyond retention"):
+        txn_clone(src, str(tmp_path / "d1"), version=0)
+    with pytest.raises(ValueError, match="cannot clone"):
+        txn_clone(src, str(tmp_path / "d2"), version=99)
+    ok = str(tmp_path / "d3")
+    txn_clone(src, ok)
+    with pytest.raises(FileExistsError, match="already exists"):
+        txn_clone(src, ok)

@@ -562,6 +562,7 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
                 "evolve",
                 "vacuum",
                 "corrupt_ckpt",
+                "clone",
             ]
         )
         if op == "merge":
@@ -698,6 +699,33 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
             # either way, files beyond retention are gone: the model
             # stops reading those versions
             vacuumed_below = max(vacuumed_below, len(versions) - keep)
+        elif op == "clone":
+            # point-in-time fork at any version ever committed: for a
+            # version the model still reads (>= vacuumed_below) the
+            # clone MUST succeed and reproduce the snapshot exactly;
+            # for older versions either outcome is valid — success with
+            # the correct snapshot (files carried forward can outlive
+            # their version) or the labeled retention error — but never
+            # a wrong snapshot.
+            import shutil
+
+            target = rng.randint(0, len(versions) - 1)
+            cdir = os.path.join(root, f"clone_{seed}_{len(versions)}_{target}")
+            try:
+                tl.txn_clone(t, cdir, version=target)
+            except FileNotFoundError:
+                assert target < vacuumed_below, (
+                    f"seed={seed}: clone of retained v{target} failed"
+                )
+            else:
+                want_state, want_cols = versions[target]
+                got = {
+                    r["k"]: tuple(r[c] for c in want_cols)
+                    for r in txn_read(spark, cdir).collect()
+                }
+                want = {k: _row_tuple(r, want_cols) for k, r in want_state.items()}
+                assert got == want, f"seed={seed} clone of v{target}"
+                shutil.rmtree(cdir)
         elif op == "corrupt_ckpt":
             # transient-storage injection (r7, ADVICE guard): corrupt
             # the newest rollup, or heal a previous corruption.  While
