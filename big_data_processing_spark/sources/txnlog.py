@@ -1324,14 +1324,22 @@ def txn_clone(src: str, dst: str, version: int | None = None) -> int:
     Uses: dev/test sandboxes off a production table, reproducible
     benchmark fixtures (build the multi-commit base once, clone per
     run), point-in-time forks for backfill experiments."""
+    import errno
     import shutil
 
     if latest_version(dst) >= 0:
         raise FileExistsError(f"txnlog table already exists: {dst}")
+    if os.path.isdir(dst) and os.listdir(dst):
+        # a manifest-less but non-empty destination is either a crashed
+        # prior clone or foreign data; adopting it would let the EXDEV
+        # copy fallback silently overwrite its files
+        raise FileExistsError(f"clone destination is not empty: {dst}")
     head = latest_version(src)
+    if head < 0:
+        raise FileNotFoundError(f"source txnlog table does not exist: {src}")
     v = head if version is None else version
     if v < 0 or v > head:
-        raise ValueError(f"cannot clone {src} at version {version}")
+        raise ValueError(f"cannot clone {src} at version {v} (head {head})")
     if not os.path.exists(_log_path(src, v)):
         raise FileNotFoundError(
             f"version {v} was vacuumed beyond retention"
@@ -1353,8 +1361,13 @@ def txn_clone(src: str, dst: str, version: int | None = None) -> int:
         os.makedirs(os.path.dirname(d), exist_ok=True)
         try:
             os.link(s, d)
-        except OSError:
-            shutil.copy2(s, d)  # cross-device: pay the copy
+        except OSError as ex:
+            # ONLY cross-device degrades to a copy; anything else
+            # (collision, permissions) must surface, not be papered
+            # over by an overwrite
+            if ex.errno != errno.EXDEV:
+                raise
+            shutil.copy2(s, d)
     _commit(
         dst,
         0,

@@ -39,8 +39,13 @@ _SANCTIONED = {os.path.join("big_data_processing_spark", "sources", "readers.py"
 
 
 def _read_parquet_args(src: str):
-    """Yield the balanced-paren argument text of every read.parquet(...)."""
-    for m in re.finditer(r"read\s*\.\s*parquet\s*\(", src):
+    """Yield the balanced-paren argument text of every ``.parquet(...)``
+    call.  Matching ANY receiver (not just ``read.parquet``) on purpose:
+    schema-pinned chains like ``spark.read.schema(s).parquet(path)``
+    bypass load_table exactly the same way, and a writer's
+    ``.write.parquet(path)`` can never legitimately target testdata
+    either, so a false positive is impossible by construction."""
+    for m in re.finditer(r"\.\s*parquet\s*\(", src):
         depth, i = 1, m.end()
         while i < len(src) and depth:
             if src[i] == "(":

@@ -366,7 +366,7 @@ def test_serving_query_reads_rollup_not_facts(spark, sf_dir):
     assert "lineitem" not in plan and "orders" not in plan, (
         "serving query touched the fact tables"
     )
-    assert "spark_dedup_memo_" in plan  # scans the materialized artifact
+    assert "spark_artifact_memo_" in plan  # scans the materialized artifact
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     # both aggregation levels run on the decimal rev column (the plan
     # would show knownfloatingpointnormalized/sum(double) if the rollup
