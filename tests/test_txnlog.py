@@ -1123,3 +1123,65 @@ def test_clone_labeled_errors(spark, tmp_path):
     txn_clone(src, ok)
     with pytest.raises(FileExistsError, match="already exists"):
         txn_clone(src, ok)
+
+
+def test_clone_exdev_falls_back_to_copy_other_oserrors_raise(
+    spark, tmp_path, monkeypatch
+):
+    """Cross-device clone (os.link -> EXDEV) degrades to a real copy;
+    any OTHER link failure (collision, permissions) must raise, never
+    silently overwrite (code-review r7)."""
+    import errno
+
+    from big_data_processing_spark.sources import txnlog as tl
+    from big_data_processing_spark.sources.txnlog import txn_clone
+
+    src = str(tmp_path / "src")
+    df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    txn_create(spark, src, df, stat_col="k")
+
+    real_link = tl.os.link
+
+    # fail only DATA-file links: _commit's put-if-absent manifest link
+    # must keep working or the failure tests a different code path
+    def exdev(a, b, *args, **kw):
+        if str(a).endswith(".parquet"):
+            raise OSError(errno.EXDEV, "cross-device link")
+        return real_link(a, b, *args, **kw)
+
+    monkeypatch.setattr(tl.os, "link", exdev)
+    dst = str(tmp_path / "dst")
+    txn_clone(src, dst)
+    monkeypatch.undo()
+    assert _rows(txn_read(spark, dst)) == {(i, i) for i in range(10)}
+
+    def eacces(a, b, *args, **kw):
+        if str(a).endswith(".parquet"):
+            raise OSError(errno.EACCES, "permission denied")
+        return real_link(a, b, *args, **kw)
+
+    monkeypatch.setattr(tl.os, "link", eacces)
+    with pytest.raises(OSError, match="permission denied"):
+        txn_clone(src, str(tmp_path / "dst2"))
+
+
+def test_clone_refuses_nonempty_manifestless_destination(spark, tmp_path):
+    """A crashed prior clone (data files linked, no manifest yet) or a
+    foreign directory must be refused, not adopted (code-review r7)."""
+    import os
+
+    from big_data_processing_spark.sources.txnlog import txn_clone
+
+    src = str(tmp_path / "src")
+    df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    txn_create(spark, src, df, stat_col="k")
+
+    half = str(tmp_path / "half")
+    os.makedirs(os.path.join(half, "data"))
+    with open(os.path.join(half, "data", "orphan.parquet"), "w") as f:
+        f.write("x")
+    with pytest.raises(FileExistsError, match="not empty"):
+        txn_clone(src, half)
+    # source missing entirely -> labeled source error, not a version error
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        txn_clone(str(tmp_path / "nope"), str(tmp_path / "d"))
