@@ -605,27 +605,71 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
-@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 16-bit SimHash fingerprint (bit-majority vote over
-    md5-derived token hashes) — near-dup docs collide or differ in few
-    bits; bucketing on the fingerprint is an exact groupBy."""
-    return simhash_fingerprints(
-        _t(spark, sf_dir, "documents"), bits=_SH_BITS
-    ).orderBy("id")
+def _simhash_merged_oracle() -> str:
+    # Per-doc 16-bit fingerprint LEFT JOIN the 60-bit hamming pairs
+    # keyed on id_a; singleton docs carry -1 sentinels (null-free
+    # output).  Both CTE bodies are the retired single-grain oracles.
+    return f"""
+    WITH fp16 AS ({_simhash_oracle()}),
+    p AS ({_simhash_pairs_oracle()})
+    SELECT f.id, f.simhash,
+           CAST(COALESCE(p.id_b, -1) AS BIGINT) AS partner_id,
+           CAST(COALESCE(p.hamming, -1) AS INT) AS hamming
+    FROM fp16 f LEFT JOIN p ON p.id_a = f.id
+    ORDER BY id, partner_id
+    """
 
 
 @query(
-    "dedup_simhash_pairs",
-    oracle=_simhash_pairs_oracle(),
+    "dedup_simhash",
+    oracle=_simhash_merged_oracle(),
     tags=("dedup", "simhash", "hamming"),
 )
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash fingerprint (bit-majority vote over
+    md5-derived token hashes) joined with the 60-bit hamming-radius-3
+    near-dup pairs (merged r8; the retired `dedup_simhash_pairs` twin
+    keeps its DuckDB-oracle parity check in tests/test_catalog_oracle).
+
+    Grain: one row per document (singletons carry -1 sentinels) plus
+    one row per near-dup pair keyed on the pair's smaller id — every
+    row of BOTH retired outputs is reconstructible, so a driver hash
+    on this entry certifies both the fingerprint and the Manku banded
+    bit-block pair semantics.
+
+    Scale: fingerprints are row-local; the pair set is tiny relative
+    to the corpus, and the join shuffles only (id, simhash) rows."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, bits=_SH_BITS)
+    pairs = simhash_hamming_pairs(
+        docs, bits=_SH_PAIR_BITS, radius=_SH_RADIUS
+    )
+    return (
+        fp.join(pairs, fp["id"] == pairs["id_a"], "left")
+        .select(
+            fp["id"],
+            "simhash",
+            F.coalesce(pairs["id_b"], F.lit(-1)).cast("long").alias("partner_id"),
+            F.coalesce(pairs["hamming"], F.lit(-1)).cast("int").alias("hamming"),
+        )
+        .orderBy("id", "partner_id")
+    )
+
+
+# Retired from the catalog in r8 (merged into dedup_simhash's
+# pair-join output); the pair-grain formulation keeps its DuckDB
+# oracle check in tests/test_catalog_oracle.py.
+DEDUP_SIMHASH_PAIRS_ORACLE = _simhash_pairs_oracle()
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs within hamming radius 3 of a 60-bit SimHash,
     via the Manku-style banded bit-block join (radius+1 blocks → any
     in-radius pair shares a block; only block collisions are verified).
     Measured on this corpus: true near-dups sit at hamming 0-9, random
-    pairs at >= 12, so radius 3 is comfortably inside the noise floor."""
+    pairs at >= 12, so radius 3 is comfortably inside the noise floor.
+    Retired catalog entry (r8) — subsumed by dedup_simhash's pair rows;
+    oracle parity lives in pytest."""
     return simhash_hamming_pairs(
         _t(spark, sf_dir, "documents"), bits=_SH_PAIR_BITS, radius=_SH_RADIUS
     )
@@ -826,11 +870,20 @@ def _knn_oracle() -> str:
     """
 
 
-@query("knn_bruteforce_cosine", oracle=_knn_oracle(), tags=("similarity", "knn"))
+# Retired from the catalog in r8 (merged into knn_lsh_cosine's
+# 'brute' arm, which reads the shared exact-kNN artifact); the
+# standalone formulation keeps its DuckDB oracle check in
+# tests/test_catalog_oracle.py and stays the ground truth for the
+# operator property tests.
+KNN_BRUTEFORCE_ORACLE = _knn_oracle()
+
+
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the query subset (vec_id % 50
     == 0): the ANN correctness baseline. Query set broadcasts; corpus
-    never shuffles; per-query top-k via WindowGroupLimit."""
+    never shuffles; per-query top-k via WindowGroupLimit.  Retired
+    catalog entry (r8) — subsumed by knn_lsh_cosine's 'brute' arm;
+    oracle parity lives in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_knn(
         emb, emb.filter(F.col("vec_id") % _KNN_QMOD == 0), k=_KNN_K
@@ -889,14 +942,37 @@ def _lsh_knn_oracle() -> str:
     """
 
 
-@query("knn_lsh_cosine", oracle=_lsh_knn_oracle(), tags=("similarity", "knn", "lsh"))
+def _knn_family_oracle() -> str:
+    # Both retired single-arm oracles, tagged and stacked: the merged
+    # entry's hash certifies the exact baseline AND the LSH search.
+    return f"""
+    SELECT 'brute' AS arm, query_id, neighbor_id, cosine, rank
+    FROM ({_knn_oracle()})
+    UNION ALL
+    SELECT 'lsh' AS arm, query_id, neighbor_id, cosine, rank
+    FROM ({_lsh_knn_oracle()})
+    ORDER BY arm, query_id, rank
+    """
+
+
+@query(
+    "knn_lsh_cosine",
+    oracle=_knn_family_oracle(),
+    tags=("similarity", "knn", "lsh"),
+)
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH (12 planes, 3 bands)
+    """Approximate top-5 via random-hyperplane LSH (18 planes, 6 bands)
     + exact re-rank of in-bucket candidates — the 100 TB ANN path: the
     corpus shuffles by band bucket, never all-pairs. Hyperplanes are
-    seeded literals shared with the oracle."""
+    seeded literals shared with the oracle.
+
+    Merged r8: the exact brute-force top-5 rides along as the 'brute'
+    arm, read from the shared exact-kNN artifact the three gated ANN
+    entries already consume (one brute-force pass per process instead
+    of two; the retired `knn_bruteforce_cosine` twin keeps its DuckDB
+    oracle parity check in tests/test_catalog_oracle.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_bucket_knn(
+    lsh = lsh_bucket_knn(
         emb,
         emb.filter(F.col("vec_id") % _KNN_QMOD == 0),
         k=_KNN_K,
@@ -905,6 +981,13 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_LSH_SEED,
         dim=_LSH_DIM,
     ).select("query_id", "neighbor_id", "cosine", "rank")
+    brute = _knn_exact_baseline(spark, sf_dir)
+    return (
+        brute.withColumn("arm", F.lit("brute"))
+        .unionByName(lsh.withColumn("arm", F.lit("lsh")))
+        .select("arm", "query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("arm", "query_id", "rank")
+    )
 
 
 _ECP_THRESHOLD, _ECP_MOD, _ECP_SHIFT = 0.99, 25, 1000000
@@ -1169,15 +1252,18 @@ def _knn_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k ids (query_id, neighbor_id) for the standard
     query subset — the ground truth every ANN recall gate compares
     against.  All three gated entries (IVF, PQ, IVF+PQ) used to
-    recompute this identical brute-force pass per entry; it is pure
-    integer ids, so the artifact memo shares one materialization per
-    process (r7 — same reasoning as the dedup artifacts)."""
+    recompute this identical brute-force pass per entry; the artifact
+    memo shares one materialization per process (r7 — same reasoning
+    as the dedup artifacts).  r8: widened to carry cosine+rank so the
+    merged knn_lsh_cosine 'brute' arm reads the same artifact (IEEE
+    doubles survive a parquet round-trip bit-exactly); the recall
+    gates keep joining on the id columns only."""
 
     def build() -> DataFrame:
         emb = _t(spark, sf_dir, "embeddings")
         return brute_force_knn(
             emb, emb.filter(F.col("vec_id") % _KNN_QMOD == 0), k=_KNN_K
-        ).select("query_id", "neighbor_id")
+        ).select("query_id", "neighbor_id", "cosine", "rank")
 
     return _memo_artifact(spark, sf_dir, "knn_exact_topk", build)
 

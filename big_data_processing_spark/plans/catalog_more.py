@@ -100,51 +100,72 @@ def setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only).unionByName(uni).orderBy("tag", "custkey")
 
 
-@query(
-    "rollup_revenue",
-    oracle=f"""
-    SELECT COALESCE(CAST(year(o_orderdate) AS INT), -1) AS order_year,
-           COALESCE(CAST(month(o_orderdate) AS INT), -1) AS order_month,
-           CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(month(o_orderdate)) AS INT)
+# Shared select-list for the merged rollup+cube family: family
+# discriminator from which dimension pair survived GROUPING(), keys
+# coalesced to -1/'<all>' sentinels (null-free output — cross-engine
+# null hashing is undefined territory), per-family grouping_level
+# identical to the two retired single-family entries.
+_GSET_FAMILY_SELECT = """
+    SELECT CASE WHEN GROUPING(y) = 1 AND GROUPING(m) = 1
+                 AND GROUPING(s) = 1 AND GROUPING(p) = 1 THEN 'all'
+                WHEN GROUPING(s) = 1 AND GROUPING(p) = 1 THEN 'rollup'
+                ELSE 'cube' END AS family,
+           COALESCE(CAST(y AS INT), -1) AS order_year,
+           COALESCE(CAST(m AS INT), -1) AS order_month,
+           COALESCE(s, '<all>') AS orderstatus,
+           COALESCE(p, '<all>') AS orderpriority,
+           CAST(CASE WHEN GROUPING(s) = 1 AND GROUPING(p) = 1
+                     THEN GROUPING(y) * 2 + GROUPING(m)
+                     ELSE GROUPING(s) * 2 + GROUPING(p) END AS INT)
                AS grouping_level,
            COUNT(*) AS n_orders,
-           {dsum_sql('o_totalprice', 2)} AS revenue
-    FROM orders
-    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
-    ORDER BY grouping_level, order_year, order_month
-    """,
-    tags=("agg", "rollup"),
-)
-def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy (month ⊂ year ⊂ grand total) with GROUPING()
-    discriminators; grouping keys coalesced to -1 so the output is
-    null-free (cross-engine null hashing is undefined territory)."""
-    o = _t(spark, sf_dir, "orders").select(
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        "o_totalprice",
+           {revenue} AS revenue
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               o_orderstatus AS s, o_orderpriority AS p, o_totalprice
+        FROM {table}
     )
-    return (
-        o.rollup("y", "m")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice", 2).alias("revenue"),
-            (F.grouping("y") * 2 + F.grouping("m")).cast("int").alias("grouping_level"),
-        )
-        .select(
-            F.coalesce(F.col("y").cast("int"), F.lit(-1)).alias("order_year"),
-            F.coalesce(F.col("m").cast("int"), F.lit(-1)).alias("order_month"),
-            "grouping_level",
-            "n_orders",
-            "revenue",
-        )
-        .orderBy("grouping_level", "order_year", "order_month")
-    )
+    GROUP BY GROUPING SETS ((y, m), (y), (s, p), (s), (p), ())
+    ORDER BY family, grouping_level, order_year, order_month,
+             orderstatus, orderpriority
+"""
 
 
 @query(
-    "cube_status_priority",
-    oracle=f"""
+    "rollup_revenue",
+    oracle=_GSET_FAMILY_SELECT.format(
+        revenue=dsum_sql("o_totalprice", 2), table="orders"
+    ),
+    tags=("agg", "rollup", "cube", "grouping-sets"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (month ⊂ year ⊂ grand total) AND the
+    status×priority CUBE served from ONE fact scan via GROUPING SETS
+    (merged r8; the retired `cube_status_priority` twin keeps its
+    DuckDB-oracle parity check in tests/test_catalog_oracle.py).  The
+    `family` arm column partitions the output back into the two
+    original result sets; the grand total appears once as
+    family='all'.
+
+    Scale: same shape as dashboard_grouping_sets — the Expand
+    multiplies rows 6x BEFORE the exchange but each grouping-set arm
+    partially aggregates map-side, so the shuffle carries ~|groups|;
+    revenue is decimal-exact (order-independent)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rollup_v")
+    revenue = (
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS STRING) AS DOUBLE)"
+    )
+    return spark.sql(
+        _GSET_FAMILY_SELECT.format(revenue=revenue, table="orders_rollup_v")
+    )
+
+
+# Retired from the catalog in r8 (merged into rollup_revenue's
+# GROUPING SETS pass — one scan + one Expand instead of two scans and
+# two shuffles).  The single-family formulation keeps its DuckDB
+# oracle check in tests/test_catalog_oracle.py.
+CUBE_STATUS_PRIORITY_ORACLE = f"""
     SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
            COALESCE(o_orderpriority, '<all>') AS orderpriority,
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
@@ -154,12 +175,13 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY grouping_level, orderstatus, orderpriority
-    """,
-    tags=("agg", "cube"),
-)
+    """
+
+
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions (all four grouping-set combinations) —
-    completes the grouping-sets family beside rollup_revenue."""
+    retired catalog entry (r8), subsumed by rollup_revenue's 'cube'
+    and 'all' family arms; oracle parity lives in pytest."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")

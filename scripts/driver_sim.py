@@ -6,7 +6,12 @@ entry() + every queries() entry at the given sf, and hash-compares each
 against its oracle_sql() via DuckDB, the way CORRECTNESS_r{N}.json is
 produced: sort columns by name, sort rows, hash values.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [only_names]
+
+``only_names`` (optional, comma-separated) restricts the replay to the
+named queries — a fast targeted re-check after touching one entry.  The
+default (no filter) replays the whole catalog, which is what counts as
+the pre-commit gate.
 """
 
 from __future__ import annotations
@@ -65,8 +70,12 @@ def main() -> int:
     from big_data_processing_spark.operators.util import drain_phases
 
     drain_phases()
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if only:
+        unknown = only - set(qs)
+        assert not unknown, f"unknown query names: {sorted(unknown)}"
     failed = []
-    for name in sorted(qs):
+    for name in sorted(only if only else qs):
         sdf = qs[name](spark, SF_DIR).toPandas()
         if name not in oracles:
             print(f"  {name:40s} rows-only: {len(sdf)} rows")

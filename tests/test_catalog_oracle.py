@@ -65,6 +65,92 @@ def test_winsorized_exact_window_parity(spark, sf_dir):
     assert [tuple(r) for r in exact] == [tuple(r) for r in hist]
 
 
+def test_cube_status_priority_oracle_parity(spark, duck, sf_dir):
+    """The single-family CUBE formulation (retired from the catalog in
+    r8: rollup_revenue's GROUPING SETS pass now serves the cube family
+    as its 'cube'/'all' arms) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_more import (
+        CUBE_STATUS_PRIORITY_ORACLE,
+        cube_status_priority,
+    )
+
+    result = cube_status_priority(spark, sf_dir)
+    oracle = duck.sql(CUBE_STATUS_PRIORITY_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_cube_family_arm_equals_retired_entry(spark, sf_dir):
+    """Every row of the retired cube entry must be reconstructible from
+    the merged entry's 'cube' ∪ 'all' family arms — the evidence that
+    driver hashes on rollup_revenue still certify the cube semantics."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_more import (
+        cube_status_priority,
+    )
+
+    merged = CATALOG["rollup_revenue"].fn(spark, sf_dir)
+    arm = (
+        merged.filter("family IN ('cube', 'all')")
+        .select(
+            "orderstatus", "orderpriority", "grouping_level",
+            "n_orders", "revenue",
+        )
+        .orderBy("grouping_level", "orderstatus", "orderpriority")
+        .collect()
+    )
+    retired = cube_status_priority(spark, sf_dir).collect()
+    assert [tuple(r) for r in arm] == [tuple(r) for r in retired]
+
+
+def test_simhash_pairs_oracle_parity(spark, duck, sf_dir):
+    """The pair-grain SimHash formulation (retired from the catalog in
+    r8: dedup_simhash now carries the pairs as its joined partner/
+    hamming columns) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        DEDUP_SIMHASH_PAIRS_ORACLE,
+        dedup_simhash_pairs,
+    )
+
+    result = dedup_simhash_pairs(spark, sf_dir)
+    oracle = duck.sql(DEDUP_SIMHASH_PAIRS_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_simhash_pair_rows_equal_retired_entry(spark, sf_dir):
+    """The merged entry's non-sentinel (partner_id != -1) rows must be
+    exactly the retired pair entry's rows."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        dedup_simhash_pairs,
+    )
+
+    merged = (
+        CATALOG["dedup_simhash"].fn(spark, sf_dir)
+        .filter("partner_id != -1")
+        .selectExpr(
+            "id AS id_a", "partner_id AS id_b", "hamming"
+        )
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    retired = dedup_simhash_pairs(spark, sf_dir).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
+
+
+def test_knn_bruteforce_oracle_parity(spark, duck, sf_dir):
+    """The standalone exact-kNN formulation (retired from the catalog
+    in r8: knn_lsh_cosine serves it as the 'brute' arm read from the
+    shared artifact) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        KNN_BRUTEFORCE_ORACLE,
+        knn_bruteforce_cosine,
+    )
+
+    result = knn_bruteforce_cosine(spark, sf_dir)
+    oracle = duck.sql(KNN_BRUTEFORCE_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
 def test_hourly_tumbling_oracle_parity(spark, duck, sf_dir):
     """The tumbling-window formulation (retired from the catalog in r5:
     tumbling == hopping with slide==size, and the hopping entry is
