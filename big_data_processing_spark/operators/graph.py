@@ -118,6 +118,119 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 40,
+) -> tuple[DataFrame, int]:
+    """Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    large-star hooks every strictly-larger neighbor of a node to its
+    neighborhood minimum, small-star hooks the smaller neighbors, and
+    the alternation contracts any graph to per-component stars rooted
+    at the component minimum in O(log² n) rounds (O(log n) observed) —
+    the scale path for adversarial long-chain graphs where min-label
+    propagation (:func:`connected_components`) needs O(diameter)
+    rounds.
+
+    Both stars are expressed as one groupBy-min plus one join over the
+    slim (u, v) edge list — no collect_list, no neighborhood
+    materialization, so a skewed high-degree node costs a map-side
+    combinable min, not a reducer-side array.  Returns
+    ``(components, rounds)`` where components is (node, cluster_id)
+    for every node with at least one edge (same contract as
+    :func:`connected_components`) and rounds counts the executed
+    large+small alternations — callers assert it against their
+    O(log n) expectation.  The converged star set is the unique
+    component-minimum fixpoint, so results are deterministic under any
+    partitioning.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        # symmetrize, then attach every strictly larger neighbor of u
+        # to m = min(Γ(u) ∪ {u})
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # orient each edge toward its larger endpoint, then hook the
+        # smaller neighbors AND u itself to m = min(Γ⁻(u))
+        ori = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        hooked = ori.join(mins, "u")
+        return (
+            hooked.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(hooked.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    rounds = 0
+    converged = False
+    prev = e
+    for _ in range(max_rounds):
+        stepped = _small_star(_large_star(prev)).localCheckpoint()
+        rounds += 1
+        changed = (
+            stepped.exceptAll(prev).count() + prev.exceptAll(stepped).count()
+        )
+        if prev is not e:
+            release_local_checkpoint(prev)
+        prev = stepped
+        if changed == 0:
+            converged = True
+            break
+    release_local_checkpoint(e)
+    if not converged:
+        release_local_checkpoint(prev)
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds; alternation should contract any graph in O(log² n)"
+        )
+    # converged star edges point child → component root; roots map to
+    # themselves (take min over parents defensively — at fixpoint each
+    # child has exactly one)
+    assign = prev.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("cluster_id")
+    )
+    comp = (
+        nodes.join(assign, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
+    )
+    register_checkpoint_release(prev)
+    register_checkpoint_release(nodes)
+    return comp, rounds
+
+
 def cluster_summary(components: DataFrame) -> DataFrame:
     """Per-cluster rollup of a (node, cluster_id) assignment:
     (cluster_id, n_docs, min_doc, max_doc), ordered."""

@@ -383,6 +383,7 @@ _MH_CAP = 2
 
 _ARTIFACT_DIR: str | None = None
 _ARTIFACTS: dict[tuple[str, str], str] = {}
+_ARTIFACT_SEQ = 0  # monotonic: len(_ARTIFACTS) does not grow on rebuilds
 
 
 def _memo_artifact(
@@ -396,14 +397,18 @@ def _memo_artifact(
 
     from ..operators.util import timed_phase
 
-    global _ARTIFACT_DIR
+    global _ARTIFACT_DIR, _ARTIFACT_SEQ
     key = (os.path.abspath(sf_dir), name)
     path = _ARTIFACTS.get(key)
     if path is None or not os.path.isdir(path):
         if _ARTIFACT_DIR is None:
             _ARTIFACT_DIR = tempfile.mkdtemp(prefix="spark_artifact_memo_")
             atexit.register(shutil.rmtree, _ARTIFACT_DIR, ignore_errors=True)
-        path = os.path.join(_ARTIFACT_DIR, f"{name}_{len(_ARTIFACTS)}")
+        # a monotonic sequence (not len(_ARTIFACTS)) keeps rebuild paths
+        # unique: two same-named keys that both lose their dirs must not
+        # overwrite one another's rebuilds (ADVICE r7)
+        _ARTIFACT_SEQ += 1
+        path = os.path.join(_ARTIFACT_DIR, f"{name}_{_ARTIFACT_SEQ}")
         # recorded as one-time "setup" so bench.py can report the build
         # separately from the steady-state serving time it amortizes
         with timed_phase(f"artifact:{name}"):
@@ -724,6 +729,78 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation + fixpoint run once per process and are shared with
     dedup_canonical_docs via the materialized artifact memo."""
     return cluster_summary(_dedup_components(spark, sf_dir))
+
+
+@query(
+    "dedup_cc_star_contraction",
+    oracle="""
+    WITH n AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+    m AS (SELECT ck, CASE WHEN ck - LAG(ck) OVER (ORDER BY ck) = 1
+                          THEN 0 ELSE 1 END AS brk FROM n),
+    g AS (SELECT ck, SUM(brk) OVER (ORDER BY ck) AS grp FROM m)
+    SELECT CAST(MIN(ck) AS BIGINT) AS cluster_id,
+           COUNT(*) AS n_docs,
+           CAST(MIN(ck) AS BIGINT) AS min_doc,
+           CAST(MAX(ck) AS BIGINT) AS max_doc
+    FROM g GROUP BY grp ORDER BY cluster_id
+    """,
+    tags=("dedup", "clusters", "graph", "star-contraction"),
+)
+def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on an ADVERSARIAL CHAIN GRAPH via
+    alternating star contraction (operators/graph.py, Kiveris et al.
+    SoCC'14) — the O(log n)-rounds scale path DEPLOYMENT.md reserved
+    for boilerplate-chain dedup graphs, where the default min-label
+    propagation needs O(diameter) rounds (a 10⁶-node chain would mean
+    10⁶ shuffles).
+
+    The graph is worst-case BY CONSTRUCTION: nodes are the distinct
+    order custkeys and edges connect consecutive key values, so
+    components are maximal runs of consecutive integers — long paths,
+    the exact diameter-bound killer.  The oracle needs no recursion:
+    runs of consecutive integers are a gaps-and-islands window
+    query.  The entry RAISES unless the contraction converged within
+    2·ceil(log₂ n) + 4 alternations, so a green hash certifies both
+    the component assignment and the logarithmic round count.
+
+    Scale: each round is one groupBy-min and one join over slim
+    (u, v) pairs; edge construction is an equi-join on ck+1, never a
+    window over the node set."""
+    import math
+
+    from ..operators.graph import cluster_summary, connected_components_star
+
+    n = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").cast("long").alias("ck"))
+        .distinct()
+        .localCheckpoint()  # used three times: edges (twice) + summary
+    )
+    e = (
+        n.select(F.col("ck").alias("id_a"))
+        .join(
+            n.select((F.col("ck") - 1).alias("id_a"), F.col("ck").alias("id_b")),
+            "id_a",
+        )
+        .select("id_a", "id_b")
+    )
+    n_nodes = n.count()
+    comp, rounds = connected_components_star(e, max_rounds=40)
+    bound = 2 * math.ceil(math.log2(max(n_nodes, 2))) + 4
+    if rounds > bound:
+        raise RuntimeError(
+            f"star contraction took {rounds} rounds on {n_nodes} nodes "
+            f"(certified bound {bound}) — not the O(log n) contract"
+        )
+    assign = (
+        n.select(F.col("ck").alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
+    )
+    return cluster_summary(assign)
 
 
 def _canonical_oracle() -> str:

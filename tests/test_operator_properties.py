@@ -264,6 +264,53 @@ def test_connected_components_equal_union_find(spark, edges):
     assert got == truth
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_contraction_equals_min_label(spark, edges):
+    """Alternating star contraction must produce exactly the same
+    (node, cluster_id) assignment as min-label propagation on any
+    arbitrary edge list (both converge to the component-minimum
+    fixpoint)."""
+    from big_data_processing_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    truth = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    comp, rounds = connected_components_star(df)
+    got = {r.node: r.cluster_id for r in comp.collect()}
+    assert got == truth
+    assert rounds <= 40
+
+
+def test_star_contraction_logarithmic_on_chain(spark):
+    """On a 600-node path graph (diameter 599 — min-label propagation's
+    worst case) the alternation must converge in O(log n) rounds, not
+    O(n): the property the dedup_cc_star_contraction entry certifies
+    in-query at data scale."""
+    import math
+
+    from big_data_processing_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(599)], "id_a long, id_b long"
+    )
+    comp, rounds = connected_components_star(df)
+    rows = comp.collect()
+    assert len(rows) == 600
+    assert all(r.cluster_id == 0 for r in rows)
+    assert rounds <= 2 * math.ceil(math.log2(600)) + 4
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(  # left events: (key, time)
