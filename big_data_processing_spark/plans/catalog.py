@@ -119,6 +119,10 @@ _PRIORITY: tuple[str, ...] = (
     # adversarial chain graph (O(log n) rounds vs O(diameter)).
     "dashboard_rollup_incremental",
     "dedup_cc_star_contraction",
+    # txn_clone's driver-hash entry (the operator landed late r7 with
+    # pytest/fuzz evidence only): clone → divergent MERGE → vacuum →
+    # both sides read back, certifying hardlink isolation.
+    "txn_clone_isolation",
 )
 
 

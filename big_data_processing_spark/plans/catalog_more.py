@@ -1550,6 +1550,89 @@ def txnlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_clone_isolation",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS tc
+        FROM orders GROUP BY 1
+    ),
+    merged AS (
+        SELECT ck, tc FROM base WHERE ck % 75 != 0
+        UNION ALL
+        SELECT ck, CAST(tc * 2 AS BIGINT) FROM base WHERE ck % 75 = 0
+    ),
+    tagged AS (
+        SELECT 'clone' AS arm, ck, tc FROM merged
+        UNION ALL
+        SELECT 'source', ck, tc FROM base
+    )
+    SELECT arm, CAST(ck % 10 AS BIGINT) AS bucket,
+           COUNT(*) AS n_keys, CAST(SUM(tc) AS BIGINT) AS sum_cents
+    FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("txnlog", "clone", "vacuum", "isolation"),
+)
+def txn_clone_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE isolation under divergence AND retention, hash-checked
+    end to end (txn_clone landed r7 with pytest/fuzz evidence only —
+    this is its driver-hash entry): the shared base table is cloned,
+    the clone takes a MERGE (doubling ck%75==0) and is then VACUUMED
+    down to its head version — which physically unlinks every
+    hardlinked data file the merge rewrote — and BOTH tables are read
+    back.  The source arm must still serve the pristine pre-clone
+    rollup: hardlink clones share inodes, so the source's directory
+    entries must keep every shared file alive through the clone's
+    vacuum (sources/txnlog.py txn_clone — "vacuum on either table
+    unlinks only its own directory entry").  The query RAISES unless
+    the merge landed as clone-v1 and the vacuum actually removed
+    files, so a green hash certifies divergence + retention isolation,
+    not just the final numbers.
+
+    Scale: clone is O(files) link calls; vacuum is manifest-driven
+    unlink; the reads are ordinary manifest-planned scans."""
+    import tempfile
+
+    from ..sources.txnlog import txn_merge, txn_read, txn_vacuum
+    from .txnfix import base_rollup, clone_to, create4_fixture
+
+    base = base_rollup(spark, sf_dir)
+    upd = base.filter(F.col("ck") % 75 == 0).select(
+        "ck", (F.col("tc") * 2).cast("long").alias("tc")
+    )
+    src = create4_fixture(spark, sf_dir)
+    bucket = (F.col("ck") % 10).cast("long").alias("bucket")
+    with tempfile.TemporaryDirectory() as tmp:
+        with timed_phase("txn_clone_isolation"):
+            t = clone_to(src, tmp)
+        if txn_merge(spark, t, upd, key_cols=["ck"]) != 1:
+            raise RuntimeError("clone merge did not land as version 1")
+        removed = txn_vacuum(t, keep_versions=1)
+        if not removed:
+            raise RuntimeError(
+                "vacuum removed nothing — the isolation claim was not "
+                "exercised (no shared inode was unlinked)"
+            )
+        clone_arm = txn_read(spark, t).select(
+            F.lit("clone").alias("arm"), "ck", "tc"
+        )
+        source_arm = txn_read(spark, src).select(
+            F.lit("source").alias("arm"), "ck", "tc"
+        )
+        return (
+            clone_arm.unionByName(source_arm)
+            .groupBy("arm", bucket)
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("tc").cast("long").alias("sum_cents"),
+            )
+            .orderBy("arm", "bucket")
+            .localCheckpoint()
+        )
+
+
+@query(
     "dashboard_rollup_incremental",
     oracle="""
     WITH base AS (
