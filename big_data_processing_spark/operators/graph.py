@@ -123,6 +123,7 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 40,
+    broadcast_threshold: int = 1_000_000,
 ) -> tuple[DataFrame, int]:
     """Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC'14):
@@ -158,10 +159,19 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # per-node min frames never exceed the initial node count, so one
+    # up-front gate decides broadcastability for every round: under the
+    # threshold (2 longs/row → ≤16 MB at 10⁶) both hook joins become
+    # map-side and the big edge side never shuffles for them; above it
+    # they fall back to ordinary shuffled joins
+    bcast = nodes.count() <= broadcast_threshold
+    _hint = F.broadcast if bcast else (lambda df: df)
 
     def _large_star(cur: DataFrame) -> DataFrame:
         # symmetrize, then attach every strictly larger neighbor of u
-        # to m = min(Γ(u) ∪ {u})
+        # to m = min(Γ(u) ∪ {u}).  No distinct here: duplicate edges
+        # are idempotent under the mins and the small-star pass that
+        # consumes this output deduplicates once.
         sym = cur.unionByName(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -170,10 +180,9 @@ def connected_components_star(
         )
         return (
             sym.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            .join(_hint(mins), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(cur: DataFrame) -> DataFrame:
@@ -183,7 +192,7 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins = ori.groupBy("u").agg(F.min("v").alias("m"))
-        hooked = ori.join(mins, "u")
+        hooked = ori.join(_hint(mins), "u")
         return (
             hooked.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(hooked.select("u", F.col("m").alias("v")))
@@ -191,21 +200,45 @@ def connected_components_star(
             .distinct()
         )
 
+    def _sets_equal(a: DataFrame, b: DataFrame) -> bool:
+        # exact set equality in ONE job: +1/-1 weighted union, any key
+        # with a non-zero net weight is a difference (both inputs are
+        # distinct sets, so weights are ±1)
+        diff = (
+            a.select("u", "v", F.lit(1).alias("w"))
+            .unionByName(b.select("u", "v", F.lit(-1).alias("w")))
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") != 0)
+        )
+        return diff.isEmpty()
+
     rounds = 0
     converged = False
     prev = e
+    # scalar (count, Σu, Σv) fingerprint: a cheap single-stage probe
+    # per round; the exact one-job set diff runs only when the
+    # fingerprint repeats (a candidate fixpoint), so the steady cost
+    # per alternation is the contraction plan itself plus one scalar
+    # aggregate — not two exceptAll shuffles
+    prev_sig = tuple(
+        e.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).collect()[0]
+    )
     for _ in range(max_rounds):
         stepped = _small_star(_large_star(prev)).localCheckpoint()
         rounds += 1
-        changed = (
-            stepped.exceptAll(prev).count() + prev.exceptAll(stepped).count()
+        sig = tuple(
+            stepped.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).collect()[0]
         )
-        if prev is not e:
-            release_local_checkpoint(prev)
-        prev = stepped
-        if changed == 0:
+        if sig == prev_sig and _sets_equal(stepped, prev):
+            if prev is not e:
+                release_local_checkpoint(prev)
+            prev = stepped
             converged = True
             break
+        if prev is not e:
+            release_local_checkpoint(prev)
+        prev, prev_sig = stepped, sig
     release_local_checkpoint(e)
     if not converged:
         release_local_checkpoint(prev)

@@ -765,41 +765,51 @@ def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each round is one groupBy-min and one join over slim
     (u, v) pairs; edge construction is an equi-join on ck+1, never a
-    window over the node set."""
+    window over the node set.  The ~log n iterative contraction is a
+    build-once stage: the (node, cluster_id) assignment materializes
+    to the shared artifact memo (the dedup-components pattern) with
+    the round-count certificate evaluated inside the build."""
     import math
 
     from ..operators.graph import cluster_summary, connected_components_star
 
-    n = (
-        _t(spark, sf_dir, "orders")
-        .select(F.col("o_custkey").cast("long").alias("ck"))
-        .distinct()
-        .localCheckpoint()  # used three times: edges (twice) + summary
-    )
-    e = (
-        n.select(F.col("ck").alias("id_a"))
-        .join(
-            n.select((F.col("ck") - 1).alias("id_a"), F.col("ck").alias("id_b")),
-            "id_a",
+    def build() -> DataFrame:
+        n = (
+            _t(spark, sf_dir, "orders")
+            .select(F.col("o_custkey").cast("long").alias("ck"))
+            .distinct()
+            .localCheckpoint()  # used three times: edges (twice) + assign
         )
-        .select("id_a", "id_b")
-    )
-    n_nodes = n.count()
-    comp, rounds = connected_components_star(e, max_rounds=40)
-    bound = 2 * math.ceil(math.log2(max(n_nodes, 2))) + 4
-    if rounds > bound:
-        raise RuntimeError(
-            f"star contraction took {rounds} rounds on {n_nodes} nodes "
-            f"(certified bound {bound}) — not the O(log n) contract"
+        e = (
+            n.select(F.col("ck").alias("id_a"))
+            .join(
+                n.select(
+                    (F.col("ck") - 1).alias("id_a"), F.col("ck").alias("id_b")
+                ),
+                "id_a",
+            )
+            .select("id_a", "id_b")
         )
-    assign = (
-        n.select(F.col("ck").alias("node"))
-        .join(comp, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        n_nodes = n.count()
+        comp, rounds = connected_components_star(e, max_rounds=40)
+        bound = 2 * math.ceil(math.log2(max(n_nodes, 2))) + 4
+        if rounds > bound:
+            raise RuntimeError(
+                f"star contraction took {rounds} rounds on {n_nodes} nodes "
+                f"(certified bound {bound}) — not the O(log n) contract"
+            )
+        return (
+            n.select(F.col("ck").alias("node"))
+            .join(comp, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("cluster_id"), F.col("node")).alias(
+                    "cluster_id"
+                ),
+            )
         )
-    )
+
+    assign = _memo_artifact(spark, sf_dir, "cc_star_components", build)
     return cluster_summary(assign)
 
 
