@@ -547,6 +547,7 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
     cols = list(base_cols)
     evolved = False
     corrupt_at: int | None = None  # version of a corrupted newest rollup
+    kept_clones: list[tuple[str, int]] = []  # survive source ops (r8)
 
     def snapshot():
         return {k: dict(r) for k, r in state.items()}
@@ -725,7 +726,15 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
                 }
                 want = {k: _row_tuple(r, want_cols) for k, r in want_state.items()}
                 assert got == want, f"seed={seed} clone of v{target}"
-                shutil.rmtree(cdir)
+                # half the clones survive the rest of the history (r8):
+                # every subsequent source op — vacuums included — must
+                # leave them readable, because hardlinked inodes stay
+                # alive through the clone's own directory entries.
+                # Checked at the end of the run.
+                if rng.random() < 0.5:
+                    kept_clones.append((cdir, target))
+                else:
+                    shutil.rmtree(cdir)
         elif op == "corrupt_ckpt":
             # transient-storage injection (r7, ADVICE guard): corrupt
             # the newest rollup, or heal a previous corruption.  While
@@ -783,6 +792,25 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
                 applied.pop(r["k"], None)
         want = {k: _row_tuple(r, common) for k, r in want_to.items()}
         assert applied == want, f"seed={seed} CDF {v}->{v + 1}"
+    # kept clones re-read AFTER the whole history: source-side vacuums
+    # unlink only the source's directory entries, so a clone taken at
+    # any point must still serve its exact clone-time snapshot (the
+    # inode-sharing isolation claim, source→clone direction; the
+    # catalog's txn_clone_isolation entry hash-checks clone→source)
+    import shutil as _shutil
+
+    for cdir, target in kept_clones:
+        want_state, want_cols = versions[target]
+        got = {
+            r["k"]: tuple(r[c] for c in want_cols)
+            for r in txn_read(spark, cdir).collect()
+        }
+        want = {k: _row_tuple(r, want_cols) for k, r in want_state.items()}
+        assert got == want, (
+            f"seed={seed}: kept clone of v{target} damaged by later "
+            "source operations"
+        )
+        _shutil.rmtree(cdir)
 
 
 @pytest.mark.parametrize("seed", [11, 29, 47])
