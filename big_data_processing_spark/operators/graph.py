@@ -123,7 +123,6 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 40,
-    broadcast_threshold: int = 1_000_000,
 ) -> tuple[DataFrame, int]:
     """Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC'14):
@@ -159,13 +158,11 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    # per-node min frames never exceed the initial node count, so one
-    # up-front gate decides broadcastability for every round: under the
-    # threshold (2 longs/row → ≤16 MB at 10⁶) both hook joins become
-    # map-side and the big edge side never shuffles for them; above it
-    # they fall back to ordinary shuffled joins
-    bcast = nodes.count() <= broadcast_threshold
-    _hint = F.broadcast if bcast else (lambda df: df)
+    # the hook joins stay ordinary shuffled joins: the per-node mins
+    # frame is as large as the node set, so at real scale it is never
+    # broadcastable, and measured at bench scale a broadcast build per
+    # round is no faster than AQE-coalesced shuffles while stacking
+    # broadcast relations against the driver heap
 
     def _large_star(cur: DataFrame) -> DataFrame:
         # symmetrize, then attach every strictly larger neighbor of u
@@ -180,7 +177,7 @@ def connected_components_star(
         )
         return (
             sym.filter(F.col("v") > F.col("u"))
-            .join(_hint(mins), "u")
+            .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
@@ -192,7 +189,7 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins = ori.groupBy("u").agg(F.min("v").alias("m"))
-        hooked = ori.join(_hint(mins), "u")
+        hooked = ori.join(mins, "u")
         return (
             hooked.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(hooked.select("u", F.col("m").alias("v")))
