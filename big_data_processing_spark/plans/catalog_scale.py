@@ -16,6 +16,7 @@ import os
 import re
 import shutil
 import tempfile
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -662,22 +663,45 @@ def _restore_history_rows(spark: SparkSession, base: DataFrame) -> list:
         ops = [hist[v]["op"] for v in range(4)]
         if ops != ["create", "merge", "delete", "restore"]:
             raise RuntimeError(f"unexpected history op sequence {ops}")
+        # exact restored==v1 set equality in ONE job (+1/-1 weighted
+        # union — the keyed rows are a set, so any non-zero net weight
+        # is a difference), instead of two exceptAll shuffles
         restored, v1 = txn_read(spark, t, version=3), txn_read(spark, t, version=1)
-        if restored.exceptAll(v1).count() or v1.exceptAll(restored).count():
+        diff = (
+            restored.select("ck", "tc", F.lit(1).alias("w"))
+            .unionByName(v1.select("ck", "tc", F.lit(-1).alias("w")))
+            .groupBy("ck", "tc")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") != 0)
+        )
+        if not diff.isEmpty():
             raise RuntimeError("restored snapshot differs from version 1")
         n_live = txn_file_stats(spark, t).agg(F.sum("n_rows")).collect()[0][0]
         if n_live != hist[3]["n_rows"]:
             raise RuntimeError("DETAIL file stats disagree with HISTORY")
+        # all four per-version summaries in ONE union job instead of
+        # four separate collects
+        per_ver = (
+            reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    txn_read(spark, t, version=ver).select(
+                        F.lit(ver).alias("ver"), "tc"
+                    )
+                    for ver in range(4)
+                ],
+            )
+            .groupBy("ver")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("tc").cast("long").alias("s"),
+            )
+            .collect()
+        )
+        sums = {r["ver"]: r for r in per_ver}
         rows = []
         for ver in range(4):
-            s = (
-                txn_read(spark, t, version=ver)
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n"),
-                    F.sum("tc").cast("long").alias("s"),
-                )
-                .collect()[0]
-            )
+            s = sums[ver]
             if s["n"] != hist[ver]["n_rows"]:
                 raise RuntimeError(
                     f"HISTORY row count for v{ver} disagrees with its read"
