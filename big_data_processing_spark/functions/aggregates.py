@@ -74,6 +74,16 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
     )
 
 
+def dsum_sql_spark(expr: str, scale: int = 2) -> str:
+    """Spark-SQL-dialect twin of :func:`dsum_sql` (STRING vs VARCHAR)
+    for entries that build their Spark side as SQL text (GROUPING
+    SETS).  Derived from the same ``_PRECISION`` so retuning the
+    precision can never silently diverge the two dialects."""
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL({_PRECISION},{scale}))) AS STRING) AS DOUBLE)"
+    )
+
+
 def davg_sql(expr: str, scale: int = 2) -> str:
     return f"({dsum_sql(expr, scale)} / COUNT({expr}))"
 

@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import register_checkpoint_release, release_local_checkpoint
+from .util import (
+    multisets_equal,
+    register_checkpoint_release,
+    release_local_checkpoint,
+)
 
 
 def connected_components(
@@ -197,19 +201,6 @@ def connected_components_star(
             .distinct()
         )
 
-    def _sets_equal(a: DataFrame, b: DataFrame) -> bool:
-        # exact set equality in ONE job: +1/-1 weighted union, any key
-        # with a non-zero net weight is a difference (both inputs are
-        # distinct sets, so weights are ±1)
-        diff = (
-            a.select("u", "v", F.lit(1).alias("w"))
-            .unionByName(b.select("u", "v", F.lit(-1).alias("w")))
-            .groupBy("u", "v")
-            .agg(F.sum("w").alias("w"))
-            .filter(F.col("w") != 0)
-        )
-        return diff.isEmpty()
-
     rounds = 0
     converged = False
     prev = e
@@ -227,7 +218,7 @@ def connected_components_star(
         sig = tuple(
             stepped.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).collect()[0]
         )
-        if sig == prev_sig and _sets_equal(stepped, prev):
+        if sig == prev_sig and multisets_equal(stepped, prev):
             if prev is not e:
                 release_local_checkpoint(prev)
             prev = stepped

@@ -138,6 +138,26 @@ def bounded_global_input(df: DataFrame, cap: int, what: str) -> DataFrame:
     return df
 
 
+def multisets_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Exact multiset equality of two same-schema frames in ONE job:
+    +1/-1 weighted union, groupBy all columns, any non-zero net weight
+    is a difference (net = count_a(row) - count_b(row), zero for every
+    row iff the multisets are equal — duplicates included).  Replaces
+    the two-shuffle ``a.exceptAll(b) ∪ b.exceptAll(a)`` pattern in
+    verification tails."""
+    from pyspark.sql import functions as F
+
+    cols = a.columns
+    diff = (
+        a.select(*cols, F.lit(1).alias("__w"))
+        .unionByName(b.select(*cols, F.lit(-1).alias("__w")))
+        .groupBy(*cols)
+        .agg(F.sum("__w").alias("__w"))
+        .filter(F.col("__w") != 0)
+    )
+    return diff.isEmpty()
+
+
 def register_checkpoint_release(df: DataFrame) -> DataFrame:
     """Register a localCheckpoint()ed frame whose blocks back a
     RETURNED result (so the producing operator cannot free them) for

@@ -774,11 +774,15 @@ def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import cluster_summary, connected_components_star
 
     def build() -> DataFrame:
+        # no localCheckpoint on the node set: the build runs once per
+        # process and a checkpoint taken here would outlive it (the
+        # parquet write happens after build() returns, so there is no
+        # safe release point) — recomputing the small distinct three
+        # times is cheaper than pinning its blocks forever
         n = (
             _t(spark, sf_dir, "orders")
             .select(F.col("o_custkey").cast("long").alias("ck"))
             .distinct()
-            .localCheckpoint()  # used three times: edges (twice) + assign
         )
         e = (
             n.select(F.col("ck").alias("id_a"))

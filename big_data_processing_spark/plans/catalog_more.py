@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import davg, davg_sql, dsum, dsum_sql
+from ..functions.aggregates import davg, davg_sql, dsum, dsum_sql, dsum_sql_spark
 from ..operators.util import timed_phase
 from .catalog import _t, query
 
@@ -153,11 +153,10 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     partially aggregates map-side, so the shuffle carries ~|groups|;
     revenue is decimal-exact (order-independent)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rollup_v")
-    revenue = (
-        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS STRING) AS DOUBLE)"
-    )
     return spark.sql(
-        _GSET_FAMILY_SELECT.format(revenue=revenue, table="orders_rollup_v")
+        _GSET_FAMILY_SELECT.format(
+            revenue=dsum_sql_spark("o_totalprice", 2), table="orders_rollup_v"
+        )
     )
 
 

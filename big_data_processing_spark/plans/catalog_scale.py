@@ -21,10 +21,10 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import dsum, dsum_sql
+from ..functions.aggregates import dsum, dsum_sql, dsum_sql_spark
 from ..operators.heavyhitters import heavy_hitters_topk
 from ..operators.timeseries import gap_fill_ffill, scd2_intervals
-from ..operators.util import timed_phase
+from ..operators.util import multisets_equal, timed_phase
 from .catalog import _t, query
 from .catalog_ext import _TOKENS  # the shared DuckDB tokenizer expression
 
@@ -663,18 +663,10 @@ def _restore_history_rows(spark: SparkSession, base: DataFrame) -> list:
         ops = [hist[v]["op"] for v in range(4)]
         if ops != ["create", "merge", "delete", "restore"]:
             raise RuntimeError(f"unexpected history op sequence {ops}")
-        # exact restored==v1 set equality in ONE job (+1/-1 weighted
-        # union — the keyed rows are a set, so any non-zero net weight
-        # is a difference), instead of two exceptAll shuffles
+        # exact restored==v1 multiset equality in ONE job instead of
+        # two exceptAll shuffles (operators/util.multisets_equal)
         restored, v1 = txn_read(spark, t, version=3), txn_read(spark, t, version=1)
-        diff = (
-            restored.select("ck", "tc", F.lit(1).alias("w"))
-            .unionByName(v1.select("ck", "tc", F.lit(-1).alias("w")))
-            .groupBy("ck", "tc")
-            .agg(F.sum("w").alias("w"))
-            .filter(F.col("w") != 0)
-        )
-        if not diff.isEmpty():
+        if not multisets_equal(restored, v1):
             raise RuntimeError("restored snapshot differs from version 1")
         n_live = txn_file_stats(spark, t).agg(F.sum("n_rows")).collect()[0][0]
         if n_live != hist[3]["n_rows"]:
@@ -701,12 +693,17 @@ def _restore_history_rows(spark: SparkSession, base: DataFrame) -> list:
         sums = {r["ver"]: r for r in per_ver}
         rows = []
         for ver in range(4):
-            s = sums[ver]
-            if s["n"] != hist[ver]["n_rows"]:
+            s = sums.get(ver)
+            # an empty (0-row) version produces no group in the union
+            # aggregate — that is itself a HISTORY disagreement unless
+            # HISTORY also says 0, and must surface as the diagnostic,
+            # not a KeyError
+            n = int(s["n"]) if s is not None else 0
+            if n != hist[ver]["n_rows"]:
                 raise RuntimeError(
                     f"HISTORY row count for v{ver} disagrees with its read"
                 )
-            rows.append((ver, hist[ver]["op"], int(s["n"]), int(s["s"])))
+            rows.append((ver, hist[ver]["op"], n, int(s["s"]) if s else 0))
     return rows
 
 
@@ -930,8 +927,7 @@ def dashboard_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(COALESCE(yr, -1) AS INT) AS year_g,
                COALESCE(pri, 'ALL') AS priority_g,
                COUNT(*) AS n_orders,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS STRING)
-                    AS DOUBLE) AS revenue
+               {rev} AS revenue
         FROM (
             SELECT CAST(year(o_orderdate) AS INT) AS yr,
                    o_orderpriority AS pri, o_totalprice
@@ -939,5 +935,5 @@ def dashboard_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY GROUPING SETS ((yr), (pri), (yr, pri), ())
         ORDER BY year_g, priority_g
-        """
+        """.format(rev=dsum_sql_spark("o_totalprice", 2))
     )

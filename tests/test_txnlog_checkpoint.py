@@ -548,6 +548,7 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
     evolved = False
     corrupt_at: int | None = None  # version of a corrupted newest rollup
     kept_clones: list[tuple[str, int]] = []  # survive source ops (r8)
+    clone_seq = 0  # unique clone-dir suffix across the whole run
 
     def snapshot():
         return {k: dict(r) for k, r in state.items()}
@@ -711,7 +712,11 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
             import shutil
 
             target = rng.randint(0, len(versions) - 1)
-            cdir = os.path.join(root, f"clone_{seed}_{len(versions)}_{target}")
+            # unique per clone op: (len(versions), target) repeats when
+            # two clone ops fire with no commit in between, and a KEPT
+            # earlier clone would make txn_clone raise FileExistsError
+            clone_seq += 1
+            cdir = os.path.join(root, f"clone_{seed}_{clone_seq}_{target}")
             try:
                 tl.txn_clone(t, cdir, version=target)
             except FileNotFoundError:
