@@ -911,3 +911,21 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)), max_size=12),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)), max_size=12),
+)
+def test_multisets_equal_matches_exceptall_semantics(spark, a_rows, b_rows):
+    """The one-job weighted-union equality must agree with the
+    two-job exceptAll-both-directions definition on arbitrary
+    multisets (duplicates included)."""
+    from big_data_processing_spark.operators.util import multisets_equal
+
+    schema = "x long, y long"
+    a = spark.createDataFrame(a_rows, schema) if a_rows else spark.createDataFrame([], schema)
+    b = spark.createDataFrame(b_rows, schema) if b_rows else spark.createDataFrame([], schema)
+    truth = sorted(a_rows) == sorted(b_rows)
+    assert multisets_equal(a, b) == truth
