@@ -83,46 +83,33 @@ def query(
 # not registered are ignored, so the list can name entries added later
 # in the build.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 8 ---
-    # The 48 entries whose last green row is r6 are the stalest and
-    # automatically lead the r8 window; raw budget before merges is
-    # therefore 2 slots (window re-simulated mechanically by
-    # tests/test_window_accounting.py).  Slots below are bought back
-    # by twin merges: each merge retires one entry AND collapses two
-    # stale consumers into one priority consumer.
+    # --- round 9 ---
+    # The 48 entries last green in r7 are the stalest and autofill the
+    # back of the r9 window; the names below are this round's plan
+    # changes and must re-earn a green row now.  Window arithmetic
+    # (re-simulated by tests/test_window_accounting.py): 4 priority +
+    # 44 remaining r7-stale after the merges = 48 of 50 slots, leaving
+    # two for new entries.
     #
-    # Twin merges (plan changed → must re-earn; the retired twin
-    # keeps a local pytest oracle per the CLAUDE.md pattern):
-    #   dedup_simhash       absorbs dedup_simhash_pairs (key-join)
-    #   knn_lsh_cosine      absorbs knn_bruteforce_cosine (arm col)
-    #   rollup_revenue      absorbs cube_status_priority (GROUPING
-    #                       SETS arms, the dashboard_grouping_sets
-    #                       plan shape proven in r7)
-    "dedup_simhash",
-    "knn_lsh_cosine",
-    "rollup_revenue",
-    # Plan change: the multi-commit txnlog fixtures now build shared
-    # shapes once per (sf_dir, shape) (plans/txnfix.py) — mutating
-    # entries txn_clone per run, the CDF pair shares one table
-    # read-only, and every entry reads the memoized base rollup
-    # (judge r7 'What's wrong' #3).  All six are r6-stale, hence in
-    # the window anyway — listing them here just fronts them.
-    "txnlog_compacted_read",
-    "txnlog_change_feed",
-    "txnlog_incremental_mv",
-    "txnlog_restore_history",
-    "txnlog_merge_snapshot",
-    "txnlog_wap_publish",
-    # New in round 8 (judge r7 item 4): incremental multi-grain
-    # maintenance of the GROUPING SETS dashboard rollup over the
-    # txnlog CDF, and star-contraction connected components on an
-    # adversarial chain graph (O(log n) rounds vs O(diameter)).
-    "dashboard_rollup_incremental",
+    # Plan change (judge r8 item 2): the star-contraction build loop
+    # now uses lazy localCheckpoints whose materialization is fused
+    # into the per-alternation fingerprint collect, and probes every
+    # SECOND alternation — same fixpoint, same certified O(log n)
+    # bound, roughly a third of the Spark jobs per build.
     "dedup_cc_star_contraction",
-    # txn_clone's driver-hash entry (the operator landed late r7 with
-    # pytest/fuzz evidence only): clone → divergent MERGE → vacuum →
-    # both sides read back, certifying hardlink isolation.
-    "txn_clone_isolation",
+    # Twin merges (judge r8 item 3; the retired twin keeps a local
+    # pytest oracle per the CLAUDE.md pattern):
+    #   knn_ivf_pq_rerank          absorbs knn_pq_rerank (arm column;
+    #                              both read the shared exact-kNN
+    #                              ground-truth artifact)
+    #   curation_stratified_sample absorbs curation_fraction_sample
+    #                              (same doc grain, arm column)
+    #   events_asof_last_purchase  absorbs events_range_join_
+    #                              attribution (same event grain,
+    #                              key-join of the two attributions)
+    "knn_ivf_pq_rerank",
+    "curation_stratified_sample",
+    "events_asof_last_purchase",
 )
 
 
