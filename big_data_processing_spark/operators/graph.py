@@ -25,7 +25,7 @@ algorithms use (not a data collect).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import (
@@ -63,9 +63,11 @@ def connected_components(
         edges.select(both.alias("e"))
         .select("e.u", "e.v")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
+    # the eager label checkpoint is the action that also materializes
+    # sym's lazy one — the two frames cost a single Spark job
     labels = (
         sym.select("u")
         .distinct()
@@ -90,10 +92,12 @@ def connected_components(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        # the changed-count action materialized `stepped`; the previous
-        # round's checkpointed blocks are now dead. NOTE they must be
+        # the changed-count action materializes `stepped` (the lazy
+        # checkpoint persists during that first evaluation — one job
+        # per round instead of checkpoint + count); the previous
+        # round's checkpointed blocks are then dead. NOTE they must be
         # released through the checkpointed RDD handle — a plain
         # Dataset.unpersist() only clears CacheManager entries and is a
         # silent no-op for localCheckpoint blocks (r3 advice; verified
@@ -138,117 +142,175 @@ def connected_components_star(
     propagation (:func:`connected_components`) needs O(diameter)
     rounds.
 
-    Both stars are expressed as one groupBy-min plus one join over the
-    slim (u, v) edge list — no collect_list, no neighborhood
-    materialization, so a skewed high-degree node costs a map-side
-    combinable min, not a reducer-side array.  Returns
+    Both stars are expressed as a single partition-by-node window min
+    over the slim (u, v) edge list — ONE exchange per star pass (the
+    r8 groupBy-min + join shape paid two, and at toy/bench scale the
+    fixed per-exchange latency dominates the build).  No collect_list,
+    no neighborhood materialization: the window co-locates Γ(u) in one
+    task, which is exactly the co-location the former shuffled hash
+    join required, and per-node degree is bounded upstream by the
+    dedup family's pair-bucket caps, so there is no new skew exposure
+    the join shape didn't have.  Returns
     ``(components, rounds)`` where components is (node, cluster_id)
     for every node with at least one edge (same contract as
     :func:`connected_components`) and rounds counts the executed
     large+small alternations — callers assert it against their
-    O(log n) expectation.  The converged star set is the unique
-    component-minimum fixpoint, so results are deterministic under any
-    partitioning.
+    O(log n) expectation.  Convergence is probed every SECOND
+    alternation (rounds is therefore always even and may exceed the
+    minimal alternation count by one — include that slack in any
+    asserted bound), with each probe's scalar-fingerprint collect
+    doubling as the action that materializes the pending lazy
+    checkpoint: one Spark job per two alternations in the steady
+    state.  The converged star set is the unique component-minimum
+    fixpoint, so results are deterministic under any partitioning.
     """
+    # LAZY checkpoint: the initial fingerprint collect below is the
+    # materializing action, so the checkpoint costs no job of its own.
+    # (The node frame is derived from e only AFTER convergence — it is
+    # not needed during the loop, and building it up front would both
+    # spend an extra job and leak its blocks on the raise path.)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    # the hook joins stay ordinary shuffled joins: the per-node mins
-    # frame is as large as the node set, so at real scale it is never
-    # broadcastable, and measured at bench scale a broadcast build per
-    # round is no faster than AQE-coalesced shuffles while stacking
-    # broadcast relations against the driver heap
+    # per-node mins come from a window over the edge partition, never
+    # a broadcast: the mins relation is node-set-sized, so at real
+    # scale it is not broadcastable, and a window needs only the one
+    # exchange a shuffled hash join would pay for its probe side
+    _by_u = Window.partitionBy("u")
 
     def _large_star(cur: DataFrame) -> DataFrame:
         # symmetrize, then attach every strictly larger neighbor of u
         # to m = min(Γ(u) ∪ {u}).  No distinct here: duplicate edges
-        # are idempotent under the mins and the small-star pass that
-        # consumes this output deduplicates once.
+        # are idempotent under the min and the probed small-star pass
+        # downstream deduplicates once.
         sym = cur.unionByName(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        m = F.least(F.min("v").over(_by_u), F.col("u"))
         return (
-            sym.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            sym.select("u", "v", m.alias("m"))
+            .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
 
-    def _small_star(cur: DataFrame) -> DataFrame:
+    def _small_star(cur: DataFrame, dedup: bool = True) -> DataFrame:
         # orient each edge toward its larger endpoint, then hook the
-        # smaller neighbors AND u itself to m = min(Γ⁻(u))
+        # smaller neighbors AND u itself to m = min(Γ⁻(u)).  dedup
+        # may be skipped on the unprobed alternation of a pair: every
+        # downstream op is per-row or duplicate-insensitive (mins),
+        # so the NEXT probed pass's distinct yields the identical edge
+        # set — duplicates only thicken one intermediate.
         ori = cur.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
-        hooked = ori.join(mins, "u")
-        return (
-            hooked.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(hooked.select("u", F.col("m").alias("v")))
+        withm = ori.select("u", "v", F.min("v").over(_by_u).alias("m"))
+        out = (
+            withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(withm.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+        )
+        return out.distinct() if dedup else out
+
+    # scalar (count, Σu, Σv) fingerprint: a cheap single-stage probe
+    # whose collect is ALSO the action that materializes the pending
+    # lazy checkpoint — one Spark job per probe, nothing else.  The
+    # exact one-job multiset diff runs only when the fingerprint
+    # repeats (a candidate fixpoint).
+    def _sig(df: DataFrame) -> tuple:
+        return tuple(
+            df.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).collect()[0]
         )
 
     rounds = 0
     converged = False
     prev = e
-    # scalar (count, Σu, Σv) fingerprint: a cheap single-stage probe
-    # per round; the exact one-job set diff runs only when the
-    # fingerprint repeats (a candidate fixpoint), so the steady cost
-    # per alternation is the contraction plan itself plus one scalar
-    # aggregate — not two exceptAll shuffles
-    prev_sig = tuple(
-        e.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).collect()[0]
-    )
-    for _ in range(max_rounds):
-        stepped = _small_star(_large_star(prev)).localCheckpoint()
-        rounds += 1
-        sig = tuple(
-            stepped.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).collect()[0]
-        )
-        if sig == prev_sig and multisets_equal(stepped, prev):
+    prev_sig = _sig(e)
+    # Size-aware loop execution (measured, not guessed: the initial
+    # fingerprint already counted the edges).  A fixpoint loop over
+    # KB/MB-scale state pays a fixed per-stage latency ~50 times over;
+    # adaptive replanning and default-sized shuffles are pure overhead
+    # there (measured ~2× on the whole build), while at real scale —
+    # above the threshold — the session's AQE/skew machinery is
+    # exactly what we want, so the micro overrides never engage.
+    # Saved/restored around the loop; everything the loop materializes
+    # happens inside it (lazy checkpoints resolve at the probe), so no
+    # downstream plan leaks the micro settings.
+    conf = edges.sparkSession.conf
+    saved_conf: dict[str, str] = {}
+    if (prev_sig[0] or 0) < 5_000_000:
+        parts = max(2, -(-int(prev_sig[0] or 0) // 250_000))
+        for k, v in (
+            ("spark.sql.adaptive.enabled", "false"),
+            ("spark.sql.shuffle.partitions", str(parts)),
+        ):
+            saved_conf[k] = conf.get(k)
+            conf.set(k, v)
+    try:
+        while rounds < max_rounds:
+            # TWO alternations per probe: the contraction sequence
+            # from a fixed input is deterministic, so multiset
+            # equality two alternations apart would mean the sequence
+            # is periodic — and a non-fixpoint period contradicts the
+            # algorithm's proven finite convergence (Kiveris et al.
+            # Thm 1).  Equality ⇒ fixpoint, and probing half as often
+            # halves the per-build job count.  Each alternation still
+            # gets its own (lazy) checkpoint: every star pass
+            # references its input two or three times, so an
+            # unmaterialized alternation boundary would recompute the
+            # whole inner subtree per reference (measured 1.5× SLOWER
+            # than the eager-per-alternation baseline).
+            mid = _small_star(
+                _large_star(prev), dedup=False
+            ).localCheckpoint(eager=False)
+            stepped = _small_star(_large_star(mid)).localCheckpoint(
+                eager=False
+            )
+            rounds += 2
+            sig = _sig(stepped)
+            release_local_checkpoint(mid)
+            if sig == prev_sig and multisets_equal(stepped, prev):
+                if prev is not e:
+                    release_local_checkpoint(prev)
+                prev = stepped
+                converged = True
+                break
             if prev is not e:
                 release_local_checkpoint(prev)
-            prev = stepped
-            converged = True
-            break
+            prev, prev_sig = stepped, sig
+    finally:
+        for k, v in saved_conf.items():
+            conf.set(k, v)
+    if not converged:
         if prev is not e:
             release_local_checkpoint(prev)
-        prev, prev_sig = stepped, sig
-    release_local_checkpoint(e)
-    if not converged:
-        release_local_checkpoint(prev)
+        release_local_checkpoint(e)
         raise RuntimeError(
             f"connected_components_star did not converge in {max_rounds} "
             "rounds; alternation should contract any graph in O(log² n)"
         )
-    # converged star edges point child → component root; roots map to
-    # themselves (take min over parents defensively — at fixpoint each
-    # child has exactly one)
+    release_local_checkpoint(e)
+    # Converged star edges point child → component root, so the full
+    # node set is children ∪ roots and needs no separate scan of the
+    # edge list.  The union is DISJOINT: if a node x were both a child
+    # (edge x→r, r<x) and a root (edge y→x, x<y), the next large-star
+    # pass would rehook y to min(Γ(x)) ≤ r < x and the edge (y, x)
+    # could not reappear — contradicting the certified fixpoint.
+    # Roots map to themselves (take min over parents defensively — at
+    # fixpoint each child has exactly one), and every root has at
+    # least one child because every node here carries an edge.
     assign = prev.groupBy(F.col("u").alias("node")).agg(
         F.min("v").alias("cluster_id")
     )
-    comp = (
-        nodes.join(assign, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
-        )
+    comp = assign.unionByName(
+        assign.select(F.col("cluster_id").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
     )
     register_checkpoint_release(prev)
-    register_checkpoint_release(nodes)
     return comp, rounds
 
 

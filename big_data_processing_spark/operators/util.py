@@ -148,6 +148,12 @@ def multisets_equal(a: DataFrame, b: DataFrame) -> bool:
     from pyspark.sql import functions as F
 
     cols = a.columns
+    if "__w" in cols:
+        # the weight column would collide with an input column of the
+        # same name and make the groupBy/sum silently ambiguous
+        raise ValueError(
+            "multisets_equal: input frames must not have a '__w' column"
+        )
     diff = (
         a.select(*cols, F.lit(1).alias("__w"))
         .unionByName(b.select(*cols, F.lit(-1).alias("__w")))

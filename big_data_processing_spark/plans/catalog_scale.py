@@ -605,7 +605,8 @@ def txnlog_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ck%50==0, v2 DELETEs ck%61==0, and v3 RESTOREs v1 — then every
     snapshot is time-travel-read and summarized next to its HISTORY
     row.  The query RAISES unless the restore landed as a NEW version
-    whose rows equal v1's exactly (both exceptAll directions empty),
+    whose rows equal v1's exactly (one-job weighted-union multiset
+    equality, operators/util.multisets_equal),
     the history op sequence is create/merge/delete/restore with
     restored_version=1, every HISTORY row count agrees with its
     snapshot read, and DESCRIBE DETAIL's live file stats sum to the
