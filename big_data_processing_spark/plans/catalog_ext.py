@@ -1672,7 +1672,6 @@ def _pq_rerank_oracle(sf_dir: str) -> str:
     """
 
 
-@query("knn_pq_rerank", oracle=_pq_rerank_oracle, tags=("similarity", "knn", "pq"))
 def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI 2011), the
     memory-scale path beside LSH and IVF: corpus vectors compress to
@@ -1685,7 +1684,12 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit) and mirrors every fold order.  Recall@5 vs brute force is
     gated IN-QUERY at >= 0.6 (conservative floor for 16x16 codebooks /
     shortlist 25, measured ~0.84 at sf0.01): a regression in codebook
-    fit, encoding, ADC, or the rerank raises instead of returning."""
+    fit, encoding, ADC, or the rerank raises instead of returning.
+
+    Retired as a standalone catalog entry in r9: knn_ivf_pq_rerank
+    serves these rows as its 'pq' family arm (hash-certified there);
+    the standalone formulation keeps its DuckDB-parity pytest
+    (tests/test_catalog_oracle.py) per the twin-merge pattern."""
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_codebooks_for(sf_dir)
     queries = emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
@@ -1831,9 +1835,25 @@ def _ivf_pq_oracle(sf_dir: str) -> str:
     """
 
 
+def _pq_family_oracle(sf_dir: str) -> str:
+    """Both PQ-based serving pipelines as one family: the IVF-routed
+    composition ('ivfpq' arm) and the full-corpus ADC scan ('pq' arm,
+    the r9-retired knn_pq_rerank) share the query grain and the
+    deterministic codebooks, so one UNION ALL hash certifies both."""
+    return f"""
+    SELECT * FROM (
+        SELECT 'ivfpq' AS variant, query_id, neighbor_id, cosine, rank
+        FROM ({_ivf_pq_oracle(sf_dir)})
+        UNION ALL
+        SELECT 'pq' AS variant, query_id, neighbor_id, cosine, rank
+        FROM ({_pq_rerank_oracle(sf_dir)})
+    ) ORDER BY variant, query_id, rank
+    """
+
+
 @query(
     "knn_ivf_pq_rerank",
-    oracle=_ivf_pq_oracle,
+    oracle=_pq_family_oracle,
     tags=("similarity", "knn", "ivf", "pq"),
 )
 def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1849,7 +1869,13 @@ def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     conservative floor under the compounded approximations (measured
     ~0.66-0.68 at sf0.01/sf0.1: roughly the product of IVF probe
     recall and PQ shortlist recall, as expected); the query raises
-    instead of returning a degraded result."""
+    instead of returning a degraded result.
+
+    Merged r9 (twin-merge pattern): the output also carries the
+    full-corpus PQ pipeline (the retired knn_pq_rerank, its own >=0.6
+    recall gate intact) as the 'pq' arm of a `variant` column — same
+    query grain, shared codebooks and exact-kNN ground-truth artifact,
+    one driver hash certifying both serving pipelines."""
     emb, index = _ivf_index_for(spark, sf_dir)
     books = _pq_codebooks_for(sf_dir)
     queries = emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
@@ -1873,7 +1899,12 @@ def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.5,
         "knn_ivf_pq_rerank",
     )
-    return approx
+    pq_arm = knn_pq_rerank(spark, sf_dir)
+    return (
+        approx.select(F.lit("ivfpq").alias("variant"), "*")
+        .unionByName(pq_arm.select(F.lit("pq").alias("variant"), "*"))
+        .orderBy("variant", "query_id", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3370,18 +3401,37 @@ _STRAT_N = 20
 _FRAC = 0.25
 
 
+CURATION_FRACTION_SAMPLE_ORACLE = f"""
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < {int(_FRAC * (1 << 32))}
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
 @query(
     "curation_stratified_sample",
     oracle=f"""
-    SELECT lang, doc_id, sample_rank FROM (
-        SELECT lang, doc_id,
-               CAST(ROW_NUMBER() OVER (
-                   PARTITION BY lang
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-               ) AS INT) AS sample_rank
-        FROM documents
-    )
-    WHERE sample_rank <= {_STRAT_N}
+    WITH strat AS (
+        SELECT lang, doc_id, sample_rank FROM (
+            SELECT lang, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS INT) AS sample_rank
+            FROM documents
+        )
+        WHERE sample_rank <= {_STRAT_N}
+    ),
+    frac AS ({CURATION_FRACTION_SAMPLE_ORACLE})
+    SELECT s.lang, s.doc_id, s.sample_rank,
+           CAST(COALESCE(f.n_sampled, 0) AS BIGINT) AS frac_n_sampled,
+           CAST(COALESCE(f.sum_doc_ids, 0) AS BIGINT) AS frac_sum_doc_ids
+    FROM strat s LEFT JOIN frac f USING (lang)
     ORDER BY lang, sample_rank
     """,
     tags=("curation", "sampling", "stratified"),
@@ -3395,40 +3445,50 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     run of every engine — which is precisely why a SQL oracle can
     verify it row-for-row.
 
+    Merged r9 (twin-merge pattern): each stratum row also carries its
+    language's deterministic ~25% hash-fraction sample aggregates (the
+    retired curation_fraction_sample), key-joined on lang — the
+    per-lang aggregate is tiny, so the join broadcasts, and one driver
+    hash certifies both sampling operators.
+
     Scale: one shuffle by language + per-stratum rank (the W1
-    top-k-per-group shape); strata are processed in parallel and the
-    hash ranking needs no global coordination."""
+    top-k-per-group shape) plus a row-local scan predicate for the
+    fraction arm; strata are processed in parallel and the hash
+    ranking needs no global coordination."""
     from ..operators.sampling import stratified_sample_exact
 
-    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    d_raw = _t(spark, sf_dir, "documents")
+    d = spread(d_raw, "doc_id")
+    strat = stratified_sample_exact(d, "lang", "doc_id", _STRAT_N).select(
+        "lang", "doc_id", "sample_rank"
+    )
+    frac = curation_fraction_sample(spark, sf_dir)
+    zero = F.lit(0).cast("long")
     return (
-        stratified_sample_exact(d, "lang", "doc_id", _STRAT_N)
-        .select("lang", "doc_id", "sample_rank")
+        strat.join(F.broadcast(frac), "lang", "left")
+        .select(
+            "lang",
+            "doc_id",
+            "sample_rank",
+            F.coalesce(F.col("n_sampled"), zero).alias("frac_n_sampled"),
+            F.coalesce(F.col("sum_doc_ids"), zero).alias("frac_sum_doc_ids"),
+        )
         .orderBy("lang", "sample_rank")
     )
 
 
-@query(
-    "curation_fraction_sample",
-    oracle=f"""
-    SELECT lang,
-           COUNT(*) AS n_sampled,
-           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
-    FROM documents
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-          < {int(_FRAC * (1 << 32))}
-    GROUP BY lang
-    ORDER BY lang
-    """,
-    tags=("curation", "sampling", "hash"),
-)
 def curation_fraction_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free reproducible ~25% sample: keep rows whose md5-hash
     prefix falls under the fraction threshold (row-local filter — at
     100 TB this is a scan predicate, no exchange at all), then count
     per language. Deterministic across engines and partitionings where
     rdd.sample is not; the per-language counts and id sums are exact
-    functions of the hash rule, which the oracle recomputes."""
+    functions of the hash rule, which the oracle recomputes.
+
+    Retired as a standalone catalog entry in r9: its aggregates ride
+    along as curation_stratified_sample's frac_* columns
+    (hash-certified there); the standalone formulation keeps its
+    DuckDB-parity pytest via CURATION_FRACTION_SAMPLE_ORACLE."""
     from ..operators.sampling import deterministic_fraction_sample
 
     d = _t(spark, sf_dir, "documents")

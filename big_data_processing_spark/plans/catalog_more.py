@@ -621,9 +621,9 @@ def district_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_asof_last_purchase",
-    oracle=f"""
+_ATTR_WINDOW_US = 1_800_000_000  # 30-minute attribution lookback
+
+EVENTS_ASOF_ORACLE = f"""
     WITH p AS (
         SELECT user_id, ts, p_value, epoch_us(ts) AS p_us FROM (
             SELECT user_id, ts, value AS p_value, event_id,
@@ -645,23 +645,35 @@ def district_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j
     GROUP BY event_type
     ORDER BY event_type
-    """,
-    tags=("join", "asof", "time-series"),
-)
-def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (point-in-time) join — an operator Spark lacks natively,
-    composed as the union+window carry-forward (operators/asof.py):
-    every event is joined to the SAME user's most recent purchase at or
-    before its timestamp, then rolled up per event type (match rate,
-    decimal-exact average purchase value and average staleness).
+    """
 
-    The DuckDB oracle uses its native ASOF LEFT JOIN — hash equality
-    here proves the composition implements true point-in-time
-    semantics, including the inclusive equal-timestamp case (purchases
-    match themselves: n_matched == n_events for 'purchase').
+EVENTS_RANGE_ATTR_ORACLE = f"""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id,
+               epoch_us(ts) AS hi_us,
+               epoch_us(ts) - {_ATTR_WINDOW_US} AS lo_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS t_us
+        FROM events WHERE event_type != 'purchase'
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT p.p_id) AS BIGINT) AS n_purchases,
+           {davg_sql('e.value', 9)} AS avg_value
+    FROM p JOIN e
+      ON p.user_id = e.user_id AND e.t_us BETWEEN p.lo_us AND p.hi_us
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """
 
-    Scale: one shuffle by user_id + per-key sort — the window shape,
-    not the naive inequality-join blowup."""
+
+def events_asof_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure as-of composition (union + window carry-forward, ZERO
+    join nodes — test_plan_quality asserts on this frame's plan),
+    aggregated to event_type grain; events_asof_last_purchase joins
+    the range-attribution arm onto it."""
     from ..operators.asof import asof_join_backward
 
     ev = _t(spark, sf_dir, "events")
@@ -682,45 +694,72 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, purch, on=["user_id"], time_col="ts", payload_cols=["p_value", "p_us"]
     )
     gap = F.unix_micros("ts") - F.col("p_us")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("p_value").alias("n_matched"),
+        davg("p_value", 9).alias("avg_purchase_value"),
+        davg(gap, 0).alias("avg_gap_us"),
+    )
+
+
+@query(
+    "events_asof_last_purchase",
+    oracle=f"""
+    SELECT a.event_type, a.n_events, a.n_matched,
+           a.avg_purchase_value, a.avg_gap_us,
+           CAST(COALESCE(r.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(r.n_purchases, 0) AS BIGINT) AS n_purchases,
+           r.avg_value AS range_avg_value
+    FROM ({EVENTS_ASOF_ORACLE}) a
+    LEFT JOIN ({EVENTS_RANGE_ATTR_ORACLE}) r USING (event_type)
+    ORDER BY event_type
+    """,
+    tags=("join", "asof", "range", "time-series", "attribution"),
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — an operator Spark lacks natively,
+    composed as the union+window carry-forward (operators/asof.py):
+    every event is joined to the SAME user's most recent purchase at or
+    before its timestamp, then rolled up per event type (match rate,
+    decimal-exact average purchase value and average staleness).
+
+    The DuckDB oracle uses its native ASOF LEFT JOIN — hash equality
+    here proves the composition implements true point-in-time
+    semantics, including the inclusive equal-timestamp case (purchases
+    match themselves: n_matched == n_events for 'purchase').
+
+    Merged r9 (twin-merge pattern): the same event_type grain also
+    carries the 30-minute range-join attribution aggregates (the
+    retired events_range_join_attribution, its bucketized-equi-join
+    plan intact), key-joined on event_type — both per-type frames are
+    tiny, so the join broadcasts, and one driver hash certifies the
+    as-of composition AND the range-join bucketization together
+    (purchase rows, which the range arm excludes by construction,
+    carry zero counts and a NULL average).
+
+    Scale: one shuffle by user_id + per-key sort — the window shape,
+    not the naive inequality-join blowup."""
+    asof_agg = events_asof_aggregate(spark, sf_dir)
+    range_agg = events_range_join_attribution(spark, sf_dir).withColumnRenamed(
+        "avg_value", "range_avg_value"
+    )
+    zero = F.lit(0).cast("long")
     return (
-        joined.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count("p_value").alias("n_matched"),
-            davg("p_value", 9).alias("avg_purchase_value"),
-            davg(gap, 0).alias("avg_gap_us"),
+        asof_agg.join(F.broadcast(range_agg), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "n_matched",
+            "avg_purchase_value",
+            "avg_gap_us",
+            F.coalesce(F.col("n_pairs"), zero).alias("n_pairs"),
+            F.coalesce(F.col("n_purchases"), zero).alias("n_purchases"),
+            "range_avg_value",
         )
         .orderBy("event_type")
     )
 
 
-_ATTR_WINDOW_US = 1_800_000_000  # 30-minute attribution lookback
-
-
-@query(
-    "events_range_join_attribution",
-    oracle=f"""
-    WITH p AS (
-        SELECT event_id AS p_id, user_id,
-               epoch_us(ts) AS hi_us,
-               epoch_us(ts) - {_ATTR_WINDOW_US} AS lo_us
-        FROM events WHERE event_type = 'purchase'
-    ),
-    e AS (
-        SELECT user_id, event_type, value, epoch_us(ts) AS t_us
-        FROM events WHERE event_type != 'purchase'
-    )
-    SELECT e.event_type,
-           COUNT(*) AS n_pairs,
-           CAST(COUNT(DISTINCT p.p_id) AS BIGINT) AS n_purchases,
-           {davg_sql('e.value', 9)} AS avg_value
-    FROM p JOIN e
-      ON p.user_id = e.user_id AND e.t_us BETWEEN p.lo_us AND p.hi_us
-    GROUP BY e.event_type
-    ORDER BY e.event_type
-    """,
-    tags=("join", "range", "attribution"),
-)
 def events_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join — purchases attributed to the same user's
     activity in the preceding 30 minutes — executed as the bucketized
@@ -732,7 +771,13 @@ def events_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: blowup factor <= 2 rows per interval, shuffle keyed by
     (user, bucket) — never the nested-loop plan Spark picks for a raw
-    BETWEEN join."""
+    BETWEEN join.
+
+    Retired as a standalone catalog entry in r9: its aggregates ride
+    along as events_asof_last_purchase's n_pairs / n_purchases /
+    range_avg_value columns (hash-certified there); the standalone
+    formulation keeps its DuckDB-parity pytest via
+    EVENTS_RANGE_ATTR_ORACLE."""
     from ..operators.rangejoin import range_join
 
     ev = _t(spark, sf_dir, "events")

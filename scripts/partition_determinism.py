@@ -29,7 +29,7 @@ SUBSET = [
     "doc_tfidf_top_terms",
     "dedup_minhash_pairs",
     "dedup_winnow_pairs",
-    "knn_pq_rerank",
+    "knn_ivf_pq_rerank",
     "curation_stratified_sample",
     "part_type_revenue_share",
     # round-4 additions: forward-fill window, SCD2 interval chain,

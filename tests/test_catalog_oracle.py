@@ -151,6 +151,114 @@ def test_knn_bruteforce_oracle_parity(spark, duck, sf_dir):
     assert_frames_match(result, oracle)
 
 
+def test_knn_pq_rerank_oracle_parity(spark, duck, sf_dir):
+    """The full-corpus PQ formulation (retired from the catalog in r9:
+    knn_ivf_pq_rerank serves it as the 'pq' family arm) keeps its
+    DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        _pq_rerank_oracle,
+        knn_pq_rerank,
+    )
+
+    result = knn_pq_rerank(spark, sf_dir)
+    oracle = duck.sql(_pq_rerank_oracle(sf_dir)).df()
+    assert_frames_match(result, oracle)
+
+
+def test_pq_family_arm_equals_retired_entry(spark, sf_dir):
+    """The merged entry's 'pq' arm rows must be exactly the retired
+    knn_pq_rerank rows — the evidence that driver hashes on
+    knn_ivf_pq_rerank still certify the standalone PQ pipeline."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import knn_pq_rerank
+
+    arm = (
+        CATALOG["knn_ivf_pq_rerank"].fn(spark, sf_dir)
+        .filter("variant = 'pq'")
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    retired = (
+        knn_pq_rerank(spark, sf_dir).orderBy("query_id", "rank").collect()
+    )
+    assert [tuple(r) for r in arm] == [tuple(r) for r in retired]
+
+
+def test_curation_fraction_oracle_parity(spark, duck, sf_dir):
+    """The per-lang hash-fraction sample (retired from the catalog in
+    r9: curation_stratified_sample carries its aggregates as frac_*
+    columns) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        CURATION_FRACTION_SAMPLE_ORACLE,
+        curation_fraction_sample,
+    )
+
+    result = curation_fraction_sample(spark, sf_dir)
+    oracle = duck.sql(CURATION_FRACTION_SAMPLE_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_fraction_columns_equal_retired_entry(spark, sf_dir):
+    """Every lang's frac_* values on the merged entry must equal the
+    retired per-lang aggregate (for langs with a non-empty stratum —
+    all langs, since a lang with documents always has stratum rows)."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        curation_fraction_sample,
+    )
+
+    merged = (
+        CATALOG["curation_stratified_sample"].fn(spark, sf_dir)
+        .select("lang", "frac_n_sampled", "frac_sum_doc_ids")
+        .distinct()
+        .orderBy("lang")
+        .collect()
+    )
+    retired = {r["lang"]: r for r in curation_fraction_sample(spark, sf_dir).collect()}
+    assert len(merged) >= len(retired)
+    for row in merged:
+        want = retired.get(row["lang"])
+        if want is None:  # lang sampled to zero by the fraction rule
+            assert (row["frac_n_sampled"], row["frac_sum_doc_ids"]) == (0, 0)
+        else:
+            assert row["frac_n_sampled"] == want["n_sampled"]
+            assert row["frac_sum_doc_ids"] == want["sum_doc_ids"]
+
+
+def test_range_attribution_oracle_parity(spark, duck, sf_dir):
+    """The bucketized range join (retired from the catalog in r9:
+    events_asof_last_purchase carries its aggregates) keeps its DuckDB
+    oracle check here."""
+    from big_data_processing_spark.plans.catalog_more import (
+        EVENTS_RANGE_ATTR_ORACLE,
+        events_range_join_attribution,
+    )
+
+    result = events_range_join_attribution(spark, sf_dir)
+    oracle = duck.sql(EVENTS_RANGE_ATTR_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_range_attribution_columns_equal_retired_entry(spark, sf_dir):
+    """The merged entry's non-purchase rows must carry exactly the
+    retired range-join aggregates."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_more import (
+        events_range_join_attribution,
+    )
+
+    merged = (
+        CATALOG["events_asof_last_purchase"].fn(spark, sf_dir)
+        .filter("n_pairs > 0")
+        .select("event_type", "n_pairs", "n_purchases", "range_avg_value")
+        .orderBy("event_type")
+        .collect()
+    )
+    retired = events_range_join_attribution(spark, sf_dir).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
+
+
 def test_hourly_tumbling_oracle_parity(spark, duck, sf_dir):
     """The tumbling-window formulation (retired from the catalog in r5:
     tumbling == hopping with slide==size, and the hopping entry is

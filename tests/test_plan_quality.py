@@ -116,6 +116,7 @@ def test_anti_join_is_anti(spark, sf_dir):
 _BNLJ_JUSTIFIED = {
     "knn_bruteforce_cosine",      # fixed query set broadcast against corpus
     "knn_pq_rerank",              # same: queries broadcast, corpus streamed
+    "knn_ivf_pq_rerank",          # carries the pq arm since the r9 merge
     "part_type_revenue_share",    # scalar total-revenue denominator join
     "events_funnel_conversion",   # scalar funnel-total join
     "data_quality_report",        # two 1-row count aggregates crossed
@@ -159,8 +160,16 @@ def test_catalog_plan_invariants_single_sweep(spark, sf_dir):
 def test_asof_join_plan_has_no_join_operator(spark, sf_dir):
     """The as-of composition is union + window — point-in-time
     semantics without any join node (the naive inequality join would
-    appear here as a BroadcastNestedLoop/Cartesian blowup)."""
-    plan = _plan(spark, sf_dir, "events_asof_last_purchase")
+    appear here as a BroadcastNestedLoop/Cartesian blowup).  Asserted
+    on the composition frame itself: the catalog entry additionally
+    broadcast-joins the tiny range-attribution arm since the r9 merge,
+    so its full plan legitimately contains join nodes."""
+    from big_data_processing_spark.plans.catalog_more import (
+        events_asof_aggregate,
+    )
+
+    df = events_asof_aggregate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, "as-of should be a window carry-forward, not a join"
     assert "Window" in plan
 
