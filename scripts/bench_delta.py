@@ -36,12 +36,32 @@ def committed_detail(rev: str = "HEAD") -> dict:
     return json.loads(out.stdout)
 
 
-def deltas(current: dict, baseline: dict) -> list[tuple[str, float, float, float]]:
-    """(name, baseline_s, current_s, delta_s) for every query present
-    in both sidecars, sorted worst-regression first."""
+def noise_band(name: str, current: dict, baseline: dict) -> float:
+    """Per-entry noise threshold: a delta under max(0.3s, 2x the
+    min-of-N spread on either side, 30% of the baseline time) is
+    within the measured same-code band (builder vs driver runs of
+    identical code differed up to ±30%/entry in r8) and must not be
+    read as a regression."""
+    b = baseline["queries"].get(name, 0.0)
+    spread = max(
+        baseline.get("spread", {}).get(name, 0.0),
+        current.get("spread", {}).get(name, 0.0),
+    )
+    return max(0.3, 2 * spread, 0.3 * b)
+
+
+def deltas(current: dict, baseline: dict) -> list[tuple[str, float, float, float, bool]]:
+    """(name, baseline_s, current_s, delta_s, outside_noise) for every
+    query present in both sidecars, sorted worst-regression first."""
     cur, base = current["queries"], baseline["queries"]
     rows = [
-        (n, base[n], cur[n], round(cur[n] - base[n], 3))
+        (
+            n,
+            base[n],
+            cur[n],
+            round(cur[n] - base[n], 3),
+            cur[n] - base[n] > noise_band(n, current, baseline),
+        )
         for n in sorted(set(cur) & set(base))
     ]
     return sorted(rows, key=lambda r: -r[3])
@@ -63,8 +83,17 @@ def main() -> int:
         f"{baseline.get('value')}s total) vs {cur_path} "
         f"({current.get('n_queries')} queries, {current.get('value')}s)"
     )
-    for name, b, c, d in rows[:15]:
-        print(f"  {name:40s} {b:7.3f} -> {c:7.3f}  ({d:+.3f}s)")
+    note = baseline.get("noise_note") or current.get("noise_note")
+    if note:
+        print(f"noise band: {note}")
+    n_real = sum(1 for r in rows if r[4])
+    print(
+        f"{n_real} delta(s) outside the noise band "
+        "(max(0.3s, 2x spread, 30% of baseline) per entry)"
+    )
+    for name, b, c, d, real in rows[:15]:
+        tag = "  REGRESSION" if real else ""
+        print(f"  {name:40s} {b:7.3f} -> {c:7.3f}  ({d:+.3f}s){tag}")
     only_cur = sorted(set(current["queries"]) - set(baseline["queries"]))
     only_base = sorted(set(baseline["queries"]) - set(current["queries"]))
     if only_cur:
