@@ -110,6 +110,11 @@ _PRIORITY: tuple[str, ...] = (
     "knn_ivf_pq_rerank",
     "curation_stratified_sample",
     "events_asof_last_purchase",
+    # New in round 9: Bloom-filter semi-join pruning — fact rows
+    # dropped row-locally (hex-literal bitmap probe, no UDF) before
+    # the join exchange; hash vs the plain-join oracle certifies the
+    # no-false-negatives contract end to end.
+    "bloom_pruned_join_revenue",
 )
 
 

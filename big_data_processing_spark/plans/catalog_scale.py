@@ -938,3 +938,74 @@ def dashboard_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY year_g, priority_g
         """.format(rev=dsum_sql_spark("o_totalprice", 2))
     )
+
+
+_BLOOM_PRICE_FLOOR = 400_000  # ~20% of orders qualify at every sf
+
+
+@query(
+    "bloom_pruned_join_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {dsum_sql('l_extendedprice', 2)} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > {_BLOOM_PRICE_FLOOR}
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "bloom", "runtime-filter", "scale"),
+)
+def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloom.py), new r9:
+    lineitem revenue attributed to high-value orders, with the fact
+    scan pre-filtered by a Bloom summary of the qualifying order keys
+    BEFORE the join — the runtime-filter pattern for the dominant
+    100 TB join shape.  The probe is a row-local hex-literal predicate
+    (no UDF, no extra shuffle); Bloom filters admit false positives
+    but never false negatives, so the exact join downstream returns
+    precisely the plain-join result — which is exactly what the DuckDB
+    oracle computes, so the driver hash certifies the whole
+    build→probe→join pipeline loses nothing.
+
+    The entry RAISES unless the filter is demonstrably live: the probe
+    must pass fewer fact rows than the scan produced (and at least the
+    true-match count, which the hash then proves exactly).
+
+    Scale: the bitmap is 8 bits/key (1 MB per million dim keys),
+    built by one (byte, bit) aggregation with map-side bit_or combine
+    and collected as bounded metadata — the z-order-bounds collect
+    class, sized by key cardinality, never data volume.  The ~4× fact
+    reduction happens inside the scan stage, before the join exchange;
+    at this scale the filtered dim also broadcasts, so the fact never
+    shuffles at all."""
+    from ..operators.bloom import bloom_might_contain, build_bloom_hex
+
+    orders_hi = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _BLOOM_PRICE_FLOOR)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    hex_bitmap, m, k = build_bloom_hex(orders_hi, "o_orderkey")
+    fact = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    probe = bloom_might_contain(hex_bitmap, m, k, F.col("l_orderkey"))
+    stats = fact.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(probe).alias("passed"),
+    ).collect()[0]
+    if not (0 < stats["passed"] < stats["total"]):
+        raise RuntimeError(
+            f"bloom filter is not pruning: {stats['passed']} of "
+            f"{stats['total']} fact rows passed — a dead (all-pass or "
+            "all-drop) filter means the build or probe hashing broke"
+        )
+    return (
+        fact.filter(probe)
+        .join(F.broadcast(orders_hi), fact["l_orderkey"] == orders_hi["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -334,3 +334,53 @@ def test_persist_barriers_released(spark):
     leaked = persistent_ids() & created
     assert not leaked, f"persist barriers leaked after release: {leaked}"
     assert release_barriers() == 0  # registry drained
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (operators/bloom.py, r9)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every summarized key MUST pass the probe (the contract the
+    pruned join's correctness rests on), and a disjoint key range must
+    be mostly rejected (the filter actually filters — fp rate well
+    under 20% at 8 bits/key, k=3)."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_hex,
+    )
+
+    members = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    hex_bitmap, m, k = build_bloom_hex(members, "k")
+    misses = members.filter(
+        ~bloom_might_contain(hex_bitmap, m, k, F.col("k"))
+    ).count()
+    assert misses == 0, f"{misses} false negatives — bloom contract broken"
+
+    outsiders = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    fp = outsiders.filter(
+        bloom_might_contain(hex_bitmap, m, k, F.col("k"))
+    ).count()
+    assert fp / 10_000 < 0.2, f"false-positive rate {fp / 10_000} too high"
+
+
+def test_bloom_probe_is_row_local(spark):
+    """The probe must be a scan-stage predicate: no join, no exchange
+    in a filter-only plan over the probed frame."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_hex,
+    )
+
+    members = spark.range(0, 512).select(F.col("id").alias("k"))
+    hex_bitmap, m, k = build_bloom_hex(members, "k")
+    probed = spark.range(0, 4_096).filter(
+        bloom_might_contain(hex_bitmap, m, k, F.col("id"))
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
