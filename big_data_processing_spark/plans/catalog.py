@@ -115,6 +115,12 @@ _PRIORITY: tuple[str, ...] = (
     # the join exchange; hash vs the plain-join oracle certifies the
     # no-false-negatives contract end to end.
     "bloom_pruned_join_revenue",
+    # New in round 9: dynamic partition pruning over a year-partitioned
+    # fact layout with a data-dependent (statically underivable) probe
+    # year set — raises in-query unless the scan carries the
+    # dynamicpruning filter.  Window is now exactly full: 6 priority +
+    # 44 r7-stale = 50.
+    "dpp_partitioned_join",
 )
 
 

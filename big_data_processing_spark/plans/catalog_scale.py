@@ -1009,3 +1009,101 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Partitioned-layout fixture for the dynamic-partition-pruning entry:
+# orders rewritten once per (sf_dir, process) as a year-partitioned
+# parquet table — the layout every 100 TB fact table ships with.  The
+# rewrite is charged as a one-time artifact build (bench reports it
+# under setup.artifacts_one_time, like the memo artifacts).
+_PART_DIRS: dict[str, str] = {}
+
+
+def _orders_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+
+    key = os.path.abspath(sf_dir)
+    path = _PART_DIRS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="orders_year_part_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        with timed_phase("artifact:orders_partitioned"):
+            (
+                _t(spark, sf_dir, "orders")
+                .withColumn("o_year", F.year("o_orderdate").cast("int"))
+                .write.mode("overwrite")
+                .partitionBy("o_year")
+                .parquet(path)
+            )
+        _PART_DIRS[key] = path
+    return spark.read.parquet(path)
+
+
+@query(
+    "dpp_partitioned_join",
+    oracle=f"""
+    WITH rev AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ),
+    top3 AS (SELECT yr FROM rev ORDER BY cents DESC, yr LIMIT 3)
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS revenue
+    FROM orders JOIN top3 ON CAST(year(o_orderdate) AS INT) = top3.yr
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("join", "partition-pruning", "dpp", "scale"),
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, new r9: the fact table lives in the
+    year-partitioned layout every 100 TB warehouse uses, and the probe
+    years are DATA-DEPENDENT (top-3 years by exact urgent-order
+    revenue) so no static predicate on the partition column exists for
+    Catalyst to infer — the ONLY thing keeping the scan from reading
+    every partition is the runtime dynamicpruning subquery that DPP
+    derives from the broadcast dim.  The entry RAISES unless the
+    executed plan carries that dynamicpruningexpression in the scan's
+    PartitionFilters, so the green driver hash certifies both the
+    result AND that the fact scan was runtime-pruned.
+
+    The ranking key is integer cents (exact, order-independent), so
+    the top-3 year set is identical in both engines; revenue is
+    decimal-exact.
+
+    Scale: at 10k partitions the pruned scan reads 3/10k of the fact
+    bytes; the dim aggregate is partition-count-sized and broadcasts.
+    Static pruning (`test_write_table_partitioned`) covers literal
+    predicates; this entry covers the join-driven runtime case."""
+    part = _orders_partitioned(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    top3 = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum(cents).alias("cents"))
+        .orderBy(F.desc("cents"), F.asc("yr"))
+        .limit(3)
+        .select("yr")
+    )
+    out = (
+        part.join(F.broadcast(top3), part["o_year"] == F.col("yr"))
+        .groupBy("o_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+        .orderBy("o_year", "o_orderpriority")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan:
+        raise RuntimeError(
+            "dpp_partitioned_join: the scan lost its dynamicpruning "
+            "partition filter — the fact side would read every "
+            "partition at scale"
+        )
+    return out
