@@ -4,13 +4,20 @@ dominant 100 TB join shape (huge fact ⋈ selectively-filtered dim).
 The dim side's join keys are summarized into an m-bit Bloom filter by
 one distributed aggregation; the bitmap (KBs–MBs, sized by key count,
 never by data volume) comes back to the driver as BOUNDED metadata
-(the z-order-bounds collect class) and is embedded as a hex-string
+(the z-order-bounds collect class) and is embedded as an array<long>
 literal, so the probe is a pure row-local scan predicate built from
-JVM built-ins (xxhash64 / conv / substr / bit ops) — no UDF, no join,
-no shuffle.  Fact rows that cannot match are dropped inside their scan
+JVM built-ins (xxhash64 / element_at / bit_get) — no UDF, no join, no
+shuffle.  Fact rows that cannot match are dropped inside their scan
 stage BEFORE the join exchange: with a 20%-selective dim and ~3% false
 positives the shuffle moves ~4× fewer fact bytes, which at 100 TB is
 the difference between a network-bound and a scan-bound job.
+
+Representation matters: the bitmap is 64-bit WORDS in an array
+literal, probed with O(1) element_at + bit_get.  The first cut encoded
+it as a hex STRING probed with substr — and UTF8String.substring is
+a byte SCAN (variable-width chars), so every probe walked the whole
+64 KB literal: ~100 s for 600 k rows at sf0.1 vs ~1 s for the word
+array.  Literal size is not literal cost; per-row access must be O(1).
 
 Bloom filters have NO false negatives by construction, so the exact
 join downstream returns precisely the unpruned result — the catalog
@@ -33,6 +40,11 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# 1 << b for b in 0..63 as SIGNED longs (bit 63 wraps negative):
+# the PySpark shiftleft wrapper only takes literal shift amounts, so
+# per-row shifts go through an element_at lookup into this table.
+_BIT_TABLE = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
 
 def _hashes(key: Column, m: int, k: int) -> list[Column]:
     """k double-hashed bit positions (Kirsch–Mitzenmacher): pos_i =
@@ -45,55 +57,54 @@ def _hashes(key: Column, m: int, k: int) -> list[Column]:
     return [F.pmod(h1 + F.lit(i) * stride, F.lit(m)) for i in range(k)]
 
 
-def build_bloom_hex(
+def build_bloom_words(
     keys: DataFrame, key_col: str, bits_per_key: int = 8, k: int = 3
-) -> tuple[str, int, int]:
+) -> tuple[list[int], int, int]:
     """Aggregate ``keys[key_col]`` into a Bloom bitmap; returns
-    ``(hex_bitmap, m_bits, k)``.
+    ``(words, m_bits, k)`` where words is the m/64-long signed-word
+    list.
 
     m is the next power of two above bits_per_key × |keys| (floor 512
-    bits), so the driver-side collect is ≤ m/8 bytes of metadata —
-    bounded by the KEY CARDINALITY the caller chose to summarize,
-    independent of fact volume.  The aggregation is one shuffle of
-    (byte_idx, bit) pairs with map-side bit_or combining."""
-    n = keys.select(key_col).distinct().count()
+    bits) — |keys| taken as a plain count, which over-sizes m when the
+    column carries duplicates and that is safe.  The driver-side
+    collect is ≤ m/64 longs of metadata, bounded by the KEY CARDINALITY
+    the caller chose to summarize, independent of fact volume.  The
+    aggregation is one shuffle of (word_idx, bit) pairs with map-side
+    bit_or combining."""
+    n = keys.count()
     m = 1 << max(9, math.ceil(math.log2(max(1, n) * bits_per_key)))
+    bit_table = F.lit(_BIT_TABLE)
     exploded = keys.select(
-        F.col(key_col).alias("k"),
-        F.explode(F.array(*_hashes(F.col(key_col), m, k))).alias("pos"),
+        F.explode(F.array(*_hashes(F.col(key_col), m, k))).alias("pos")
     )
-    # 1 << (pos % 8) via an 8-entry array literal: the PySpark
-    # shiftleft wrapper only takes a literal shift amount
-    bit_table = F.lit([1, 2, 4, 8, 16, 32, 64, 128])
     rows = (
         exploded.select(
-            (F.col("pos") / 8).cast("int").alias("byte_idx"),
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
             F.element_at(
-                bit_table, (F.col("pos") % 8).cast("int") + 1
+                bit_table, (F.col("pos") % 64).cast("int") + 1
             ).alias("bit"),
         )
-        .groupBy("byte_idx")
+        .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("bits"))
         .collect()
     )
-    buf = bytearray(m // 8)
+    words = [0] * (m // 64)
     for r in rows:
-        buf[r["byte_idx"]] = r["bits"]
-    return buf.hex(), m, k
+        words[r["word_idx"]] = r["bits"]
+    return words, m, k
 
 
-def bloom_might_contain(hex_bitmap: str, m: int, k: int, key: Column) -> Column:
-    """Row-local membership predicate over the hex-encoded bitmap —
+def bloom_might_contain(
+    words: list[int], m: int, k: int, key: Column
+) -> Column:
+    """Row-local membership predicate over the word-array bitmap —
     true if ``key`` MIGHT be in the summarized set (false positives
     possible, false negatives impossible).  Pure built-in expressions
-    (substr into the literal + conv(hex) + shift/mask), so it runs
+    (O(1) element_at into the array literal + bit_get), so it runs
     inside whole-stage codegen in the fact table's scan stage."""
-    lit = F.lit(hex_bitmap)
+    arr = F.lit(words)
     cond = F.lit(True)
     for pos in _hashes(key, m, k):
-        byte_hex = lit.substr(
-            ((pos / 8).cast("int") * 2 + 1).cast("int"), F.lit(2)
-        )
-        byte_val = F.conv(byte_hex, 16, 10).cast("long")
-        cond = cond & (F.bit_get(byte_val, (pos % 8).cast("int")) == 1)
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        cond = cond & (F.bit_get(word, (pos % 64).cast("int")) == 1)
     return cond

@@ -962,7 +962,8 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan pre-filtered by a Bloom summary of the qualifying order keys
     BEFORE the join — the runtime-filter pattern for the dominant
     100 TB join shape.  The probe is a row-local hex-literal predicate
-    (no UDF, no extra shuffle); Bloom filters admit false positives
+    (O(1) element_at + bit_get into a word-array literal — no UDF, no
+    extra shuffle); Bloom filters admit false positives
     but never false negatives, so the exact join downstream returns
     precisely the plain-join result — which is exactly what the DuckDB
     oracle computes, so the driver hash certifies the whole
@@ -979,16 +980,16 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction happens inside the scan stage, before the join exchange;
     at this scale the filtered dim also broadcasts, so the fact never
     shuffles at all."""
-    from ..operators.bloom import bloom_might_contain, build_bloom_hex
+    from ..operators.bloom import bloom_might_contain, build_bloom_words
 
     orders_hi = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > _BLOOM_PRICE_FLOOR)
         .select("o_orderkey", "o_orderpriority")
     )
-    hex_bitmap, m, k = build_bloom_hex(orders_hi, "o_orderkey")
+    words, m, k = build_bloom_words(orders_hi, "o_orderkey")
     fact = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    probe = bloom_might_contain(hex_bitmap, m, k, F.col("l_orderkey"))
+    probe = bloom_might_contain(words, m, k, F.col("l_orderkey"))
     stats = fact.agg(
         F.count(F.lit(1)).alias("total"),
         F.count_if(probe).alias("passed"),

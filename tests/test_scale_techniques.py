@@ -350,19 +350,19 @@ def test_bloom_has_no_false_negatives(spark):
 
     from big_data_processing_spark.operators.bloom import (
         bloom_might_contain,
-        build_bloom_hex,
+        build_bloom_words,
     )
 
     members = spark.range(0, 2_000).select(F.col("id").alias("k"))
-    hex_bitmap, m, k = build_bloom_hex(members, "k")
+    words, m, k = build_bloom_words(members, "k")
     misses = members.filter(
-        ~bloom_might_contain(hex_bitmap, m, k, F.col("k"))
+        ~bloom_might_contain(words, m, k, F.col("k"))
     ).count()
     assert misses == 0, f"{misses} false negatives — bloom contract broken"
 
     outsiders = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
     fp = outsiders.filter(
-        bloom_might_contain(hex_bitmap, m, k, F.col("k"))
+        bloom_might_contain(words, m, k, F.col("k"))
     ).count()
     assert fp / 10_000 < 0.2, f"false-positive rate {fp / 10_000} too high"
 
@@ -374,13 +374,13 @@ def test_bloom_probe_is_row_local(spark):
 
     from big_data_processing_spark.operators.bloom import (
         bloom_might_contain,
-        build_bloom_hex,
+        build_bloom_words,
     )
 
     members = spark.range(0, 512).select(F.col("id").alias("k"))
-    hex_bitmap, m, k = build_bloom_hex(members, "k")
+    words, m, k = build_bloom_words(members, "k")
     probed = spark.range(0, 4_096).filter(
-        bloom_might_contain(hex_bitmap, m, k, F.col("id"))
+        bloom_might_contain(words, m, k, F.col("id"))
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan, plan
