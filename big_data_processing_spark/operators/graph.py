@@ -156,8 +156,10 @@ def connected_components_star(
     :func:`connected_components`) and rounds counts the executed
     large+small alternations — callers assert it against their
     O(log n) expectation.  Convergence is probed every SECOND
-    alternation (rounds is therefore always even and may exceed the
-    minimal alternation count by one — include that slack in any
+    alternation (rounds is therefore always even, and because a
+    fixpoint reached at alternation c is only DETECTED at the next
+    even probe ≥ c+2, the reported count may exceed the minimal
+    alternation count by up to two — budget that slack in any
     asserted bound), with each probe's scalar-fingerprint collect
     doubling as the action that materializes the pending lazy
     checkpoint: one Spark job per two alternations in the steady

@@ -111,9 +111,10 @@ _PRIORITY: tuple[str, ...] = (
     "curation_stratified_sample",
     "events_asof_last_purchase",
     # New in round 9: Bloom-filter semi-join pruning — fact rows
-    # dropped row-locally (hex-literal bitmap probe, no UDF) before
-    # the join exchange; hash vs the plain-join oracle certifies the
-    # no-false-negatives contract end to end.
+    # dropped row-locally (word-array bitmap literal probed with O(1)
+    # element_at + bit_get, no UDF) before the join exchange; hash vs
+    # the plain-join oracle certifies the no-false-negatives contract
+    # end to end.
     "bloom_pruned_join_revenue",
     # New in round 9: dynamic partition pruning over a year-partitioned
     # fact layout with a data-dependent (statically underivable) probe

@@ -91,7 +91,10 @@ def main() -> int:
         f"{n_real} delta(s) outside the noise band "
         "(max(0.3s, 2x spread, 30% of baseline) per entry)"
     )
-    for name, b, c, d, real in rows[:15]:
+    # every flagged row prints, even when 15+ larger-but-in-band raw
+    # deltas would otherwise push it out of the preview
+    shown = rows[:15] + [r for r in rows[15:] if r[4]]
+    for name, b, c, d, real in shown:
         tag = "  REGRESSION" if real else ""
         print(f"  {name:40s} {b:7.3f} -> {c:7.3f}  ({d:+.3f}s){tag}")
     only_cur = sorted(set(current["queries"]) - set(baseline["queries"]))

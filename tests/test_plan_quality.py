@@ -114,9 +114,11 @@ def test_anti_join_is_anti(spark, sf_dir):
 # by construction (a scalar aggregate or a fixed query set) — each
 # entry here documents why the nested loop cannot grow with the data.
 _BNLJ_JUSTIFIED = {
-    "knn_bruteforce_cosine",      # fixed query set broadcast against corpus
-    "knn_pq_rerank",              # same: queries broadcast, corpus streamed
-    "knn_ivf_pq_rerank",          # carries the pq arm since the r9 merge
+    # (retired entries live on as family arms of the names below and
+    # are no longer registered — keep this list to REGISTERED names so
+    # a re-registration never inherits a stale exemption)
+    "knn_ivf_pq_rerank",          # queries broadcast, corpus streamed
+                                  # (carries the pq arm since the r9 merge)
     "part_type_revenue_share",    # scalar total-revenue denominator join
     "events_funnel_conversion",   # scalar funnel-total join
     "data_quality_report",        # two 1-row count aggregates crossed
@@ -145,8 +147,9 @@ def test_catalog_plan_invariants_single_sweep(spark, sf_dir):
     for name in CATALOG:
         df = CATALOG[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if name not in ("knn_bruteforce_cosine",):
-            assert "CartesianProduct" not in plan, name
+        # no exemptions: the one entry that legitimately crossed
+        # (knn_bruteforce_cosine) was retired from the catalog in r8
+        assert "CartesianProduct" not in plan, name
         if "BroadcastNestedLoopJoin" in plan:
             assert name in _BNLJ_JUSTIFIED, (
                 f"{name}: nested-loop join with no documented bounded side"
