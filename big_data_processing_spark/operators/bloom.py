@@ -101,8 +101,13 @@ def bloom_might_contain(
     true if ``key`` MIGHT be in the summarized set (false positives
     possible, false negatives impossible).  Pure built-in expressions
     (O(1) element_at into the array literal + bit_get), so it runs
-    inside whole-stage codegen in the fact table's scan stage."""
-    arr = F.lit(words)
+    inside whole-stage codegen in the fact table's scan stage.
+
+    The literal is cast to array<bigint> explicitly: lit() infers the
+    NARROWEST type from the values, and a sparse bitmap whose words
+    all happen to fit 32 bits would otherwise become array<int> — on
+    which bit_get throws for positions above 31."""
+    arr = F.lit(words).cast("array<bigint>")
     cond = F.lit(True)
     for pos in _hashes(key, m, k):
         word = F.element_at(arr, (pos / 64).cast("int") + 1)

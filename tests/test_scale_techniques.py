@@ -384,3 +384,91 @@ def test_bloom_probe_is_row_local(spark):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_bloom_no_false_negatives_on_adversarial_keys(spark):
+    """Property sweep over key regimes the order-key entry never sees:
+    negatives, zero, long-range extremes — the no-false-negatives
+    contract must hold for any int64 key set."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    keys = (
+        [0, -1, 1, -(1 << 62), (1 << 62), 123456789]
+        + [(-7) ** 2 * i - 10_000 for i in range(200)]
+    )
+    members = spark.createDataFrame([(k,) for k in keys], "k long")
+    words, m, k = build_bloom_words(members, "k")
+    misses = members.filter(
+        ~bloom_might_contain(words, m, k, F.col("k"))
+    ).count()
+    assert misses == 0
+
+
+def test_bloom_entry_certificate_is_live(spark, sf_dir, monkeypatch):
+    """The bloom entry's raise-unless-pruning certificate must actually
+    fire on a dead filter: an all-ones bitmap passes every row, which
+    the entry must reject instead of returning a (still numerically
+    correct) result."""
+    import pytest as _pytest
+
+    from big_data_processing_spark.operators import bloom as bloom_mod
+    from big_data_processing_spark.plans.catalog import CATALOG
+
+    real = bloom_mod.build_bloom_words
+
+    def all_ones(keys, key_col, bits_per_key=8, k=3):
+        words, m, kk = real(keys, key_col, bits_per_key, k)
+        return [-1] * len(words), m, kk  # every bit set
+
+    # the entry imports the function at call time from the module
+    monkeypatch.setattr(bloom_mod, "build_bloom_words", all_ones)
+    with _pytest.raises(RuntimeError, match="bloom filter is not pruning"):
+        CATALOG["bloom_pruned_join_revenue"].fn(spark, sf_dir)
+
+
+def test_dpp_entry_certificate_is_live(spark, sf_dir):
+    """The dpp entry's raise-unless-dynamicpruning certificate must
+    actually fire when DPP is disabled — proving a green hash really
+    certifies the runtime-pruned plan, not just the row values."""
+    import pytest as _pytest
+
+    from big_data_processing_spark.plans.catalog import CATALOG
+
+    key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        with _pytest.raises(RuntimeError, match="dynamicpruning"):
+            CATALOG["dpp_partitioned_join"].fn(spark, sf_dir)
+    finally:
+        spark.conf.set(key, saved)
+
+
+def test_memo_artifact_partition_by_layout(spark, tmp_path, monkeypatch):
+    """_memo_artifact's partition_by extension must produce a real
+    hive-partitioned layout whose partition column round-trips."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import big_data_processing_spark.plans.catalog_ext as ce
+
+    monkeypatch.setattr(ce, "_ARTIFACT_DIR", str(tmp_path))
+    monkeypatch.setattr(ce, "_ARTIFACTS", {})
+
+    def build():
+        return spark.range(100).select(
+            F.col("id"), (F.col("id") % 3).cast("int").alias("p")
+        )
+
+    df = ce._memo_artifact(spark, "sfX", "part_probe", build, partition_by="p")
+    path = ce._ARTIFACTS[(os.path.abspath("sfX"), "part_probe")]
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("p=")
+    ) == ["p=0", "p=1", "p=2"]
+    assert df.count() == 100 and set(df.columns) == {"id", "p"}
