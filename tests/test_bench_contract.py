@@ -87,3 +87,21 @@ def test_bench_delta_baselines_against_git_not_working_tree(tmp_path):
     # flagged regression; every unperturbed entry (delta 0) is noise
     assert worst[4] is True
     assert all(not r[4] for r in rows if r[0] != victim)
+
+
+def test_committed_sidecar_is_sane():
+    """Tripwire for a twice-made mistake class: a contaminated or
+    toy-scale BENCH_DETAIL reaching a commit (r5: an sf0.001 sidecar;
+    r9: a sidecar carrying a 314s pathological entry rode into a
+    commit via `git add -u`).  The sidecar committed at HEAD must be
+    an sf0.1 run whose per-entry timings are within sanity ceilings —
+    any legitimate entry that ever needs more than the ceiling should
+    move its cost into a one-time artifact build instead."""
+    from scripts.bench_delta import committed_detail
+
+    d = committed_detail("HEAD")
+    assert d["sf"] == 0.1, f"committed sidecar is not the sf0.1 run: {d['sf']}"
+    assert d["value"] < 400, f"total {d['value']}s smells contaminated"
+    worst = max(d["queries"].items(), key=lambda kv: kv[1])
+    assert worst[1] < 30, f"entry {worst[0]} at {worst[1]}s in the sidecar"
+    assert "noise_note" in d, "sidecar predates the r9 noise-floor contract"
