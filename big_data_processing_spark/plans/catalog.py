@@ -83,45 +83,36 @@ def query(
 # not registered are ignored, so the list can name entries added later
 # in the build.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 9 ---
-    # The 48 entries last green in r7 are the stalest and autofill the
-    # back of the r9 window; the names below are this round's plan
-    # changes and must re-earn a green row now.  Window arithmetic
-    # (re-simulated by tests/test_window_accounting.py): 4 priority +
-    # 44 remaining r7-stale after the merges = 48 of 50 slots, leaving
-    # two for new entries.
+    # --- round 10 ---
+    # The 47 entries last green in r8 are the stalest and autofill the
+    # back of the r10 window; the names below are this round's plan
+    # changes and new entries.  Window arithmetic (re-simulated by
+    # tests/test_window_accounting.py): after the two r10 twin merges,
+    # 5 priority + 44 remaining r8-stale = 49 of 50 slots.
     #
-    # Plan change (judge r8 item 2): the star-contraction build loop
-    # now uses lazy localCheckpoints whose materialization is fused
-    # into the per-alternation fingerprint collect, and probes every
-    # SECOND alternation — same fixpoint, same certified O(log n)
-    # bound, roughly a third of the Spark jobs per build.
-    "dedup_cc_star_contraction",
-    # Twin merges (judge r8 item 3; the retired twin keeps a local
-    # pytest oracle per the CLAUDE.md pattern):
-    #   knn_ivf_pq_rerank          absorbs knn_pq_rerank (arm column;
-    #                              both read the shared exact-kNN
-    #                              ground-truth artifact)
-    #   curation_stratified_sample absorbs curation_fraction_sample
-    #                              (same doc grain, arm column)
-    #   events_asof_last_purchase  absorbs events_range_join_
-    #                              attribution (same event grain,
-    #                              key-join of the two attributions)
-    "knn_ivf_pq_rerank",
-    "curation_stratified_sample",
-    "events_asof_last_purchase",
-    # New in round 9: Bloom-filter semi-join pruning — fact rows
-    # dropped row-locally (word-array bitmap literal probed with O(1)
-    # element_at + bit_get, no UDF) before the join exchange; hash vs
-    # the plain-join oracle certifies the no-false-negatives contract
-    # end to end.
+    # Plan change (judge r9 item 2): the Bloom liveness certificate is
+    # folded into the main aggregation pass — total/passed computed as
+    # conditional aggregates alongside the revenue rollup, so the
+    # entry scans lineitem ONCE instead of twice.
     "bloom_pruned_join_revenue",
-    # New in round 9: dynamic partition pruning over a year-partitioned
-    # fact layout with a data-dependent (statically underivable) probe
-    # year set — raises in-query unless the scan carries the
-    # dynamicpruning filter.  Window is now exactly full: 6 priority +
-    # 44 r7-stale = 50.
-    "dpp_partitioned_join",
+    # Twin merges (judge r9 item 5; each retired twin keeps a local
+    # pytest oracle per the CLAUDE.md pattern):
+    #   txnlog_incremental_mv absorbs txnlog_change_feed (both consume
+    #                         the same CDF read; a key-join of the
+    #                         change-row surface with the MV deltas
+    #                         carries both certificates in one hash)
+    #   doc_repetition_stats  absorbs doc_quality_scores (same doc
+    #                         grain; key-join on doc id)
+    "txnlog_incremental_mv",
+    "doc_repetition_stats",
+    # New in round 10 (uncommented as each entry lands, since
+    # test_priority_names_are_registered rejects unregistered names):
+    #   txnlog_partitioned_merge — partitioned txnlog tables: partition
+    #       columns in the manifest, write routing, partition-pruned
+    #       MERGE rewriting only the hit partitions.
+    #   minhash_index_cdf_refresh — incremental MinHash index
+    #       maintenance over the txnlog CDF, hash-certified against a
+    #       full-recompute oracle.
 )
 
 
