@@ -48,12 +48,19 @@ _BIT_TABLE = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
 def _hashes(key: Column, m: int, k: int) -> list[Column]:
     """k double-hashed bit positions (Kirsch–Mitzenmacher): pos_i =
-    (xxhash64(key) + i * stride) mod m with an odd murmur-based
-    stride.  Signed-overflow wrap is deterministic and identical
-    between build and probe (both evaluate in Spark), which is all a
-    Bloom filter needs."""
-    h1 = F.xxhash64(key)
-    stride = F.abs(F.hash(key).cast("long")) * F.lit(2) + F.lit(1)
+    (h1 + i * stride) mod m with an odd murmur-based stride.
+
+    Both h1 and the stride are reduced mod m BEFORE the multiply-add,
+    so every intermediate stays below 3m and the expression is safe
+    under spark.sql.ansi.enabled=true (the first cut let h1 + i*stride
+    wrap in signed 64-bit — deterministic in non-ANSI sessions but an
+    ARITHMETIC_OVERFLOW throw in ANSI ones).  m is a power of two, so
+    `pmod(2*|hash|, m) + 1` keeps the stride odd (full period) and
+    still < m."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(m))
+    stride = F.pmod(
+        F.abs(F.hash(key).cast("long")) * F.lit(2), F.lit(m)
+    ) + F.lit(1)
     return [F.pmod(h1 + F.lit(i) * stride, F.lit(m)) for i in range(k)]
 
 

