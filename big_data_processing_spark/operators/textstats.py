@@ -27,15 +27,14 @@ W_STOP, W_PUNCT, W_LEN = 0.5, 0.3, 0.2
 IDEAL_TOKEN_LEN = 5.0
 
 
-def quality_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-doc quality features + composite score.
-
-    score = W_STOP*stopword_ratio + W_PUNCT*(1-punct_ratio)
-          + W_LEN*(1/(1+|avg_token_len-IDEAL|)) — a length/punct/stopword
-    heuristic in the spirit of C4/Gopher quality rules."""
-    toks = tokenize(F.col(text_col))
+def quality_columns(text_col: str = "text", toks=None) -> list:
+    """The quality-feature column expressions, exposed so a caller
+    computing OTHER row-local doc features (e.g. the repetition stats)
+    can put them in the SAME projection instead of joining two scans
+    of the table back together on doc_id.  Pass ``toks`` to reuse an
+    already-aliased token array (the tokenize HOF is non-cheap, so an
+    upstream alias evaluates it once per row)."""
+    toks = tokenize(F.col(text_col)) if toks is None else toks
     n_chars = F.length(text_col).cast("long")
     n_tokens = F.size(toks).cast("long")
     punct = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[a-z0-9\s]", "")).cast("long")
@@ -48,10 +47,7 @@ def quality_features(
         + F.lit(W_PUNCT) * (F.lit(1.0) - punct_ratio)
         + F.lit(W_LEN) * (F.lit(1.0) / (F.lit(1.0) + F.abs(avg_tok - F.lit(IDEAL_TOKEN_LEN))))
     )
-    # CPU-dense row-local pass — spread single-split inputs across cores
-    df = spread(df, id_col)
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         punct.alias("n_punct"),
@@ -60,7 +56,20 @@ def quality_features(
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         score.alias("quality_score"),
-    )
+    ]
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality features + composite score.
+
+    score = W_STOP*stopword_ratio + W_PUNCT*(1-punct_ratio)
+          + W_LEN*(1/(1+|avg_token_len-IDEAL|)) — a length/punct/stopword
+    heuristic in the spirit of C4/Gopher quality rules."""
+    # CPU-dense row-local pass — spread single-split inputs across cores
+    df = spread(df, id_col)
+    return df.select(F.col(id_col), *quality_columns(text_col))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -152,7 +152,10 @@ def _score_sql() -> str:
     )
 
 
-def _quality_oracle() -> str:
+def _quality_cols_sql() -> str:
+    """The quality-feature projection fragment — shared by the retired
+    doc_quality_scores oracle and the merged doc_repetition_stats
+    oracle so the two formulations cannot drift."""
     stop = stopword_hits_sql(_TOKENS, STOPWORDS["en"])
     sum_len = f"list_reduce(list_transform({_TOKENS}, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b)"
     n_tokens = f"CAST(len({_TOKENS}) AS BIGINT)"
@@ -162,22 +165,31 @@ def _quality_oracle() -> str:
     stop_ratio = f"(CAST({stop} AS DOUBLE) / CAST({n_tokens} AS DOUBLE))"
     punct_ratio = f"(CAST({punct} AS DOUBLE) / CAST({n_chars} AS DOUBLE))"
     score = _score_sql()
-    return f"""
-    SELECT doc_id,
-           {n_chars} AS n_chars,
+    return f"""{n_chars} AS n_chars,
            {n_tokens} AS n_tokens,
            {punct} AS n_punct,
            {stop} AS n_stopwords,
            {avg_tok} AS avg_token_len,
            {stop_ratio} AS stopword_ratio,
            {punct_ratio} AS punct_ratio,
-           {score} AS quality_score
+           {score} AS quality_score"""
+
+
+def _quality_oracle() -> str:
+    return f"""
+    SELECT doc_id,
+           {_quality_cols_sql()}
     FROM documents
     ORDER BY doc_id
     """
 
 
-@query("doc_quality_scores", oracle=_quality_oracle(), tags=("text", "quality"))
+# Retired from the catalog in r10: doc_repetition_stats carries the
+# quality columns in the same doc-grain projection.  The standalone fn
+# and oracle stay for the local parity + reconstruction tests.
+DOC_QUALITY_SCORES_ORACLE = _quality_oracle()
+
+
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features (length/punctuation/stopword
     heuristics à la C4/Gopher filters) — row-local, shuffle-free."""
@@ -2313,7 +2325,8 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len({_SHINGLES_SQL}) AS BIGINT) AS n_shingles,
            CAST(len(list_distinct({_SHINGLES_SQL})) AS BIGINT) AS n_distinct,
            CAST(len({_SHINGLES_SQL}) - len(list_distinct({_SHINGLES_SQL})) AS DOUBLE)
-               / CAST(len({_SHINGLES_SQL}) AS DOUBLE) AS dup_ngram_ratio
+               / CAST(len({_SHINGLES_SQL}) AS DOUBLE) AS dup_ngram_ratio,
+           {_quality_cols_sql()}
     FROM documents
     ORDER BY doc_id
     """,
@@ -2323,19 +2336,35 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (the Gopher/MassiveText repeated
     n-gram filter): fraction of duplicated token-3-grams per doc —
     high ratios mark boilerplate/spam for removal before training.
-    Row-local array math, shuffle-free, scales linearly."""
-    from ..functions.text import shingles, tokenize
+    Row-local array math, shuffle-free, scales linearly.
 
-    # Two-step projection: the shingle array is aliased once, then the
-    # counts derive from the column — Catalyst won't collapse a non-cheap
-    # producing expression into multiple consumers, so the interpreted
-    # HOF pipeline runs once per row instead of once per output column.
+    r10 merge (catalog window headroom): this entry also carries the
+    retired doc_quality_scores columns — both features derive
+    row-locally from the SAME text column, so the merge is a single
+    wider projection over one scan, not a doc_id join of two scans
+    (the join would re-shuffle the whole doc table at 100 TB for
+    columns that were free in the first pass).  The tokenize HOF is
+    aliased once and feeds both the shingle pipeline and the quality
+    ratios.  The retired twin keeps its standalone fn + DuckDB parity
+    + projection-reconstruction tests in tests/test_catalog_oracle.py."""
+    from ..functions.text import shingles, tokenize
+    from ..operators.textstats import quality_columns
+
+    # Staged projections: each non-cheap HOF (tokenize, shingles) is
+    # aliased once, then consumers derive from the column — Catalyst
+    # won't collapse a non-cheap producing expression into multiple
+    # consumers, so each pipeline runs once per row instead of once
+    # per output column.
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    sh = d.select("doc_id", shingles(tokenize(F.col("text")), 3).alias("sh"))
+    toks = d.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id", "text", "toks", shingles(F.col("toks"), 3).alias("sh")
+    )
     counts = sh.select(
         "doc_id",
         F.size("sh").cast("long").alias("n_shingles"),
         F.size(F.array_distinct("sh")).cast("long").alias("n_distinct"),
+        *quality_columns("text", toks=F.col("toks")),
     )
     return counts.select(
         "doc_id",
@@ -2345,6 +2374,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shingles") - F.col("n_distinct")).cast("double")
             / F.col("n_shingles").cast("double")
         ).alias("dup_ngram_ratio"),
+        *[F.col(c) for c in (
+            "n_chars", "n_tokens", "n_punct", "n_stopwords",
+            "avg_token_len", "stopword_ratio", "punct_ratio",
+            "quality_score",
+        )],
     ).orderBy("doc_id")
 
 

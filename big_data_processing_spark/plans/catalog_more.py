@@ -1406,9 +1406,11 @@ def lineitem_winsorized_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _winsor_clip_report(priced, cuts)
 
 
-@query(
-    "txnlog_change_feed",
-    oracle="""
+# Retired from the catalog in r10: txnlog_incremental_mv carries the
+# change-feed surface as per-type pivot columns (same bucket grain).
+# The standalone fn and its DuckDB oracle stay for the local parity +
+# reconstruction tests (tests/test_catalog_oracle.py).
+TXNLOG_CHANGE_FEED_ORACLE = """
     WITH base AS (
         SELECT o_custkey AS ck,
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -1431,9 +1433,9 @@ def lineitem_winsorized_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT _change_type, CAST(ck % 10 AS BIGINT) AS bucket,
            COUNT(*) AS n_rows, CAST(SUM(tc) AS BIGINT) AS sum_cents
     FROM changes GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("txnlog", "cdf", "writer"),
-)
+    """
+
+
 def txnlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed from the txnlog manifests alone, hash-checked
     end to end: version 0 (per-custkey rollup) takes a MERGE (doubling
@@ -1499,36 +1501,107 @@ def txnlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT ck + 1000000, CAST(tc + 7 AS BIGINT) FROM base
         WHERE ck % 89 = 0
+    ),
+    mv AS (
+        SELECT CAST(ck % 10 AS BIGINT) AS bucket,
+               COUNT(*) AS n_keys, CAST(SUM(tc) AS BIGINT) AS sum_cents
+        FROM final GROUP BY 1
+    ),
+    changes AS (
+        SELECT 'delete' AS _change_type, ck, tc
+        FROM base WHERE ck % 61 = 0
+        UNION ALL
+        SELECT 'update_preimage', ck, tc
+        FROM base WHERE ck % 97 = 0 AND ck % 61 != 0
+        UNION ALL
+        SELECT 'update_postimage', ck, CAST(tc * 2 AS BIGINT)
+        FROM base WHERE ck % 97 = 0 AND ck % 61 != 0
+        UNION ALL
+        SELECT 'insert', ck + 1000000, CAST(tc + 7 AS BIGINT)
+        FROM base WHERE ck % 89 = 0
+    ),
+    feed AS (
+        SELECT CAST(ck % 10 AS BIGINT) AS bucket,
+               CAST(SUM(CASE WHEN _change_type = 'delete'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+               CAST(COALESCE(SUM(CASE WHEN _change_type = 'delete'
+                             THEN tc END), 0) AS BIGINT) AS cents_delete,
+               CAST(SUM(CASE WHEN _change_type = 'insert'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+               CAST(COALESCE(SUM(CASE WHEN _change_type = 'insert'
+                             THEN tc END), 0) AS BIGINT) AS cents_insert,
+               CAST(SUM(CASE WHEN _change_type = 'update_preimage'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_update_pre,
+               CAST(COALESCE(SUM(CASE WHEN _change_type = 'update_preimage'
+                             THEN tc END), 0) AS BIGINT) AS cents_update_pre,
+               CAST(SUM(CASE WHEN _change_type = 'update_postimage'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_update_post,
+               CAST(COALESCE(SUM(CASE WHEN _change_type = 'update_postimage'
+                             THEN tc END), 0) AS BIGINT) AS cents_update_post
+        FROM changes GROUP BY 1
     )
-    SELECT CAST(ck % 10 AS BIGINT) AS bucket,
-           COUNT(*) AS n_keys, CAST(SUM(tc) AS BIGINT) AS sum_cents
-    FROM final GROUP BY 1 ORDER BY 1
+    SELECT COALESCE(mv.bucket, feed.bucket) AS bucket,
+           CAST(COALESCE(mv.n_keys, 0) AS BIGINT) AS n_keys,
+           CAST(COALESCE(mv.sum_cents, 0) AS BIGINT) AS sum_cents,
+           CAST(COALESCE(feed.n_delete, 0) AS BIGINT) AS n_delete,
+           CAST(COALESCE(feed.cents_delete, 0) AS BIGINT) AS cents_delete,
+           CAST(COALESCE(feed.n_insert, 0) AS BIGINT) AS n_insert,
+           CAST(COALESCE(feed.cents_insert, 0) AS BIGINT) AS cents_insert,
+           CAST(COALESCE(feed.n_update_pre, 0) AS BIGINT) AS n_update_pre,
+           CAST(COALESCE(feed.cents_update_pre, 0) AS BIGINT)
+               AS cents_update_pre,
+           CAST(COALESCE(feed.n_update_post, 0) AS BIGINT) AS n_update_post,
+           CAST(COALESCE(feed.cents_update_post, 0) AS BIGINT)
+               AS cents_update_post
+    FROM mv FULL OUTER JOIN feed ON mv.bucket = feed.bucket
+    ORDER BY 1
     """,
     tags=("txnlog", "cdf", "materialized-view"),
 )
 def txnlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance driven by the change
-    feed, hash-checked: the same MERGE/DELETE/OPTIMIZE history as
-    txnlog_change_feed, but the per-bucket aggregate is maintained by
-    APPLYING the CDF deltas to the version-0 aggregate (+post/+insert,
-    -pre/-delete) — never rescanning the table — and the query RAISES
-    unless the maintained view is row-identical to a full recompute of
-    the final snapshot. This is the A12 maintained-aggregate semantics
-    at fact scale: each refresh costs O(changed files) via
-    txn_changes, the pattern a 100 TB serving rollup needs (the
-    reference's SummingMergeTree MV, re-expressed over the table
-    format). Integer cents; count deltas ride the same feed.
+    feed, hash-checked: the same MERGE/DELETE/OPTIMIZE history as the
+    retired txnlog_change_feed, but the per-bucket aggregate is
+    maintained by APPLYING the CDF deltas to the version-0 aggregate
+    (+post/+insert, -pre/-delete) — never rescanning the table — and
+    the query RAISES unless the maintained view is row-identical to a
+    full recompute of the final snapshot. This is the A12
+    maintained-aggregate semantics at fact scale: each refresh costs
+    O(changed files) via txn_changes, the pattern a 100 TB serving
+    rollup needs (the reference's SummingMergeTree MV, re-expressed
+    over the table format). Integer cents; count deltas ride the same
+    feed.
 
-    r8: shares the ``txn_cdf_history`` fixture with txnlog_change_feed
-    (built once per process); the version-0 aggregate is a time-travel
-    read of the immutable v0 snapshot, so seeding the view after the
-    later commits is identical to seeding it before them."""
+    r10 merge (catalog window headroom): this entry also carries the
+    retired txnlog_change_feed surface as per-type pivot columns at the
+    same bucket grain (n_/cents_ per delete/insert/update_pre/
+    update_post), key-joined onto the maintained view — one driver hash
+    certifies BOTH the CDF classification and the delta-maintenance
+    arithmetic, over ONE txn_changes read.  Both certificates stay: the
+    compaction-diff-must-be-empty raise (pure OPTIMIZE surfacing
+    phantom changes) and the maintained-equals-recompute raise.  The
+    retired twin keeps its standalone fn + DuckDB parity + pivot
+    reconstruction tests in tests/test_catalog_oracle.py.
+
+    r8: shares the ``txn_cdf_history`` fixture (built once per
+    process); the version-0 aggregate is a time-travel read of the
+    immutable v0 snapshot, so seeding the view after the later commits
+    is identical to seeding it before them."""
     from ..sources.txnlog import txn_changes, txn_read
-    from .txnfix import CDF_V_OPTIMIZE, cdf_history_fixture
+    from .txnfix import CDF_V_DELETE, CDF_V_OPTIMIZE, cdf_history_fixture
 
     bucket = (F.col("ck") % 10).cast("long").alias("bucket")
     t = cdf_history_fixture(spark, sf_dir)
     end_v = CDF_V_OPTIMIZE
+    # Certificate (from the absorbed change-feed twin): a pure
+    # compaction must produce an EMPTY diff — value-equal moved rows
+    # cancel instead of surfacing as phantom updates.
+    n_phantom = txn_changes(spark, t, ["ck"], CDF_V_DELETE, end_v).count()
+    if n_phantom:
+        raise RuntimeError(
+            f"txnlog_incremental_mv: pure compaction surfaced "
+            f"{n_phantom} phantom changes"
+        )
     mv0 = (
         txn_read(spark, t, version=0)
         .groupBy(bucket)
@@ -1537,12 +1610,15 @@ def txnlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tc").cast("long").alias("sum_cents"),
         )
     )
+    # One materialized CDF read feeds BOTH the delta maintenance and
+    # the absorbed change-feed pivot (localCheckpoint: the diff is
+    # O(changed rows), and two lazy consumers would re-derive it).
+    feed = txn_changes(spark, t, ["ck"], 0, end_v).localCheckpoint()
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
     deltas = (
-        txn_changes(spark, t, ["ck"], 0, end_v)
-        .select(
+        feed.select(
             bucket,
             sign.alias("dn"),
             (sign * F.col("tc")).alias("dc"),
@@ -1590,7 +1666,45 @@ def txnlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "txnlog_incremental_mv: maintained view diverged from "
             f"recompute ({len(m_rows)} vs {len(r_rows)} rows)"
         )
-    return maintained
+    # Absorbed change-feed surface: pivot the CDF to the same bucket
+    # grain and key-join it onto the verified maintained view.
+    ct = F.col("_change_type")
+
+    def _arm(type_name: str, pfx: str) -> list:
+        cond = ct == type_name
+        return [
+            F.count_if(cond).cast("long").alias(f"n_{pfx}"),
+            F.coalesce(F.sum(F.when(cond, F.col("tc"))), F.lit(0))
+            .cast("long")
+            .alias(f"cents_{pfx}"),
+        ]
+
+    feed_agg = feed.groupBy(bucket).agg(
+        *_arm("delete", "delete"),
+        *_arm("insert", "insert"),
+        *_arm("update_preimage", "update_pre"),
+        *_arm("update_postimage", "update_post"),
+    )
+    feed_cols = [
+        f"{p}_{s}"
+        for s in ("delete", "insert", "update_pre", "update_post")
+        for p in ("n", "cents")
+    ]
+    return (
+        maintained.join(feed_agg, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_keys"), F.lit(0)).cast("long").alias("n_keys"),
+            F.coalesce(F.col("sum_cents"), F.lit(0))
+            .cast("long")
+            .alias("sum_cents"),
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in feed_cols
+            ],
+        )
+        .orderBy("bucket")
+    )
 
 
 @query(

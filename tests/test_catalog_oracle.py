@@ -273,3 +273,78 @@ def test_hourly_tumbling_oracle_parity(spark, duck, sf_dir):
     result = events_hourly_tumbling(spark, sf_dir)
     oracle = duck.sql(EVENTS_HOURLY_TUMBLING_ORACLE).df()
     assert_frames_match(result, oracle)
+
+
+def test_change_feed_oracle_parity(spark, duck, sf_dir):
+    """The (type, bucket)-grain change feed (retired from the catalog
+    in r10: txnlog_incremental_mv carries it as per-type pivot columns)
+    keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_more import (
+        TXNLOG_CHANGE_FEED_ORACLE,
+        txnlog_change_feed,
+    )
+
+    result = txnlog_change_feed(spark, sf_dir)
+    oracle = duck.sql(TXNLOG_CHANGE_FEED_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_change_feed_pivot_equals_retired_entry(spark, sf_dir):
+    """Unpivoting the merged entry's per-type columns must reconstruct
+    exactly the retired feed's (type, bucket) rows (types absent from a
+    bucket carry n=0 in the pivot and no row in the retired grain)."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_more import (
+        txnlog_change_feed,
+    )
+
+    merged = CATALOG["txnlog_incremental_mv"].fn(spark, sf_dir).collect()
+    pivots = {
+        "delete": "delete",
+        "insert": "insert",
+        "update_preimage": "update_pre",
+        "update_postimage": "update_post",
+    }
+    reconstructed = sorted(
+        (ctype, r["bucket"], r[f"n_{sfx}"], r[f"cents_{sfx}"])
+        for r in merged
+        for ctype, sfx in pivots.items()
+        if r[f"n_{sfx}"] > 0
+    )
+    retired = sorted(tuple(r) for r in txnlog_change_feed(spark, sf_dir).collect())
+    assert reconstructed == retired
+
+
+def test_quality_scores_oracle_parity(spark, duck, sf_dir):
+    """The standalone quality-features entry (retired from the catalog
+    in r10: doc_repetition_stats carries the columns in the same
+    single-scan projection) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        DOC_QUALITY_SCORES_ORACLE,
+        doc_quality_scores,
+    )
+
+    result = doc_quality_scores(spark, sf_dir)
+    oracle = duck.sql(DOC_QUALITY_SCORES_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_quality_columns_equal_retired_entry(spark, sf_dir):
+    """Projecting the merged entry's quality columns must reconstruct
+    exactly the retired entry's rows."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        doc_quality_scores,
+    )
+
+    cols = [
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords",
+        "avg_token_len", "stopword_ratio", "punct_ratio", "quality_score",
+    ]
+    merged = (
+        CATALOG["doc_repetition_stats"].fn(spark, sf_dir)
+        .select(*cols)
+        .collect()
+    )
+    retired = doc_quality_scores(spark, sf_dir).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
