@@ -156,11 +156,13 @@ def connected_components_star(
     :func:`connected_components`) and rounds counts the executed
     large+small alternations — callers assert it against their
     O(log n) expectation.  Convergence is probed every SECOND
-    alternation (rounds is therefore always even, and because a
-    fixpoint reached at alternation c is only DETECTED at the next
-    even probe ≥ c+2, the reported count may exceed the minimal
-    alternation count by up to two — budget that slack in any
-    asserted bound), with each probe's scalar-fingerprint collect
+    alternation (rounds is therefore always even; detection needs the
+    first even probe at which both compared states are PAST the
+    fixpoint, which for a minimal alternation count c is c+2 when c is
+    even but c+3 when c is odd — so the reported count may exceed the
+    minimal count by up to THREE; budget that slack in any asserted
+    bound, as the catalog entry's +4 does), with each probe's
+    scalar-fingerprint collect
     doubling as the action that materializes the pending lazy
     checkpoint: one Spark job per two alternations in the steady
     state.  The converged star set is the unique component-minimum
@@ -241,6 +243,14 @@ def connected_components_star(
     # Saved/restored around the loop; everything the loop materializes
     # happens inside it (lazy checkpoints resolve at the probe), so no
     # downstream plan leaks the micro settings.
+    # SINGLE-QUERY ASSUMPTION: these are session-global confs (Spark
+    # has no per-query scope for them), so any query PLANNED on this
+    # SparkSession concurrently — a streaming micro-batch, a parallel
+    # caller thread — would silently inherit AQE-off and the micro
+    # shuffle sizing while the loop runs.  The repo's bench/test
+    # harness executes entries sequentially; callers embedding this
+    # operator in a multi-threaded driver should gate it or accept
+    # micro-planned concurrent queries for the loop's duration.
     conf = edges.sparkSession.conf
     saved_conf: dict[str, str] = {}
     if (prev_sig[0] or 0) < 5_000_000:

@@ -105,14 +105,16 @@ _PRIORITY: tuple[str, ...] = (
     #                         grain; key-join on doc id)
     "txnlog_incremental_mv",
     "doc_repetition_stats",
-    # New in round 10 (uncommented as each entry lands, since
-    # test_priority_names_are_registered rejects unregistered names):
-    #   txnlog_partitioned_merge — partitioned txnlog tables: partition
-    #       columns in the manifest, write routing, partition-pruned
-    #       MERGE rewriting only the hit partitions.
-    #   minhash_index_cdf_refresh — incremental MinHash index
-    #       maintenance over the txnlog CDF, hash-certified against a
-    #       full-recompute oracle.
+    # New in round 10: partitioned txnlog tables — partition columns in
+    # the manifest, write routing, partition-pruned MERGE rewriting
+    # only the hit partitions (certified in-query from the manifests).
+    "txnlog_partitioned_merge",
+    # New in round 10: incremental MinHash index maintenance over the
+    # txnlog CDF (the dedup analogue of knn_ivf_refresh) — retired
+    # docs' bands dropped, delta docs' signatures merged, candidate
+    # rollup hashed against a full-recompute oracle, with an in-query
+    # multiset-equality certificate on the maintained index.
+    "minhash_index_cdf_refresh",
 )
 
 

@@ -298,9 +298,12 @@ def dedup_fingerprint_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFra
 _MH_NUM, _MH_BANDS, _MH_ROWS, _MH_N, _MH_THRESH = 12, 4, 3, 3, 0.3
 
 
-def _minhash_bands_cte() -> str:
-    """The sh→hashed→sigs→bands CTE chain shared by the pair oracles
-    and the skew-report oracle (identical banding on both engines)."""
+def _minhash_bands_cte(
+    src_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """The sh→hashed→sigs→bands CTE chain shared by the pair oracles,
+    the skew-report oracle, and the CDF index-refresh oracle (identical
+    banding on both engines).  ``src_sql`` must yield (doc_id, text)."""
     from ..operators.dedup import MINHASH_AB, MINHASH_P
 
     sh = shingles_sql(_TOKENS, _MH_N)
@@ -317,7 +320,7 @@ def _minhash_bands_cte() -> str:
     )
     return f"""sh AS (
         SELECT doc_id AS id, {sh} AS sh
-        FROM (SELECT doc_id, text FROM documents)
+        FROM ({src_sql})
     ),
     hashed AS (
         SELECT id, list_distinct(list_transform(sh, s -> {hash32_sql('s')})) AS hs
@@ -3548,4 +3551,160 @@ def curation_fraction_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("sum_doc_ids"),
         )
         .orderBy("lang")
+    )
+
+
+def _minhash_cdf_oracle() -> str:
+    """Full-recompute oracle for the incremental MinHash refresh: the
+    final corpus is reconstructed in SQL (v0 corpus + inserts + edits
+    − takedowns, mirroring plans/txnfix.docs_cdf_fixture), banded with
+    the SAME CTE chain as every other MinHash oracle, and the delta
+    docs' candidate rollup is computed from scratch — if the
+    incrementally maintained index drifted from this by even one band,
+    the candidate sets (and the hash) diverge."""
+    bands = _minhash_bands_cte("SELECT doc_id, text FROM v2")
+    return f"""
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 23 = 0 AND doc_id % 7 != 0
+                    THEN text || ' ' || text ELSE text END AS text
+        FROM documents WHERE doc_id % 31 != 0
+    ),
+    {bands},
+    changed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'new' ELSE 'updated' END
+                   AS change_kind
+        FROM v2 WHERE doc_id % 7 = 0 OR doc_id % 23 = 0
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS doc_id, b.id AS partner,
+                        a.sset AS set_a, b.sset AS set_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_hash = b.band_hash
+                    AND a.id != b.id
+        WHERE a.id IN (SELECT doc_id FROM changed)
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_candidates,
+               MAX(CAST(len(list_intersect(set_a, set_b)) AS DOUBLE)
+                   / CAST(len(set_a) + len(set_b)
+                          - len(list_intersect(set_a, set_b)) AS DOUBLE))
+                   AS best_jaccard
+        FROM pairs GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.change_kind,
+           CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+           COALESCE(p.best_jaccard, CAST(-1.0 AS DOUBLE)) AS best_jaccard
+    FROM changed c LEFT JOIN perdoc p ON c.doc_id = p.doc_id
+    ORDER BY c.doc_id
+    """
+
+
+@query(
+    "minhash_index_cdf_refresh",
+    oracle=_minhash_cdf_oracle(),
+    tags=("dedup", "minhash", "incremental", "cdf", "txnlog"),
+)
+def minhash_index_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash index maintenance over the txnlog CDF (new
+    r10) — the dedup analogue of knn_ivf_refresh, and the shape a
+    continuously-ingesting corpus actually runs: the banded signature
+    index is maintained by APPLYING the change feed (retired docs'
+    bands dropped by key, arrived docs' signatures computed for the
+    DELTA only and unioned in), never by re-signing the corpus.  Band
+    math is O(changed docs); the index update is one anti-join + one
+    union.
+
+    The entry RAISES unless the maintained index is multiset-identical
+    to a full re-computation over the final snapshot (one weighted-
+    union job, operators/util.multisets_equal) — and the hashed surface
+    is the delta docs' candidate rollup against the MAINTAINED index
+    (LSH band-sharing partner count + best exact Jaccard per changed
+    doc), which the DuckDB oracle recomputes from scratch, so a green
+    hash certifies both the maintenance algebra and the candidate
+    semantics end to end.
+
+    No bucket cap here (unlike dedup_minhash_pairs): candidate
+    generation is anchored to the delta docs, so fan-out is bounded by
+    |delta| x bucket size; at corpus scale apply cap_bucket_size to the
+    maintained side with the SAME cap in the oracle (r4 lesson).
+
+    Scale: the historical index never recomputes — at 100 TB it is a
+    materialized table keyed by (band_idx, band_hash); the refresh
+    touches O(changed files) via txn_changes + O(delta) signature work;
+    the verification recompute here is the correctness harness, not
+    part of the production refresh cost."""
+    from ..operators.dedup import minhash_band_rows
+    from ..operators.util import multisets_equal
+    from ..sources.txnlog import txn_changes, txn_read
+    from .txnfix import DOCS_V_DELETE, docs_cdf_fixture
+
+    t = docs_cdf_fixture(spark, sf_dir)
+    kw = dict(num_hashes=_MH_NUM, bands=_MH_BANDS, shingle_n=_MH_N)
+    index0 = minhash_band_rows(
+        txn_read(spark, t, version=0), **kw
+    ).localCheckpoint()
+    feed = txn_changes(spark, t, ["doc_id"], 0, DOCS_V_DELETE).localCheckpoint()
+    retired = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(F.col("doc_id").alias("id"))
+    arrived = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(
+        "doc_id",
+        "text",
+        F.when(F.col("_change_type") == "insert", F.lit("new"))
+        .otherwise(F.lit("updated"))
+        .alias("change_kind"),
+    )
+    delta_bands = minhash_band_rows(arrived, **kw)
+    maintained = (
+        index0.join(retired, "id", "left_anti")
+        .unionByName(delta_bands)
+        .localCheckpoint()
+    )
+    recomputed = minhash_band_rows(txn_read(spark, t), **kw)
+    if not multisets_equal(maintained, recomputed):
+        raise RuntimeError(
+            "minhash_index_cdf_refresh: incrementally maintained index "
+            "diverged from the full recompute over the final snapshot"
+        )
+    a = delta_bands.alias("a")
+    b = maintained.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_id"),
+            F.col("b.id").alias("partner"),
+            F.col("a.shingle_set").alias("set_a"),
+            F.col("b.shingle_set").alias("set_b"),
+        )
+        .dropDuplicates(["doc_id", "partner"])
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    union = F.size("set_a").cast("long") + F.size("set_b").cast("long") - inter
+    perdoc = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(inter.cast("double") / union.cast("double")).alias("best_jaccard"),
+    )
+    return (
+        arrived.select("doc_id", "change_kind")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "change_kind",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("best_jaccard"), F.lit(-1.0)).alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
     )

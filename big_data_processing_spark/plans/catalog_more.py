@@ -2058,3 +2058,107 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_rate"
         ),
     )
+
+
+@query(
+    "txnlog_partitioned_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS ok,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT yr,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN yr % 3 = 0 AND ok % 17 = 0
+                         THEN cents * 2 ELSE cents END) AS BIGINT)
+               AS sum_cents
+    FROM base GROUP BY 1 ORDER BY 1
+    """,
+    tags=("txnlog", "partitioning", "merge", "scale"),
+)
+def txnlog_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE over a hive-partitioned txnlog table
+    (new r10): the per-orderkey fact lives partitioned by order year
+    (``partition_by=["yr"]`` in the manifest — write routing puts each
+    file in exactly one partition and records its value), and a MERGE
+    whose keys touch only yr%3==0 years must rewrite files in ONLY
+    those partitions.  This is the write-side twin of dynamic partition
+    pruning: at 100 TB a date-partitioned fact takes CDC merges hourly,
+    and rewriting outside the touched partitions is pure write
+    amplification.
+
+    The entry RAISES unless the manifest proves the prune was live:
+    every rewritten file's recorded partition year is in the update
+    year set, every file the merge ADDED routes to those years, and at
+    least one untouched partition was carried — so the green driver
+    hash (vs a plain conditional-update oracle over orders) certifies
+    routing, per-file partition stats, partition-pruned planning, AND
+    value correctness in one pass.
+
+    Scale: the prune is manifest metadata (no data touched for
+    non-candidate partitions); update partition tuples are a bounded
+    driver set (capped, falls back to no-prune); the rewrite reads only
+    matched files (exact semi-join prune composes inside partitions).
+
+    Reference analogue: the timestamped-directory layout
+    (src/hive/run_hive_analysis.py partitioned INSERT OVERWRITE
+    DIRECTORY flow), upgraded to manifest-tracked partitions."""
+    import tempfile
+
+    from ..sources.txnlog import _read_manifest, txn_merge, txn_read
+    from .txnfix import clone_to, partitioned_fixture
+
+    src = partitioned_fixture(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        with timed_phase("txnlog_partitioned_merge"):
+            t = clone_to(src, tmp)
+        m0 = _read_manifest(t, 0)
+        upd = (
+            txn_read(spark, t, version=0)
+            .filter((F.col("yr") % 3 == 0) & (F.col("ok") % 17 == 0))
+            .select("ok", "yr", (F.col("cents") * 2).cast("long").alias("cents"))
+        )
+        if txn_merge(spark, t, upd, key_cols=["ok", "yr"]) != 1:
+            raise RuntimeError("partitioned merge did not land as version 1")
+        m1 = _read_manifest(t, 1)
+        by_path = {e["path"]: e for e in m0["files"]}
+        upd_years = {
+            y for y in (e["partition"]["yr"] for e in m0["files"]) if y % 3 == 0
+        }
+        rewrote_years = {by_path[p]["partition"]["yr"] for p in m1["rewrote"]}
+        if not rewrote_years or not rewrote_years <= upd_years:
+            raise RuntimeError(
+                f"partition prune is not live: rewrote years {sorted(rewrote_years)} "
+                f"vs update years {sorted(upd_years)}"
+            )
+        added = set(m1["added"])
+        added_years = {
+            e["partition"]["yr"] for e in m1["files"] if e["path"] in added
+        }
+        if not added_years <= upd_years:
+            raise RuntimeError(
+                f"write routing broke: new files landed in years "
+                f"{sorted(added_years - upd_years)} outside the update set"
+            )
+        carried_outside = [
+            e
+            for e in m1["files"]
+            if e["path"] not in added and e["partition"]["yr"] not in upd_years
+        ]
+        if not carried_outside:
+            raise RuntimeError(
+                "nothing to prune: every partition was in the update set — "
+                "the certificate cannot distinguish pruned from unpruned plans"
+            )
+        return (
+            txn_read(spark, t)
+            .groupBy("yr")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .orderBy("yr")
+            .localCheckpoint()
+        )

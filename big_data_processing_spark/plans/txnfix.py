@@ -185,3 +185,79 @@ def fragmented_fixture(spark: SparkSession, sf_dir: str) -> str:
         txn_merge(spark, path, upd, key_cols=["ck"])
 
     return table_fixture(spark, sf_dir, "txn_fragmented", build)
+
+
+def partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shape ``txn_partitioned``: the per-orderkey integer-cents rows
+    of orders committed as one CREATE with hive-style partitioning on
+    the order year (``partition_by=["yr"]``) — the layout a 100 TB fact
+    table actually ships with.  Rows are pre-routed to two files per
+    year so the partition-pruned MERGE has both a multi-file partition
+    to rewrite and untouched partitions to carry.  The merge entry
+    COMMITS, so it clones this per run."""
+    from .catalog import _t
+    from .catalog_ext import _memo_artifact
+    from ..sources.txnlog import txn_create
+
+    def build_base() -> DataFrame:
+        o = _t(spark, sf_dir, "orders")
+        return o.select(
+            F.col("o_orderkey").alias("ok"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+
+    base = _memo_artifact(spark, sf_dir, "txn_orders_year_base", build_base)
+
+    def build(path: str) -> None:
+        txn_create(
+            spark,
+            path,
+            base.repartition(F.col("yr"), F.col("ok") % 2),
+            stat_col="ok",
+            partition_by=["yr"],
+        )
+
+    return table_fixture(spark, sf_dir, "txn_partitioned", build)
+
+
+# Pinned version numbers of the docs_cdf shape, asserted by the build
+DOCS_V_MERGE, DOCS_V_DELETE = 1, 2
+
+
+def docs_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shape ``txn_docs_cdf``: the documents corpus as a txnlog table
+    taking one ingest cycle — v0 CREATE of the historical corpus
+    (doc_id%7!=0), v1 MERGE (new crawl: %7==0 inserted; edits: %23==0
+    re-written as text+' '+text), v2 DELETE (takedowns: %31==0).  The
+    incremental-MinHash entry reads its CDF without writing, so the
+    build is shared read-only (no clone)."""
+    from .catalog import _t
+    from ..sources.txnlog import txn_create, txn_delete, txn_merge
+
+    def build(path: str) -> None:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        txn_create(
+            spark,
+            path,
+            d.filter(F.col("doc_id") % 7 != 0).repartition(8),
+            stat_col="doc_id",
+        )
+        ins = d.filter(F.col("doc_id") % 7 == 0)
+        upd = d.filter((F.col("doc_id") % 23 == 0) & (F.col("doc_id") % 7 != 0)).select(
+            "doc_id", F.concat("text", F.lit(" "), "text").alias("text")
+        )
+        if txn_merge(spark, path, ins.unionByName(upd), key_cols=["doc_id"]) != DOCS_V_MERGE:
+            raise RuntimeError("docs_cdf: merge did not land as v1")
+        if (
+            txn_delete(
+                spark,
+                path,
+                d.filter(F.col("doc_id") % 31 == 0).select("doc_id"),
+                ["doc_id"],
+            )
+            != DOCS_V_DELETE
+        ):
+            raise RuntimeError("docs_cdf: delete did not land as v2")
+
+    return table_fixture(spark, sf_dir, "txn_docs_cdf", build)

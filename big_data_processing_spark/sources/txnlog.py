@@ -352,6 +352,7 @@ def _write_data_files(
     df: DataFrame,
     stat_col: str,
     extra_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as new immutable parquet files under data/ and
     return their manifest entries with per-file (min, max, rows) stats
@@ -360,11 +361,31 @@ def _write_data_files(
     columns) additionally record per-file min/max under
     ``extra_stats`` so multi-column pruning works on those files;
     entries without ``extra_stats`` simply never prune on those
-    columns (unknown range == keep the file)."""
+    columns (unknown range == keep the file).
+
+    ``partition_by`` routes the write hive-style (one directory per
+    partition value, every file single-valued in the partition
+    columns) and records each file's exact partition values under
+    ``"partition"`` — the Delta/Iceberg layout where partition values
+    live in the MANIFEST and drive equality pruning.  Unlike Spark's
+    own partitionBy, the partition columns stay physically present in
+    the data files (cloned to ``__pt_*`` routing columns that the
+    schema-pinned reader never sees): a manifest-listed leaf-file read
+    does no directory-based partition discovery, so dropping the
+    column from the files would return NULLs."""
     extra_cols = [c for c in (extra_cols or []) if c != stat_col]
+    partition_by = list(partition_by or [])
     batch = uuid.uuid4().hex[:12]
     out = os.path.join(table, _DATA_DIR, batch)
-    df.write.mode("error").parquet(out)
+    if partition_by:
+        routed = df
+        for c in partition_by:
+            routed = routed.withColumn(f"__pt_{c}", F.col(c))
+        routed.write.mode("error").partitionBy(
+            *[f"__pt_{c}" for c in partition_by]
+        ).parquet(out)
+    else:
+        df.write.mode("error").parquet(out)
     aggs = [
         F.count(F.lit(1)).alias("rows"),
         F.min(stat_col).alias("lo"),
@@ -372,8 +393,17 @@ def _write_data_files(
     ]
     for i, c in enumerate(extra_cols):
         aggs += [F.min(c).alias(f"xlo_{i}"), F.max(c).alias(f"xhi_{i}")]
+    for i, c in enumerate(partition_by):
+        aggs += [F.min(c).alias(f"plo_{i}"), F.max(c).alias(f"phi_{i}")]
+    # Schema-pinned read-back: an EMPTY df under partitionBy writes no
+    # data files at all (only _SUCCESS), and schema inference over the
+    # bare directory throws — with the writer's schema pinned the scan
+    # just yields zero rows and the commit carries zero new entries
+    # (the unpartitioned writer emits a 0-row part file instead; both
+    # shapes are legal, stats aggregate either way).
     stats = (
-        spark.read.parquet(out)
+        spark.read.schema(df.schema)
+        .parquet(out)
         .groupBy(F.input_file_name().alias("file"))
         .agg(*aggs)
         .collect()
@@ -392,19 +422,60 @@ def _write_data_files(
                 c: [r[f"xlo_{i}"], r[f"xhi_{i}"]]
                 for i, c in enumerate(extra_cols)
             }
+        if partition_by:
+            for i, c in enumerate(partition_by):
+                if r[f"plo_{i}"] != r[f"phi_{i}"]:
+                    raise RuntimeError(
+                        f"partition routing broke: file {e['path']} spans "
+                        f"{c}=[{r[f'plo_{i}']}, {r[f'phi_{i}']}]"
+                    )
+            e["partition"] = {
+                c: r[f"plo_{i}"] for i, c in enumerate(partition_by)
+            }
         entries.append(e)
     return entries
 
 
+def _validate_partition_cols(
+    partition_by: list[str], types: dict[str, str]
+) -> None:
+    """Partition values live in the JSON manifest and drive equality
+    pruning — same round-trip constraint as the stat column."""
+    for c in partition_by:
+        t = types.get(c)
+        if t is None:
+            raise ValueError(f"partition col {c!r} not in table schema")
+        if t not in _JSON_NATIVE_STAT_TYPES:
+            raise TypeError(
+                f"partition col {c!r} has type {t}, whose values do not "
+                "survive a JSON manifest round-trip; partition on an "
+                "int/string derivation (e.g. a year number)"
+            )
+
+
 def txn_create(
-    spark: SparkSession, table: str, df: DataFrame, stat_col: str
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    stat_col: str,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Create version 0 of a txnlog table (errors if it exists).
 
     ``stat_col`` must be of a JSON-native type (int/float/string/bool):
     its per-file min/max live in the JSON manifests and drive range
     pruning, so a type that JSON would stringify (date, timestamp,
-    decimal) is rejected here instead of mis-pruning later."""
+    decimal) is rejected here instead of mis-pruning later.
+
+    ``partition_by`` declares partition columns: every write (create,
+    MERGE, DELETE rewrite, OPTIMIZE) routes its new files so each file
+    holds exactly one partition value per column, the values are
+    recorded per file in the manifest, and readers/writers prune on
+    them exactly (see :func:`_scan_plan` and the partition prune in
+    :func:`_plan_merge`).  Changeable later — metadata-only — with
+    :func:`txn_set_partitioning` (Iceberg-style partition evolution:
+    old files keep their recorded values, files from before the spec
+    change simply never prune on the new columns)."""
     if latest_version(table) >= 0:
         raise FileExistsError(f"txnlog table already exists: {table}")
     stat_type = dict(df.dtypes).get(stat_col)
@@ -417,18 +488,22 @@ def txn_create(
             "int/float/string/boolean column (e.g. a day-number or "
             "epoch-seconds derivation of a date)"
         )
-    files = _write_data_files(spark, table, df, stat_col)
-    _commit(
-        table,
-        0,
-        {
-            "version": 0,
-            "op": "create",
-            "files": files,
-            "schema": df.schema.json(),
-            "added": sorted(e["path"] for e in files),
-        },
+    partition_by = list(partition_by or [])
+    if partition_by:
+        _validate_partition_cols(partition_by, dict(df.dtypes))
+    files = _write_data_files(
+        spark, table, df, stat_col, partition_by=partition_by
     )
+    manifest = {
+        "version": 0,
+        "op": "create",
+        "files": files,
+        "schema": df.schema.json(),
+        "added": sorted(e["path"] for e in files),
+    }
+    if partition_by:
+        manifest["partition_by"] = partition_by
+    _commit(table, 0, manifest)
     return 0
 
 
@@ -481,7 +556,14 @@ def txn_scan_plan(
 def _scan_plan(m: dict, col_ranges: dict[str, tuple]) -> tuple[list[dict], int]:
     def keep(e: dict) -> bool:
         for col, (lo, hi) in col_ranges.items():
-            if col == e["stat_col"]:
+            part = e.get("partition") or {}
+            if col in part:
+                # partition values are EXACT (every file single-valued
+                # by write routing): the tightest possible stats
+                if part[col] is None:
+                    continue  # null partition: cannot skip
+                flo = fhi = part[col]
+            elif col == e["stat_col"]:
                 flo, fhi = e["lo"], e["hi"]
             else:
                 xs = (e.get("extra_stats") or {}).get(col)
@@ -521,6 +603,48 @@ def txn_read_where(
     for col, (lo, hi) in col_ranges.items():
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     return df
+
+
+# Partition pruning collects the update batch's DISTINCT partition
+# tuples to the driver.  Partition counts are bounded by layout design
+# (days, years, tenants — metadata-scale), but the cap keeps a
+# mis-partitioned table (partitioned on a near-unique column) from
+# materializing an unbounded driver set: above it, pruning is simply
+# skipped — an optimization, never a filter.
+_MERGE_PARTITION_PRUNE_CAP = 10_000
+
+
+def _partition_prune_candidates(
+    candidates: list[dict],
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_by: list[str],
+) -> list[dict]:
+    """Drop candidate files whose recorded partition values cannot hold
+    any update key — SOUND ONLY when every partition column is itself a
+    merge key (then an update's partition tuple IS where its matched
+    rows live); a non-key partition column can be CHANGED by an update,
+    moving the row across partitions, so pruning is skipped (the exact
+    semi-join prune still bounds the rewrite).  Files without recorded
+    partition values (written before partition evolution) are
+    conservatively kept."""
+    if not partition_by or not set(partition_by) <= set(key_cols):
+        return candidates
+    rows = (
+        updates.select(*partition_by)
+        .distinct()
+        .limit(_MERGE_PARTITION_PRUNE_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _MERGE_PARTITION_PRUNE_CAP:
+        return candidates
+    live = {tuple(r[c] for c in partition_by) for r in rows}
+    return [
+        e
+        for e in candidates
+        if "partition" not in e
+        or tuple(e["partition"].get(c) for c in partition_by) in live
+    ]
 
 
 def _plan_merge(
@@ -568,6 +692,7 @@ def _plan_merge(
         raise FileNotFoundError(f"no txnlog table at {table}")
     m = _read_manifest(table, read_v)
     stat_col = m["files"][0]["stat_col"] if m["files"] else key_cols[0]
+    partition_by = m.get("partition_by") or []
 
     if stat_col in key_cols:
         krange = updates.agg(
@@ -581,6 +706,9 @@ def _plan_merge(
         ]
     else:
         candidates = list(m["files"])
+    candidates = _partition_prune_candidates(
+        candidates, updates, key_cols, partition_by
+    )
     untouched = [e for e in m["files"] if e not in candidates]
 
     hit_files: set[str] = set()
@@ -646,9 +774,11 @@ def _plan_merge(
         new_rows = kept.select(*out_cols).unionByName(updates.select(*out_cols))
     else:
         new_rows = updates.select(*out_cols)
-    new_files = _write_data_files(spark, table, new_rows, stat_col)
+    new_files = _write_data_files(
+        spark, table, new_rows, stat_col, partition_by=partition_by
+    )
 
-    return {
+    manifest = {
         "version": read_v + 1,
         "op": "merge",
         "read_version": read_v,
@@ -660,6 +790,9 @@ def _plan_merge(
         # committed version to prove a file isn't shared
         "added": sorted(e["path"] for e in new_files),
     }
+    if partition_by:
+        manifest["partition_by"] = partition_by
+    return manifest
 
 
 def txn_merge(
@@ -872,6 +1005,7 @@ def txn_optimize(
     small = [e for e in m["files"] if e["rows"] < target_rows]
     keep = [e for e in m["files"] if e["rows"] >= target_rows]
     stat_col = m["files"][0]["stat_col"]
+    partition_by = m.get("partition_by") or []
 
     if cluster or cluster_cols:
         # one clustering path: sort key is the stat column (range
@@ -922,6 +1056,7 @@ def txn_optimize(
             clustered,
             stat_col,
             extra_cols=list(cluster_cols) if cluster_cols else None,
+            partition_by=partition_by,
         )
         manifest = {
             "version": read_v + 1,
@@ -935,20 +1070,38 @@ def txn_optimize(
         }
         if cluster_cols:
             manifest["clustered_cols"] = list(cluster_cols)
+        if partition_by:
+            manifest["partition_by"] = partition_by
         _commit(table, read_v + 1, manifest)
         return read_v + 1
 
+    # Bin-pack WITHIN a partition (Delta/Iceberg OPTIMIZE semantics):
+    # the routed write would split a cross-partition bin back into one
+    # file per partition anyway — correct, but it churns files without
+    # compacting.  Files predating partition evolution (no recorded
+    # values) pack together under the no-partition group.
+    def _ptuple(e: dict):
+        part = e.get("partition") or {}
+        return tuple(part.get(c) for c in partition_by)
+
+    groups: dict[tuple, list[dict]] = {}
+    for e in small:
+        groups.setdefault(_ptuple(e), []).append(e)
+
     bins: list[list[dict]] = []
-    fill: list[int] = []
-    for e in sorted(small, key=lambda e: -e["rows"]):
-        for i, used in enumerate(fill):
-            if used + e["rows"] <= target_rows:
-                bins[i].append(e)
-                fill[i] += e["rows"]
-                break
-        else:
-            bins.append([e])
-            fill.append(e["rows"])
+    for group in groups.values():
+        gbins: list[list[dict]] = []
+        fill: list[int] = []
+        for e in sorted(group, key=lambda e: -e["rows"]):
+            for i, used in enumerate(fill):
+                if used + e["rows"] <= target_rows:
+                    gbins[i].append(e)
+                    fill[i] += e["rows"]
+                    break
+            else:
+                gbins.append([e])
+                fill.append(e["rows"])
+        bins.extend(gbins)
     rewrite_bins = [b for b in bins if len(b) >= min_files_per_bin]
     if not rewrite_bins:
         return None
@@ -957,21 +1110,24 @@ def txn_optimize(
     new_files: list[dict] = []
     for b in rewrite_bins:
         merged = _read_files(spark, table, m, b).coalesce(1)
-        new_files.extend(_write_data_files(spark, table, merged, stat_col))
+        new_files.extend(
+            _write_data_files(
+                spark, table, merged, stat_col, partition_by=partition_by
+            )
+        )
 
-    _commit(
-        table,
-        read_v + 1,
-        {
-            "version": read_v + 1,
-            "op": "optimize",
-            "read_version": read_v,
-            "files": carry + new_files,
-            "schema": m["schema"],
-            "compacted": sorted(e["path"] for b in rewrite_bins for e in b),
-            "added": sorted(e["path"] for e in new_files),
-        },
-    )
+    manifest = {
+        "version": read_v + 1,
+        "op": "optimize",
+        "read_version": read_v,
+        "files": carry + new_files,
+        "schema": m["schema"],
+        "compacted": sorted(e["path"] for b in rewrite_bins for e in b),
+        "added": sorted(e["path"] for e in new_files),
+    }
+    if partition_by:
+        manifest["partition_by"] = partition_by
+    _commit(table, read_v + 1, manifest)
     return read_v + 1
 
 
@@ -1055,6 +1211,7 @@ def txn_delete(
         raise FileNotFoundError(f"no txnlog table at {table}")
     m = _read_manifest(table, read_v)
     stat_col = m["files"][0]["stat_col"] if m["files"] else key_cols[0]
+    partition_by = m.get("partition_by") or []
 
     if stat_col in key_cols:
         krange = keys.agg(
@@ -1068,6 +1225,12 @@ def txn_delete(
         ]
     else:
         candidates = list(m["files"])
+    # deletes never move a row between partitions, so pruning on the
+    # delete keys' partition tuples is sound under the same key-subset
+    # condition as MERGE
+    candidates = _partition_prune_candidates(
+        candidates, keys, key_cols, partition_by
+    )
     untouched = [e for e in m["files"] if e not in candidates]
 
     hit_files: set[str] = set()
@@ -1094,21 +1257,22 @@ def txn_delete(
     if rewrite:
         old = _read_files(spark, table, m, rewrite)
         kept = old.join(keys.select(*key_cols), key_cols, "left_anti")
-        new_files = _write_data_files(spark, table, kept, stat_col)
+        new_files = _write_data_files(
+            spark, table, kept, stat_col, partition_by=partition_by
+        )
 
-    _commit(
-        table,
-        read_v + 1,
-        {
-            "version": read_v + 1,
-            "op": "delete",
-            "read_version": read_v,
-            "files": carry + new_files,
-            "schema": m["schema"],
-            "rewrote": sorted(e["path"] for e in rewrite),
-            "added": sorted(e["path"] for e in new_files),
-        },
-    )
+    manifest = {
+        "version": read_v + 1,
+        "op": "delete",
+        "read_version": read_v,
+        "files": carry + new_files,
+        "schema": m["schema"],
+        "rewrote": sorted(e["path"] for e in rewrite),
+        "added": sorted(e["path"] for e in new_files),
+    }
+    if partition_by:
+        manifest["partition_by"] = partition_by
+    _commit(table, read_v + 1, manifest)
     return read_v + 1
 
 
@@ -1287,19 +1451,21 @@ def txn_restore(table: str, to_version: int) -> int:
             f"version {to_version} lost {len(missing)} data file(s) to "
             f"vacuum retention (e.g. {missing[0]}); cannot restore"
         )
-    _commit(
-        table,
-        v + 1,
-        {
-            "version": v + 1,
-            "op": "restore",
-            "read_version": v,
-            "restored_version": to_version,
-            "files": m["files"],
-            "schema": m["schema"],
-            "added": [],
-        },
-    )
+    manifest = {
+        "version": v + 1,
+        "op": "restore",
+        "read_version": v,
+        "restored_version": to_version,
+        "files": m["files"],
+        "schema": m["schema"],
+        "added": [],
+    }
+    # RESTORE rolls the partition spec back WITH the snapshot (like the
+    # schema): writes after a restore route the way writes at the
+    # restored version did
+    if m.get("partition_by"):
+        manifest["partition_by"] = m["partition_by"]
+    _commit(table, v + 1, manifest)
     return v + 1
 
 
@@ -1368,17 +1534,57 @@ def txn_clone(src: str, dst: str, version: int | None = None) -> int:
             if ex.errno != errno.EXDEV:
                 raise
             shutil.copy2(s, d)
-    _commit(
-        dst,
-        0,
-        {
-            "version": 0,
-            "op": "clone",
-            "cloned_from": os.path.abspath(src),
-            "cloned_version": v,
-            "files": m["files"],
-            "schema": m["schema"],
-            "added": sorted(e["path"] for e in m["files"]),
-        },
-    )
+    manifest = {
+        "version": 0,
+        "op": "clone",
+        "cloned_from": os.path.abspath(src),
+        "cloned_version": v,
+        "files": m["files"],
+        "schema": m["schema"],
+        "added": sorted(e["path"] for e in m["files"]),
+    }
+    # per-file partition values ride along inside m["files"]; the
+    # table-level spec must follow them so the clone's own writes route
+    if m.get("partition_by"):
+        manifest["partition_by"] = m["partition_by"]
+    _commit(dst, 0, manifest)
     return 0
+
+
+def txn_set_partitioning(
+    table: str, partition_by: list[str] | None
+) -> int:
+    """Partition evolution (Iceberg-style): change the partition spec
+    for FUTURE writes with a metadata-only commit — no data file moves
+    or rewrites.  Files keep the per-file partition values they were
+    written with: pruning is per-file, so old-spec files still prune
+    exactly on their recorded columns and simply never prune on the
+    new ones (conservatively kept, like any file without stats).
+    ``partition_by=None`` (or ``[]``) drops partitioning for future
+    writes.  Committed through the same put-if-absent protocol, so it
+    conflicts atomically with concurrent writers."""
+    v = latest_version(table)
+    if v < 0:
+        raise FileNotFoundError(f"no txnlog table at {table}")
+    m = _read_manifest(table, v)
+    partition_by = list(partition_by or [])
+    if partition_by:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        _validate_partition_cols(
+            partition_by,
+            {f.name: f.dataType.simpleString() for f in schema.fields},
+        )
+    manifest = {
+        "version": v + 1,
+        "op": "set_partitioning",
+        "read_version": v,
+        "files": m["files"],
+        "schema": m["schema"],
+        "added": [],
+    }
+    if partition_by:
+        manifest["partition_by"] = partition_by
+    _commit(table, v + 1, manifest)
+    return v + 1

@@ -1185,3 +1185,208 @@ def test_clone_refuses_nonempty_manifestless_destination(spark, tmp_path):
     # source missing entirely -> labeled source error, not a version error
     with pytest.raises(FileNotFoundError, match="does not exist"):
         txn_clone(str(tmp_path / "nope"), str(tmp_path / "d"))
+
+
+# ---------------------------------------------------------------------------
+# Partitioned tables (r10): manifest partition spec, write routing,
+# partition pruning (read + MERGE/DELETE), per-partition OPTIMIZE,
+# partition evolution, spec propagation through RESTORE/CLONE.
+# ---------------------------------------------------------------------------
+
+
+def _part_df(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("int").alias("yr"),
+        (F.col("id") * 3).alias("v"),
+    )
+
+
+def _make_part_table(spark, tmp_path, name="pt"):
+    from big_data_processing_spark.sources.txnlog import txn_create
+
+    t = str(tmp_path / name)
+    txn_create(spark, t, _part_df(spark), stat_col="k", partition_by=["yr"])
+    return t
+
+
+def test_partitioned_create_records_spec_and_values(spark, tmp_path):
+    from big_data_processing_spark.sources.txnlog import _read_manifest
+
+    t = _make_part_table(spark, tmp_path)
+    m = _read_manifest(t, 0)
+    assert m["partition_by"] == ["yr"]
+    assert all(e["partition"]["yr"] in range(5) for e in m["files"])
+    got = txn_read(spark, t)
+    # partition columns stay physically in the files: the schema-pinned
+    # leaf-file read returns them without directory discovery
+    assert set(got.columns) == {"k", "yr", "v"}
+    assert got.count() == 500
+    assert got.filter(F.col("yr").isNull()).count() == 0
+
+
+def test_partitioned_scan_plan_prunes_exactly(spark, tmp_path):
+    from big_data_processing_spark.sources.txnlog import (
+        txn_read_where,
+        txn_scan_plan,
+    )
+
+    t = _make_part_table(spark, tmp_path)
+    sel, total = txn_scan_plan(t, {"yr": (2, 2)})
+    assert 0 < len(sel) < total
+    assert all(e["partition"]["yr"] == 2 for e in sel)
+    assert txn_read_where(spark, t, {"yr": (2, 2)}).count() == 100
+
+
+def test_partitioned_merge_rewrites_only_hit_partitions(spark, tmp_path):
+    from big_data_processing_spark.sources.txnlog import _read_manifest
+
+    t = _make_part_table(spark, tmp_path)
+    m0 = _read_manifest(t, 0)
+    upd = _part_df(spark).filter(
+        F.col("yr").isin(1, 3) & (F.col("k") % 7 == 0)
+    ).select("k", "yr", (F.col("v") * 10).alias("v"))
+    assert txn_merge(spark, t, upd, key_cols=["k", "yr"]) == 1
+    m1 = _read_manifest(t, 1)
+    by_path = {e["path"]: e for e in m0["files"]}
+    assert m1["rewrote"], "merge matched nothing"
+    assert {by_path[p]["partition"]["yr"] for p in m1["rewrote"]} <= {1, 3}
+    added = set(m1["added"])
+    assert all(
+        e["partition"]["yr"] in (1, 3)
+        for e in m1["files"]
+        if e["path"] in added
+    ), "new files must route to the update partitions"
+    # values correct (MERGE semantics unchanged by pruning)
+    got = txn_read(spark, t)
+    assert got.count() == 500
+    changed = got.filter(F.col("yr").isin(1, 3) & (F.col("k") % 7 == 0))
+    assert changed.filter(F.col("v") != F.col("k") * 30).count() == 0
+
+
+def test_partition_prune_skipped_when_partition_not_a_key(spark, tmp_path):
+    """An update may CHANGE a non-key partition column, moving the row
+    across partitions — pruning on it would miss the row's old file.
+    The row must land in its new partition and leave the old one."""
+    from big_data_processing_spark.sources.txnlog import _read_manifest
+
+    t = _make_part_table(spark, tmp_path)
+    # k=7 currently has yr=2; move it to yr=4 with a key-only merge
+    upd = spark.createDataFrame([(7, 4, 999)], "k long, yr int, v long")
+    txn_merge(spark, t, upd, key_cols=["k"])
+    got = txn_read(spark, t)
+    assert got.filter(F.col("k") == 7).collect()[0]["yr"] == 4
+    assert got.filter((F.col("k") == 7) & (F.col("yr") == 2)).count() == 0
+    assert got.count() == 500
+    m1 = _read_manifest(t, 1)
+    # and the rewritten row's new file is recorded under the NEW value
+    added = set(m1["added"])
+    new_years = {
+        e["partition"]["yr"] for e in m1["files"] if e["path"] in added
+    }
+    assert 4 in new_years
+
+
+def test_partitioned_optimize_packs_within_partitions(spark, tmp_path):
+    from big_data_processing_spark.sources.txnlog import (
+        _read_manifest,
+        txn_optimize,
+    )
+
+    t = _make_part_table(spark, tmp_path)
+    v = txn_optimize(spark, t, target_rows=1_000_000)
+    assert v == 1, "fragmented partitioned table must compact"
+    m = _read_manifest(t, v)
+    assert m["partition_by"] == ["yr"]
+    # every compacted file still single-valued and recorded
+    assert all(e["partition"]["yr"] in range(5) for e in m["files"])
+    # per-partition packing: one bin per partition here
+    assert len(m["files"]) == 5
+    assert txn_read(spark, t).count() == 500
+
+
+def test_partition_evolution_and_spec_propagation(spark, tmp_path):
+    from big_data_processing_spark.sources.txnlog import (
+        _read_manifest,
+        txn_clone,
+        txn_restore,
+        txn_set_partitioning,
+    )
+
+    t = _make_part_table(spark, tmp_path)
+    # drop partitioning: metadata-only, new writes unrouted
+    v1 = txn_set_partitioning(t, None)
+    assert "partition_by" not in _read_manifest(t, v1)
+    upd = spark.createDataFrame([(1000, 9, 1)], "k long, yr int, v long")
+    v2 = txn_merge(spark, t, upd, key_cols=["k"])
+    m2 = _read_manifest(t, v2)
+    new2 = [e for e in m2["files"] if e["path"] in set(m2["added"])]
+    assert new2 and all("partition" not in e for e in new2)
+    # re-partition: OLD files keep (or lack) their recorded values and
+    # are conservatively kept by pruning; NEW files record values
+    v3 = txn_set_partitioning(t, ["yr"])
+    upd2 = spark.createDataFrame([(1001, 9, 2)], "k long, yr int, v long")
+    v4 = txn_merge(spark, t, upd2, key_cols=["k", "yr"])
+    m4 = _read_manifest(t, v4)
+    new4 = [e for e in m4["files"] if e["path"] in set(m4["added"])]
+    assert new4 and all(e["partition"]["yr"] == 9 for e in new4)
+    from big_data_processing_spark.sources.txnlog import txn_scan_plan
+
+    sel, total = txn_scan_plan(t, {"yr": (9, 9)})
+    # pre-evolution files lacking partition values are kept (sound),
+    # files recorded under other years are pruned
+    assert len(sel) < total
+    assert all(
+        "partition" not in e or e["partition"]["yr"] == 9 for e in sel
+    )
+    # RESTORE rolls the spec back with the snapshot
+    v5 = txn_restore(t, v1)
+    assert "partition_by" not in _read_manifest(t, v5)
+    # CLONE carries the current spec
+    v6 = txn_set_partitioning(t, ["yr"])
+    c = str(tmp_path / "clone")
+    txn_clone(t, c)
+    assert _read_manifest(c, 0)["partition_by"] == ["yr"]
+    assert txn_read(spark, c).count() == txn_read(spark, t).count()
+
+
+def test_partition_col_type_must_survive_json(spark, tmp_path):
+    from big_data_processing_spark.sources.txnlog import txn_create
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.current_date().alias("d")
+    )
+    with pytest.raises(TypeError, match="partition col"):
+        txn_create(spark, str(tmp_path / "bad"), df, stat_col="k",
+                   partition_by=["d"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        txn_create(spark, str(tmp_path / "bad2"), df, stat_col="k",
+                   partition_by=["nope"])
+
+
+def test_partitioned_delete_emptying_every_rewritten_row(spark, tmp_path):
+    """Found by the r10 fuzz sweep (set_partitioning op): a DELETE that
+    matches EVERY row of the rewritten files writes an empty frame —
+    under partitionBy that produces no data files at all, and the
+    unpinned stats read-back threw UNABLE_TO_INFER_SCHEMA.  The commit
+    must land with zero added files instead."""
+    from big_data_processing_spark.sources.txnlog import (
+        _read_manifest,
+        txn_create,
+        txn_delete,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("p"),
+        F.col("id").alias("v"),
+    )
+    txn_create(spark, t, df.repartition(1), stat_col="k", partition_by=["p"])
+    v = txn_delete(
+        spark, t, df.filter(F.col("p") == 1).select("k", "p"), ["k", "p"]
+    )
+    m = _read_manifest(t, v)
+    assert m["added"] == []
+    assert txn_read(spark, t).count() == 5
+    assert all(e["partition"]["p"] == 0 for e in m["files"])

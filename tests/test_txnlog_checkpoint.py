@@ -688,6 +688,7 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
                 "corrupt_ckpt",
                 "clone",
                 "race",
+                "set_partitioning",
             ]
         )
         if op == "merge":
@@ -827,6 +828,20 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
             txn_merge(spark, t, sdf, ["k"], schema_mode="merge")
             cols = cols + [newc]
             state[k] = dict(row)
+            versions.append((snapshot(), list(cols)))
+        elif op == "set_partitioning":
+            # Partition evolution (r10) injected mid-history: every
+            # subsequent write routes by the new spec, and the rest of
+            # the algebra — restore rolling the spec back, clone
+            # carrying it, optimize packing within partitions, vacuum
+            # walking hive dirs — must keep the model green.
+            # Partitioning on "k" (an immutable merge key) exercises
+            # the sound partition-pruned MERGE path; partitioning on
+            # "v" (a column updates MUTATE, moving rows across
+            # partitions) exercises the case where pruning must be
+            # SKIPPED for correctness; None drops partitioning.
+            spec = rng.choice([["k"], ["v"], None])
+            tl.txn_set_partitioning(t, spec)
             versions.append((snapshot(), list(cols)))
         elif op == "vacuum":
             keep = rng.randint(2, 4)
