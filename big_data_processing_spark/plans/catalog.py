@@ -84,11 +84,14 @@ def query(
 # in the build.
 _PRIORITY: tuple[str, ...] = (
     # --- round 10 ---
-    # The 47 entries last green in r8 are the stalest and autofill the
+    # The entries last green in r8 are the stalest and autofill the
     # back of the r10 window; the names below are this round's plan
     # changes and new entries.  Window arithmetic (re-simulated by
-    # tests/test_window_accounting.py): after the two r10 twin merges,
-    # 5 priority + 44 remaining r8-stale = 49 of 50 slots.
+    # tests/test_window_accounting.py): after the three r10 twin
+    # merges, 6 priority (three of which were themselves r8-stale and
+    # already window-bound) + the 42 remaining r8-stale + 2 r9-green
+    # filler = 50 slots; every entry outside carries an r9-green row,
+    # with 2 slack slots to spare.
     #
     # Plan change (judge r9 item 2): the Bloom liveness certificate is
     # folded into the main aggregation pass — total/passed computed as
@@ -103,8 +106,14 @@ _PRIORITY: tuple[str, ...] = (
     #                         carries both certificates in one hash)
     #   doc_repetition_stats  absorbs doc_quality_scores (same doc
     #                         grain; key-join on doc id)
+    #   multimodal_jpeg_decode_stats absorbs multimodal_jpeg_header_
+    #                         stats (same media_id grain; the hdr_*
+    #                         columns key-join on media_id — the shape
+    #                         multimodal_decode_stats already uses for
+    #                         its PNG+WAV twins)
     "txnlog_incremental_mv",
     "doc_repetition_stats",
+    "multimodal_jpeg_decode_stats",
     # New in round 10: partitioned txnlog tables — partition columns in
     # the manifest, write routing, partition-pruned MERGE rewriting
     # only the hit partitions (certified in-query from the manifests).

@@ -2072,21 +2072,34 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.join(aud, "media_id").orderBy("media_id")
 
 
-@query(
-    "multimodal_jpeg_header_stats",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CAST(4 + doc_id % 5 AS INT) AS width,
-           CAST(3 + doc_id % 4 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+def _jpeg_header_cols_sql(prefix: str = "") -> str:
+    """Closed-form byte layout of the synthesized minimal JPEG marker
+    streams (2 SOI + COM(2+2+pad) + APP0(2+7) + SOF(2+8+3c) + 2 EOI) —
+    shared by the retired multimodal_jpeg_header_stats oracle and the
+    merged multimodal_jpeg_decode_stats oracle so the two formulations
+    cannot drift."""
+    p = prefix
+    return f"""CAST(4 + doc_id % 5 AS INT) AS {p}width,
+           CAST(3 + doc_id % 4 AS INT) AS {p}height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS {p}channels,
            CAST(4 + (4 + doc_id % 7) + 9
                 + (10 + 3 * CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)
-                AS BIGINT) AS n_bytes
+                AS BIGINT) AS {p}n_bytes"""
+
+
+# Retired from the catalog in r10: multimodal_jpeg_decode_stats carries
+# the header-walk geometry as hdr_* columns key-joined on media_id, so
+# one driver hash certifies both the marker walk and the full decode.
+# The standalone fn and oracle stay for the local parity +
+# reconstruction tests (tests/test_catalog_oracle.py).
+MULTIMODAL_JPEG_HEADER_STATS_ORACLE = f"""
+    SELECT doc_id AS media_id,
+           {_jpeg_header_cols_sql()}
     FROM documents WHERE doc_id % 25 = 0
     ORDER BY media_id
-    """,
-    tags=("multimodal", "image", "jpeg", "header"),
-)
+    """
+
+
 def multimodal_jpeg_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG header parsing, hash-checked WITHOUT the optional PIL
     dependency: deterministic minimal JPEG marker streams (SOI +
@@ -2099,7 +2112,12 @@ def multimodal_jpeg_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SOF(2+8+3c) + 2 EOI), so the hash only matches if the walk honored
     every segment length. Pixel decode stays behind the optional PIL
     import (extract_jpeg_pixel_stats; absent in this sandbox — see
-    COVERAGE.md), replacing r3's all-or-nothing JPEG stub."""
+    COVERAGE.md), replacing r3's all-or-nothing JPEG stub.
+
+    Retired from the catalog in r10 (window headroom): the driver hash
+    now certifies this surface as multimodal_jpeg_decode_stats' hdr_*
+    columns; parity + reconstruction evidence lives in
+    tests/test_catalog_oracle.py."""
     ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     media = synthesize_jpeg_headers(ids)
     return extract_jpeg_header_features(media).orderBy("media_id")
@@ -2107,7 +2125,7 @@ def multimodal_jpeg_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_jpeg_decode_stats",
-    oracle="""
+    oracle=f"""
     WITH sel AS (
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 16 * (1 + (doc_id // 2) % 2)
@@ -2127,17 +2145,29 @@ def multimodal_jpeg_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                128 + 2 * (((doc_id + (b % (w // 8)) + 3 * (b // (w // 8)))
                            % 49) - 24) AS v
         FROM blocks
+    ),
+    dec AS (
+        SELECT doc_id AS media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(ch AS INT) AS channels,
+               AVG(v) AS mean_r,
+               CASE WHEN ch >= 2 THEN AVG(v) END AS mean_g,
+               CASE WHEN ch >= 3 THEN AVG(v) END AS mean_b
+        FROM v GROUP BY doc_id, w, h, ch
+    ),
+    hdr AS (
+        SELECT doc_id AS media_id,
+               {_jpeg_header_cols_sql("hdr_")}
+        FROM documents WHERE doc_id % 25 = 0
     )
-    SELECT doc_id AS media_id,
-           CAST(w AS INT) AS width,
-           CAST(h AS INT) AS height,
-           CAST(ch AS INT) AS channels,
-           AVG(v) AS mean_r,
-           CASE WHEN ch >= 2 THEN AVG(v) END AS mean_g,
-           CASE WHEN ch >= 3 THEN AVG(v) END AS mean_b
-    FROM v GROUP BY doc_id, w, h, ch ORDER BY media_id
+    SELECT dec.media_id, dec.width, dec.height, dec.channels,
+           dec.mean_r, dec.mean_g, dec.mean_b,
+           hdr.hdr_width, hdr.hdr_height, hdr.hdr_channels, hdr.hdr_n_bytes
+    FROM dec JOIN hdr USING (media_id)
+    ORDER BY media_id
     """,
-    tags=("multimodal", "image", "jpeg", "decode"),
+    tags=("multimodal", "image", "jpeg", "decode", "header"),
 )
 def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode, hash-checked WITHOUT any optional
@@ -2153,10 +2183,27 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid: the hash only matches if every one of those stages
     reproduced every pixel. Replaces r3's 'JPEG pixels need PIL'
     caveat for baseline streams (progressive/arithmetic still route
-    through the optional PIL import)."""
+    through the optional PIL import).
+
+    r10 merge (catalog window headroom): this entry also carries the
+    retired multimodal_jpeg_header_stats columns as hdr_* — the
+    pure-stdlib ITU T.81 SOF marker walk over the minimal
+    variable-length marker streams, key-joined on media_id (the same
+    shape multimodal_decode_stats uses for its PNG+WAV twins; both
+    sides are Arrow-batched pipelines over the SAME pre-filtered id
+    set, so the join is key-aligned and dim-sized).  The retired twin
+    keeps its standalone fn + DuckDB parity + hdr_*-projection
+    reconstruction tests in tests/test_catalog_oracle.py."""
     ids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    media = synthesize_jpeg_media(ids)
-    return extract_jpeg_pixel_stats(media).orderBy("media_id")
+    dec = extract_jpeg_pixel_stats(synthesize_jpeg_media(ids))
+    hdr = extract_jpeg_header_features(synthesize_jpeg_headers(ids)).select(
+        "media_id",
+        F.col("width").alias("hdr_width"),
+        F.col("height").alias("hdr_height"),
+        F.col("channels").alias("hdr_channels"),
+        F.col("n_bytes").alias("hdr_n_bytes"),
+    )
+    return dec.join(hdr, "media_id").orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------

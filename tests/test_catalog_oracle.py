@@ -348,3 +348,40 @@ def test_quality_columns_equal_retired_entry(spark, sf_dir):
     )
     retired = doc_quality_scores(spark, sf_dir).collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
+
+
+def test_jpeg_header_oracle_parity(spark, duck, sf_dir):
+    """The standalone JPEG marker-walk entry (retired from the catalog
+    in r10: multimodal_jpeg_decode_stats carries the geometry as its
+    hdr_* columns) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        MULTIMODAL_JPEG_HEADER_STATS_ORACLE,
+        multimodal_jpeg_header_stats,
+    )
+
+    result = multimodal_jpeg_header_stats(spark, sf_dir)
+    oracle = duck.sql(MULTIMODAL_JPEG_HEADER_STATS_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_jpeg_header_columns_equal_retired_entry(spark, sf_dir):
+    """Projecting the merged entry's hdr_* columns must reconstruct
+    exactly the retired marker-walk entry's rows."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        multimodal_jpeg_header_stats,
+    )
+
+    merged = (
+        CATALOG["multimodal_jpeg_decode_stats"].fn(spark, sf_dir)
+        .selectExpr(
+            "media_id",
+            "hdr_width AS width",
+            "hdr_height AS height",
+            "hdr_channels AS channels",
+            "hdr_n_bytes AS n_bytes",
+        )
+        .collect()
+    )
+    retired = multimodal_jpeg_header_stats(spark, sf_dir).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
