@@ -81,6 +81,21 @@ def main() -> None:
     )
 
     n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Targeted subset (mirrors driver_sim's r8 targeted replay):
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 times just those entries — the
+    # fast re-check after touching one entry (or a bench_delta drill on
+    # a deliberately perturbed one). The FULL run stays the committed
+    # sidecar baseline; a subset detail is marked "subset" and defaults
+    # to a /tmp path so it can never masquerade as (or clobber) the
+    # committed sf0.1 sidecar (tests/test_bench_contract.py pins both).
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = sorted(n for n in only_env.split(",") if n) if only_env else None
+    if only:
+        unknown = [n for n in only if n not in CATALOG]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in catalog: {unknown}"
+            )
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     # setup/query split for setup-dominated entries (judge r5 item 6,
@@ -93,8 +108,23 @@ def main() -> None:
     # setup["artifacts_one_time"].
     phase_split: dict[str, dict[str, float]] = {}
     one_time_setup = 0.0
-    for name in sorted(CATALOG):
+    for name in only if only else sorted(CATALOG):
         q = CATALOG[name]
+        if only:
+            # Subset runs lack the catalog neighbors that warm shared
+            # codegen paths in a full run (r10 drill finding: an
+            # HOF-heavy entry timed ~0.2-0.4s slower solo than
+            # in-catalog, a false REGRESSION vs the full-run baseline).
+            # One discarded warm-up run restores the steady state the
+            # full-bench min-of-N measures; any one-time artifact
+            # builds it triggers still charge to setup.
+            drain_phases()
+            q.fn(spark, sf_dir).collect()
+            one_time_setup += sum(
+                d.get("setup", 0.0)
+                for k, d in drain_phases().items()
+                if k.startswith("artifact:")
+            )
         runs = []
         run_perrun = []  # entry-keyed setup: repeats every run (txnlog builds)
         run_onetime = []  # artifact:* builds triggered during this run
@@ -186,15 +216,22 @@ def main() -> None:
         "runs_per_query": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if only:
+        detail["subset"] = only
     # overridable so test runs at toy scales don't clobber the
     # committed sf0.1 sidecar (that's how an sf0.001 sidecar got
-    # committed in r5)
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_DETAIL_PATH",
-        os.path.join(
+    # committed in r5); subset runs default AWAY from the sidecar path
+    # for the same reason
+    import tempfile
+
+    default_detail = (
+        os.path.join(tempfile.gettempdir(), "BENCH_SUBSET_DETAIL.json")
+        if only
+        else os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        ),
+        )
     )
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH", default_detail)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     line = json.dumps(
@@ -207,7 +244,7 @@ def main() -> None:
             "n_queries": len(timings),
             "sec_per_query_mean": round(sum(ordered) / len(ordered), 3),
             "sec_per_query_median": round(ordered[len(ordered) // 2], 3),
-            "detail": "BENCH_DETAIL.json",
+            "detail": detail_path if only else "BENCH_DETAIL.json",
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

@@ -105,3 +105,39 @@ def test_committed_sidecar_is_sane():
     worst = max(d["queries"].items(), key=lambda kv: kv[1])
     assert worst[1] < 30, f"entry {worst[0]} at {worst[1]}s in the sidecar"
     assert "noise_note" in d, "sidecar predates the r9 noise-floor contract"
+    # r10: SPARK_GRAFT_BENCH_ONLY subset runs are marked and must never
+    # become the committed baseline — and the committed run must cover
+    # the whole current catalog (a stale sidecar hides new entries from
+    # bench_delta).
+    assert "subset" not in d, "a targeted-subset sidecar reached a commit"
+    from big_data_processing_spark.plans.catalog import CATALOG
+
+    missing = sorted(set(CATALOG) - set(d["queries"]))
+    assert not missing, f"committed sidecar lacks catalog entries: {missing}"
+
+
+def test_bench_subset_mode(tmp_path):
+    """SPARK_GRAFT_BENCH_ONLY must time exactly the named entries and
+    write a 'subset'-marked detail to the given path — the fast
+    re-check after touching one entry."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    env["SPARK_GRAFT_BENCH_RUNS"] = "2"
+    env["SPARK_GRAFT_BENCH_ONLY"] = "pricing_summary,vocab_top_tokens"
+    env["SPARK_GRAFT_DETAIL_PATH"] = str(tmp_path / "subset.json")
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with open(tmp_path / "subset.json") as f:
+        detail = json.load(f)
+    assert detail["subset"] == ["pricing_summary", "vocab_top_tokens"]
+    assert set(detail["queries"]) == {"pricing_summary", "vocab_top_tokens"}
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["n_queries"] == 2
