@@ -89,7 +89,11 @@ def main() -> None:
     # to a /tmp path so it can never masquerade as (or clobber) the
     # committed sf0.1 sidecar (tests/test_bench_contract.py pins both).
     only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
-    only = sorted(n for n in only_env.split(",") if n) if only_env else None
+    only = (
+        sorted(n.strip() for n in only_env.split(",") if n.strip())
+        if only_env
+        else None
+    )
     if only:
         unknown = [n for n in only if n not in CATALOG]
         if unknown:

@@ -823,8 +823,12 @@ def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nodes = n.count()
         comp, rounds = connected_components_star(e, max_rounds=40)
         # the +4 slack covers both the constant factor of the O(log n)
-        # contraction AND the ≤2-alternation detection lag of the
-        # every-second-alternation convergence probe (r9)
+        # contraction AND the ≤3-alternation detection lag of the
+        # every-second-alternation convergence probe (graph.py: the
+        # first even probe past a minimal count c is c+2 when c is
+        # even but c+3 when c is odd).  With lag 3 the bound is
+        # EXACTLY tight when c = 2*ceil(log2 n)+1 — do not "tighten"
+        # the +4 to +3, it would raise intermittently (r10 review).
         bound = 2 * math.ceil(math.log2(max(n_nodes, 2))) + 4
         if rounds > bound:
             raise RuntimeError(
@@ -3691,9 +3695,10 @@ def minhash_index_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = docs_cdf_fixture(spark, sf_dir)
     kw = dict(num_hashes=_MH_NUM, bands=_MH_BANDS, shingle_n=_MH_N)
-    index0 = minhash_band_rows(
-        txn_read(spark, t, version=0), **kw
-    ).localCheckpoint()
+    # index0 has exactly one consumer (the maintained union, itself
+    # checkpointed) — checkpointing it too would pin a corpus-sized
+    # band table for no reuse (r10 review)
+    index0 = minhash_band_rows(txn_read(spark, t, version=0), **kw)
     feed = txn_changes(spark, t, ["doc_id"], 0, DOCS_V_DELETE).localCheckpoint()
     retired = feed.filter(
         F.col("_change_type").isin("delete", "update_preimage")

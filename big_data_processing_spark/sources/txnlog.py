@@ -616,7 +616,7 @@ _MERGE_PARTITION_PRUNE_CAP = 10_000
 
 def _partition_prune_candidates(
     candidates: list[dict],
-    updates: DataFrame,
+    upd_keys: DataFrame,
     key_cols: list[str],
     partition_by: list[str],
 ) -> list[dict]:
@@ -625,13 +625,24 @@ def _partition_prune_candidates(
     merge key (then an update's partition tuple IS where its matched
     rows live); a non-key partition column can be CHANGED by an update,
     moving the row across partitions, so pruning is skipped (the exact
-    semi-join prune still bounds the rewrite).  Files without recorded
-    partition values (written before partition evolution) are
-    conservatively kept."""
+    semi-join prune still bounds the rewrite).
+
+    A file recorded with NO value for some CURRENT partition column —
+    written before the spec evolved to that column, or under no spec at
+    all — is conservatively KEPT: its recorded values say nothing about
+    where the current spec's columns place its rows.  (r10 review
+    repro: treating the missing value as a prunable None let a
+    pre-evolution file escape a MERGE rewrite, leaving both the old row
+    and the merged row live — a duplicate key.)
+
+    ``upd_keys`` must be the already-distinct (and persisted) update
+    KEY frame: partition_by ⊆ key_cols holds on every pruning path, so
+    the partition tuples are a cheap projection of it and the arbitrary
+    updates pipeline is never re-evaluated just for pruning."""
     if not partition_by or not set(partition_by) <= set(key_cols):
         return candidates
     rows = (
-        updates.select(*partition_by)
+        upd_keys.select(*partition_by)
         .distinct()
         .limit(_MERGE_PARTITION_PRUNE_CAP + 1)
         .collect()
@@ -639,12 +650,14 @@ def _partition_prune_candidates(
     if len(rows) > _MERGE_PARTITION_PRUNE_CAP:
         return candidates
     live = {tuple(r[c] for c in partition_by) for r in rows}
-    return [
-        e
-        for e in candidates
-        if "partition" not in e
-        or tuple(e["partition"].get(c) for c in partition_by) in live
-    ]
+    kept = []
+    for e in candidates:
+        part = e.get("partition")
+        if part is None or any(c not in part for c in partition_by):
+            kept.append(e)  # pre-evolution file: no basis to prune
+        elif tuple(part[c] for c in partition_by) in live:
+            kept.append(e)
+    return kept
 
 
 def _plan_merge(
@@ -694,30 +707,34 @@ def _plan_merge(
     stat_col = m["files"][0]["stat_col"] if m["files"] else key_cols[0]
     partition_by = m.get("partition_by") or []
 
-    if stat_col in key_cols:
-        krange = updates.agg(
-            F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
-        ).collect()[0]
-        candidates = [
-            e
-            for e in m["files"]
-            if krange["lo"] is not None
-            and not (e["hi"] < krange["lo"] or e["lo"] > krange["hi"])
-        ]
-    else:
-        candidates = list(m["files"])
-    candidates = _partition_prune_candidates(
-        candidates, updates, key_cols, partition_by
-    )
-    untouched = [e for e in m["files"] if e not in candidates]
+    # One evaluation of the arbitrary updates pipeline feeds ALL of
+    # planning: the persisted distinct key set drives the stat-range
+    # probe (stat_col ∈ key_cols whenever that prune is sound), the
+    # partition-tuple prune (partition_by ⊆ key_cols ditto), and the
+    # exact semi-join — before r10 review each step re-ran the full
+    # pipeline as its own driver action.
+    upd_keys = updates.select(*key_cols).distinct().persist()
+    try:
+        if stat_col in key_cols:
+            krange = upd_keys.agg(
+                F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
+            ).collect()[0]
+            candidates = [
+                e
+                for e in m["files"]
+                if krange["lo"] is not None
+                and not (e["hi"] < krange["lo"] or e["lo"] > krange["hi"])
+            ]
+        else:
+            candidates = list(m["files"])
+        candidates = _partition_prune_candidates(
+            candidates, upd_keys, key_cols, partition_by
+        )
+        untouched = [e for e in m["files"] if e not in candidates]
 
-    hit_files: set[str] = set()
-    if candidates:
-        cand_df = _read_files(spark, table, m, candidates)
-        # persist the (CDC-sized) distinct key set so the broadcast-gate
-        # probe and the join share one evaluation of the update pipeline
-        upd_keys = updates.select(*key_cols).distinct().persist()
-        try:
+        hit_files: set[str] = set()
+        if candidates:
+            cand_df = _read_files(spark, table, m, candidates)
             hits = (
                 cand_df.select(*key_cols, F.input_file_name().alias("__f"))
                 .join(_hinted_keys(upd_keys), key_cols)
@@ -725,11 +742,12 @@ def _plan_merge(
                 .distinct()
                 .collect()
             )
-        finally:
-            upd_keys.unpersist()
-        hit_files = {
-            os.path.relpath(r["__f"].replace("file:", ""), table) for r in hits
-        }
+            hit_files = {
+                os.path.relpath(r["__f"].replace("file:", ""), table)
+                for r in hits
+            }
+    finally:
+        upd_keys.unpersist()
     rewrite = [e for e in candidates if e["path"] in hit_files]
     carry = untouched + [e for e in candidates if e["path"] not in hit_files]
 
@@ -1213,31 +1231,33 @@ def txn_delete(
     stat_col = m["files"][0]["stat_col"] if m["files"] else key_cols[0]
     partition_by = m.get("partition_by") or []
 
-    if stat_col in key_cols:
-        krange = keys.agg(
-            F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
-        ).collect()[0]
-        candidates = [
-            e
-            for e in m["files"]
-            if krange["lo"] is not None
-            and not (e["hi"] < krange["lo"] or e["lo"] > krange["hi"])
-        ]
-    else:
-        candidates = list(m["files"])
-    # deletes never move a row between partitions, so pruning on the
-    # delete keys' partition tuples is sound under the same key-subset
-    # condition as MERGE
-    candidates = _partition_prune_candidates(
-        candidates, keys, key_cols, partition_by
-    )
-    untouched = [e for e in m["files"] if e not in candidates]
+    # one evaluation of the keys pipeline feeds all planning steps
+    # (same shape as _plan_merge, see there)
+    del_keys = keys.select(*key_cols).distinct().persist()
+    try:
+        if stat_col in key_cols:
+            krange = del_keys.agg(
+                F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
+            ).collect()[0]
+            candidates = [
+                e
+                for e in m["files"]
+                if krange["lo"] is not None
+                and not (e["hi"] < krange["lo"] or e["lo"] > krange["hi"])
+            ]
+        else:
+            candidates = list(m["files"])
+        # deletes never move a row between partitions, so pruning on the
+        # delete keys' partition tuples is sound under the same
+        # key-subset condition as MERGE
+        candidates = _partition_prune_candidates(
+            candidates, del_keys, key_cols, partition_by
+        )
+        untouched = [e for e in m["files"] if e not in candidates]
 
-    hit_files: set[str] = set()
-    if candidates:
-        cand_df = _read_files(spark, table, m, candidates)
-        del_keys = keys.select(*key_cols).distinct().persist()
-        try:
+        hit_files: set[str] = set()
+        if candidates:
+            cand_df = _read_files(spark, table, m, candidates)
             hits = (
                 cand_df.select(*key_cols, F.input_file_name().alias("__f"))
                 .join(_hinted_keys(del_keys), key_cols)
@@ -1245,11 +1265,12 @@ def txn_delete(
                 .distinct()
                 .collect()
             )
-        finally:
-            del_keys.unpersist()
-        hit_files = {
-            os.path.relpath(r["__f"].replace("file:", ""), table) for r in hits
-        }
+            hit_files = {
+                os.path.relpath(r["__f"].replace("file:", ""), table)
+                for r in hits
+            }
+    finally:
+        del_keys.unpersist()
     rewrite = [e for e in candidates if e["path"] in hit_files]
     carry = untouched + [e for e in candidates if e["path"] not in hit_files]
 

@@ -1390,3 +1390,42 @@ def test_partitioned_delete_emptying_every_rewritten_row(spark, tmp_path):
     assert m["added"] == []
     assert txn_read(spark, t).count() == 5
     assert all(e["partition"]["p"] == 0 for e in m["files"])
+
+
+def test_partition_evolution_cross_spec_files_not_pruned(spark, tmp_path):
+    """Files recorded under a PREVIOUS partition spec must be kept by
+    MERGE/DELETE partition pruning (r10 review repro): the old code
+    looked up the CURRENT spec's column in the file's recorded values,
+    got None, and pruned the file — so a merge on k=3 left both the
+    old (k=3, v=9) row and the merged (k=3, v=999) row live, a
+    duplicate key. A file whose recorded partition dict lacks a
+    current partition column says nothing about where its rows live
+    and has no basis to be pruned."""
+    from big_data_processing_spark.sources.txnlog import (
+        txn_create,
+        txn_delete,
+        txn_set_partitioning,
+    )
+
+    t = str(tmp_path / "evo")
+    txn_create(
+        spark,
+        t,
+        _part_df(spark, n=20),
+        stat_col="k",
+        partition_by=["v"],  # first spec: files record {"v": ...}
+    )
+    txn_set_partitioning(t, ["k"])  # evolve: current spec column differs
+    # merge on the NEW spec column: every live file was recorded under
+    # the OLD spec, so none may be pruned
+    upd = spark.createDataFrame([(3, 0, 999)], "k long, yr int, v long")
+    txn_merge(spark, t, upd, key_cols=["k"])
+    got = txn_read(spark, t).filter(F.col("k") == 3).collect()
+    assert len(got) == 1, f"duplicate key after cross-spec merge: {got}"
+    assert got[0]["v"] == 999
+    assert txn_read(spark, t).count() == 20
+    # and DELETE through the same planner actually deletes
+    keys = spark.createDataFrame([(5,)], "k long")
+    txn_delete(spark, t, keys, key_cols=["k"])
+    assert txn_read(spark, t).filter(F.col("k") == 5).count() == 0
+    assert txn_read(spark, t).count() == 19
