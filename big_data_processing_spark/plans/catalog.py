@@ -88,10 +88,10 @@ _PRIORITY: tuple[str, ...] = (
     # back of the r10 window; the names below are this round's plan
     # changes and new entries.  Window arithmetic (re-simulated by
     # tests/test_window_accounting.py): after the three r10 twin
-    # merges, 6 priority (three of which were themselves r8-stale and
-    # already window-bound) + the 42 remaining r8-stale + 2 r9-green
+    # merges, 7 priority (three of which were themselves r8-stale and
+    # already window-bound) + the 42 remaining r8-stale + 1 r9-green
     # filler = 50 slots; every entry outside carries an r9-green row,
-    # with 2 slack slots to spare.
+    # with 1 slack slot to spare.
     #
     # Plan change (judge r9 item 2): the Bloom liveness certificate is
     # folded into the main aggregation pass — total/passed computed as
@@ -118,6 +118,10 @@ _PRIORITY: tuple[str, ...] = (
     # the manifest, write routing, partition-pruned MERGE rewriting
     # only the hit partitions (certified in-query from the manifests).
     "txnlog_partitioned_merge",
+    # New in round 10: cross-spec MERGE/DELETE after partition
+    # evolution — driver-certifies the conservative-keep pruning rule
+    # whose violation the r10 review reproduced as duplicate keys.
+    "txnlog_partition_evolution",
     # New in round 10: incremental MinHash index maintenance over the
     # txnlog CDF (the dedup analogue of knn_ivf_refresh) — retired
     # docs' bands dropped, delta docs' signatures merged, candidate

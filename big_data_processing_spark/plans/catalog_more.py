@@ -2162,3 +2162,135 @@ def txnlog_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("yr")
             .localCheckpoint()
         )
+
+
+@query(
+    "txnlog_partition_evolution",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS ok,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    merged AS (
+        SELECT ok, yr, pri,
+               CASE WHEN pri = 2 AND ok % 13 = 0 THEN cents * 3
+                    ELSE cents END AS cents
+        FROM base
+    ),
+    final AS (SELECT * FROM merged WHERE ok % 41 != 0)
+    SELECT yr, pri,
+           COUNT(*) AS n_keys,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("txnlog", "partitioning", "evolution", "merge", "delete", "scale"),
+)
+def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-spec MERGE + DELETE after partition evolution (new r10):
+    the fact table was created partitioned by order YEAR, then the spec
+    evolved (metadata-only, Iceberg-style) to PRIORITY — so at merge
+    time every live data file is recorded under the OLD spec and lacks
+    the current partition column entirely.  This is the adversarial
+    layout for partition pruning: a file without the current column
+    gives pruning NO basis to drop it and must be conservatively kept
+    (sources/txnlog._partition_prune_candidates).  The r10 review found
+    and fixed exactly this bug — the old code looked the current column
+    up as None and pruned every pre-evolution file, so the merge left
+    both the old and the new row live (duplicate keys); this entry
+    makes that class driver-certified instead of pytest-only.
+
+    In-query certificates (each RAISES):
+    - the merge rewrote at least one file, and every rewritten file was
+      recorded under the OLD spec (has "yr", lacks "pri") — under the
+      pre-fix pruning the rewrite set is empty and this fires;
+    - every file the merge ADDED is recorded under the NEW spec (write
+      routing follows the manifest's current partition_by, never the
+      files' historical specs);
+    - after the cross-spec DELETE, the key column is exactly unique —
+      the duplicate-key corruption is the bug's smoking gun.
+    The hashed surface is the final (yr, pri) rollup vs a plain SQL
+    reconstruction of create→merge→delete, so a green hash certifies
+    the full mixed-spec table algebra end to end.
+
+    Scale: evolution is how a 100 TB fact changes layout without a
+    rewrite — old files keep pruning on their recorded columns, new
+    writes route under the new spec, and MERGE/DELETE stay correct on
+    the mixed manifest; the conservative keep only widens candidates
+    until OPTIMIZE rewrites old files under the new spec."""
+    import tempfile
+
+    from ..sources.txnlog import (
+        _read_manifest,
+        txn_delete,
+        txn_merge,
+        txn_read,
+    )
+    from .txnfix import clone_to, evolution_fixture
+
+    src = evolution_fixture(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        with timed_phase("txnlog_partition_evolution"):
+            t = clone_to(src, tmp)
+        upd = (
+            txn_read(spark, t)
+            .filter((F.col("pri") == 2) & (F.col("ok") % 13 == 0))
+            .select(
+                "ok",
+                "yr",
+                "pri",
+                (F.col("cents") * 3).cast("long").alias("cents"),
+            )
+        )
+        v_merge = txn_merge(spark, t, upd, key_cols=["ok", "pri"])
+        m = _read_manifest(t, v_merge)
+        by_path = {
+            e["path"]: e for e in _read_manifest(t, v_merge - 1)["files"]
+        }
+        if not m["rewrote"]:
+            raise RuntimeError(
+                "cross-spec merge rewrote nothing — pre-evolution files "
+                "were pruned (the r10 bug class)"
+            )
+        for p in m["rewrote"]:
+            part = by_path[p].get("partition") or {}
+            if "pri" in part or "yr" not in part:
+                raise RuntimeError(
+                    f"rewritten file {p} not recorded under the old spec: "
+                    f"{part}"
+                )
+        added = set(m["added"])
+        for e in m["files"]:
+            part = e.get("partition") or {}
+            if e["path"] in added and ("pri" not in part or "yr" in part):
+                raise RuntimeError(
+                    f"write routing broke: added file {e['path']} recorded "
+                    f"under {part}, expected the current ['pri'] spec"
+                )
+        keys = (
+            txn_read(spark, t)
+            .filter(F.col("ok") % 41 == 0)
+            .select("ok", "pri")
+        )
+        txn_delete(spark, t, keys, key_cols=["ok", "pri"])
+        out = txn_read(spark, t)
+        chk = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ok").alias("nd"),
+        ).collect()[0]
+        if chk["n"] != chk["nd"]:
+            raise RuntimeError(
+                f"duplicate keys after cross-spec merge/delete: "
+                f"{chk['n']} rows over {chk['nd']} distinct keys"
+            )
+        return (
+            out.groupBy("yr", "pri")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .orderBy("yr", "pri")
+            .localCheckpoint()
+        )

@@ -221,6 +221,48 @@ def partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
     return table_fixture(spark, sf_dir, "txn_partitioned", build)
 
 
+def evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shape ``txn_evolution``: the per-orderkey fact committed under a
+    FIRST partition spec (``["yr"]``, v0 — every file records its
+    year), then the spec evolved to a DIFFERENT column (``["pri"]``,
+    v1, metadata-only).  Every live data file is therefore recorded
+    under the OLD spec — the adversarial layout for cross-spec
+    MERGE/DELETE pruning (sources/txnlog._partition_prune_candidates:
+    a file lacking a current partition column has no basis to be
+    pruned).  The evolution entry COMMITS, so it clones this per run."""
+    from .catalog import _t
+    from .catalog_ext import _memo_artifact
+    from ..sources.txnlog import txn_create, txn_set_partitioning
+
+    def build_base() -> DataFrame:
+        o = _t(spark, sf_dir, "orders")
+        return o.select(
+            F.col("o_orderkey").alias("ok"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("pri"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+
+    base = _memo_artifact(spark, sf_dir, "txn_orders_evo_base", build_base)
+
+    def build(path: str) -> None:
+        txn_create(
+            spark,
+            path,
+            base.repartition(F.col("yr")),
+            stat_col="ok",
+            partition_by=["yr"],
+        )
+        v = txn_set_partitioning(path, ["pri"])
+        assert v == EVO_V_SPEC, f"evolution fixture spec commit at v{v}"
+
+    return table_fixture(spark, sf_dir, "txn_evolution", build)
+
+
+# Pinned version of the txn_evolution shape's spec-change commit
+EVO_V_SPEC = 1
+
+
 # Pinned version numbers of the docs_cdf shape, asserted by the build
 DOCS_V_MERGE, DOCS_V_DELETE = 1, 2
 

@@ -1429,3 +1429,35 @@ def test_partition_evolution_cross_spec_files_not_pruned(spark, tmp_path):
     txn_delete(spark, t, keys, key_cols=["k"])
     assert txn_read(spark, t).filter(F.col("k") == 5).count() == 0
     assert txn_read(spark, t).count() == 19
+
+
+def test_evolution_entry_certificate_fires_on_buggy_prune(
+    spark, sf_dir, monkeypatch
+):
+    """Certificate liveness for txnlog_partition_evolution: with the
+    pre-r10 pruning behavior restored (prune any file whose recorded
+    values lack the CURRENT partition column), every pre-evolution file
+    is pruned, the merge rewrites nothing, and the entry's first
+    in-query certificate must RAISE — proving a green driver hash on
+    this entry really certifies the conservative-keep rule."""
+    import pytest as _pytest
+
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.sources import txnlog as tl
+
+    def buggy(candidates, upd_keys, key_cols, partition_by):
+        if not partition_by or not set(partition_by) <= set(key_cols):
+            return candidates
+        rows = upd_keys.select(*partition_by).distinct().collect()
+        live = {tuple(r[c] for c in partition_by) for r in rows}
+        return [
+            e
+            for e in candidates
+            if "partition" not in e
+            or tuple((e["partition"] or {}).get(c) for c in partition_by)
+            in live
+        ]
+
+    monkeypatch.setattr(tl, "_partition_prune_candidates", buggy)
+    with _pytest.raises(RuntimeError, match="rewrote nothing"):
+        CATALOG["txnlog_partition_evolution"].fn(spark, sf_dir).collect()
