@@ -199,15 +199,7 @@ def partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
     from .catalog_ext import _memo_artifact
     from ..sources.txnlog import txn_create
 
-    def build_base() -> DataFrame:
-        o = _t(spark, sf_dir, "orders")
-        return o.select(
-            F.col("o_orderkey").alias("ok"),
-            F.year("o_orderdate").cast("int").alias("yr"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        )
-
-    base = _memo_artifact(spark, sf_dir, "txn_orders_year_base", build_base)
+    base = orders_fact_base(spark, sf_dir).select("ok", "yr", "cents")
 
     def build(path: str) -> None:
         txn_create(
@@ -221,18 +213,14 @@ def partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
     return table_fixture(spark, sf_dir, "txn_partitioned", build)
 
 
-def evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Shape ``txn_evolution``: the per-orderkey fact committed under a
-    FIRST partition spec (``["yr"]``, v0 — every file records its
-    year), then the spec evolved to a DIFFERENT column (``["pri"]``,
-    v1, metadata-only).  Every live data file is therefore recorded
-    under the OLD spec — the adversarial layout for cross-spec
-    MERGE/DELETE pruning (sources/txnlog._partition_prune_candidates:
-    a file lacking a current partition column has no basis to be
-    pruned).  The evolution entry COMMITS, so it clones this per run."""
+def orders_fact_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-orderkey integer-cents fact projection of orders
+    (ok, yr, pri, cents) — ONE memoized artifact serving both the
+    year-partitioned fixture (which projects pri away so its table
+    schema is unchanged) and the evolution fixture (r10 review: two
+    near-identical base artifacts doubled the one-time build)."""
     from .catalog import _t
     from .catalog_ext import _memo_artifact
-    from ..sources.txnlog import txn_create, txn_set_partitioning
 
     def build_base() -> DataFrame:
         o = _t(spark, sf_dir, "orders")
@@ -243,7 +231,21 @@ def evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
 
-    base = _memo_artifact(spark, sf_dir, "txn_orders_evo_base", build_base)
+    return _memo_artifact(spark, sf_dir, "txn_orders_fact_base", build_base)
+
+
+def evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shape ``txn_evolution``: the per-orderkey fact committed under a
+    FIRST partition spec (``["yr"]``, v0 — every file records its
+    year), then the spec evolved to a DIFFERENT column (``["pri"]``,
+    v1, metadata-only).  Every live data file is therefore recorded
+    under the OLD spec — the adversarial layout for cross-spec
+    MERGE/DELETE pruning (sources/txnlog._partition_prune_candidates:
+    a file lacking a current partition column has no basis to be
+    pruned).  The evolution entry COMMITS, so it clones this per run."""
+    from ..sources.txnlog import txn_create, txn_set_partitioning
+
+    base = orders_fact_base(spark, sf_dir)
 
     def build(path: str) -> None:
         txn_create(
@@ -254,7 +256,11 @@ def evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
             partition_by=["yr"],
         )
         v = txn_set_partitioning(path, ["pri"])
-        assert v == EVO_V_SPEC, f"evolution fixture spec commit at v{v}"
+        if v != EVO_V_SPEC:
+            raise RuntimeError(
+                f"evolution fixture spec commit landed at v{v}, "
+                f"pinned constant is v{EVO_V_SPEC}"
+            )
 
     return table_fixture(spark, sf_dir, "txn_evolution", build)
 
