@@ -2230,24 +2230,36 @@ _SHINGLES_SQL = shingles_sql(_TOKENS, 3)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_inter,
                CAST(len(a.sset) + len(b.sset)
-                    - len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_union
+                    - len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_union,
+               substr(a.norm, 41, 60) AS tail_a,
+               substr(b.norm, 41, 60) AS tail_b
         FROM sh a JOIN sh b
           ON substr(a.norm, 1, 40) = substr(b.norm, 1, 40)
          AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, n_inter, n_union,
-           CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+           CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+           CAST(levenshtein(tail_a, tail_b) AS INT) AS edit_distance,
+           CAST(GREATEST(length(tail_a), length(tail_b)) AS INT) AS max_len
     FROM pairs
     ORDER BY id_a, id_b
     """,
-    tags=("dedup", "ngram-jaccard"),
+    tags=("dedup", "ngram-jaccard", "edit-distance"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT token-3-gram Jaccard on prefix-blocked candidate pairs —
     the deterministic twin of the MinHash ESTIMATE (dedup_minhash_pairs
     verifies candidates the same way; here the full set intersection IS
     the result). Blocking keeps the quadratic set-compare off
-    all-pairs: only docs sharing a 40-char normalized prefix meet."""
+    all-pairs: only docs sharing a 40-char normalized prefix meet.
+
+    r11 merge (catalog window headroom): this entry also carries the
+    retired dedup_prefix_levenshtein columns (edit_distance, max_len) —
+    both twins verified the SAME 40-char-prefix-blocked pair set, so
+    the character-level tail check rides the SAME self-join (one
+    exchange, one pair materialization, pair grain unchanged).  The
+    retired twin keeps its standalone fn + DuckDB parity +
+    reconstruction tests in tests/test_catalog_oracle.py."""
     from ..functions.text import normalize_text, shingles, tokenize
 
     # spread() parallelizes the CPU-dense shingle projection (a small
@@ -2263,11 +2275,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(
         F.col("doc_id").alias("id_a"),
         F.substring("norm", 1, 40).alias("pfx_a"),
+        F.substring("norm", 41, 60).alias("tail_a"),
         F.col("sset").alias("sset_a"),
     )
     b = sh.select(
         F.col("doc_id").alias("id_b"),
         F.substring("norm", 1, 40).alias("pfx_b"),
+        F.substring("norm", 41, 60).alias("tail_b"),
         F.col("sset").alias("sset_b"),
     )
     base = (
@@ -2278,12 +2292,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("sset_a", "sset_b")).cast("long").alias("n_inter"),
             F.size("sset_a").cast("long").alias("len_a"),
             F.size("sset_b").cast("long").alias("len_b"),
+            "tail_a",
+            "tail_b",
         )
         .select(
             "id_a",
             "id_b",
             "n_inter",
             (F.col("len_a") + F.col("len_b") - F.col("n_inter")).alias("n_union"),
+            "tail_a",
+            "tail_b",
         )
     )
     return base.select(
@@ -2294,6 +2312,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias(
             "jaccard"
         ),
+        F.levenshtein("tail_a", "tail_b").cast("int").alias("edit_distance"),
+        F.greatest(F.length("tail_a"), F.length("tail_b"))
+        .cast("int")
+        .alias("max_len"),
     ).orderBy("id_a", "id_b")
 
 

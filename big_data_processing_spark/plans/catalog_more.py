@@ -205,9 +205,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_EXPR = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-@query(
-    "dedup_prefix_levenshtein",
-    oracle=f"""
+DEDUP_PREFIX_LEVENSHTEIN_ORACLE = f"""
     WITH normed AS (
         SELECT doc_id, {_NORM_EXPR} AS norm FROM documents
     ),
@@ -223,15 +221,20 @@ _NORM_EXPR = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
            CAST(GREATEST(length(tail_a), length(tail_b)) AS INT) AS max_len
     FROM pairs
     ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "edit-distance"),
-)
+    """
+
+
 def dedup_prefix_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification of prefix-blocked candidate pairs:
     docs sharing a 40-char normalized prefix are compared by
     levenshtein on the following 60 chars — the character-level
     near-dup check beside shingle Jaccard (blocking keeps the
-    quadratic levenshtein off all-pairs)."""
+    quadratic levenshtein off all-pairs).
+
+    Retired catalog entry (r11): both twins verify the SAME blocked
+    pair set, so dedup_ngram_jaccard now carries edit_distance/max_len
+    in its single self-join pass; oracle parity + reconstruction
+    evidence lives in tests/test_catalog_oracle.py."""
     from ..functions.text import normalize_text
 
     d = _t(spark, sf_dir, "documents")

@@ -385,3 +385,38 @@ def test_jpeg_header_columns_equal_retired_entry(spark, sf_dir):
     )
     retired = multimodal_jpeg_header_stats(spark, sf_dir).collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
+
+
+def test_prefix_levenshtein_oracle_parity(spark, duck, sf_dir):
+    """The standalone tail-Levenshtein entry (retired from the catalog
+    in r11: dedup_ngram_jaccard carries edit_distance/max_len in its
+    single prefix-blocked self-join) keeps its DuckDB oracle check
+    here."""
+    from big_data_processing_spark.plans.catalog_more import (
+        DEDUP_PREFIX_LEVENSHTEIN_ORACLE,
+        dedup_prefix_levenshtein,
+    )
+
+    result = dedup_prefix_levenshtein(spark, sf_dir)
+    oracle = duck.sql(DEDUP_PREFIX_LEVENSHTEIN_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_prefix_levenshtein_columns_equal_retired_entry(spark, sf_dir):
+    """Projecting the merged entry's edit-distance columns must
+    reconstruct exactly the retired entry's rows — both twins block on
+    the same 40-char normalized prefix, so the pair sets are identical
+    by construction and the projection is lossless."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_more import (
+        dedup_prefix_levenshtein,
+    )
+
+    merged = (
+        CATALOG["dedup_ngram_jaccard"].fn(spark, sf_dir)
+        .select("id_a", "id_b", "edit_distance", "max_len")
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    retired = dedup_prefix_levenshtein(spark, sf_dir).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
