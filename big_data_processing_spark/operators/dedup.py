@@ -443,3 +443,99 @@ def winnow_shared_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Exact substring-level dedup: per-document duplicated-span
+    coverage (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — the ExactSubstr modality, at token
+    ``k``-gram granularity instead of a suffix array).
+
+    A position ``p`` in a document is *duplicated* when the token
+    ``k``-gram starting at ``p`` also occurs in at least one OTHER
+    document; overlapping/adjacent duplicated grams are merged into
+    maximal spans.  This is the modality whole-doc MinHash/SimHash
+    cannot see: a verbatim paragraph pasted into an otherwise-unique
+    document.
+
+    Scale shape (no suffix array, no all-pairs): positional gram
+    hashes are row-local codegen expressions; the inverted index is
+    ONE shuffle keyed by the 32-bit gram hash, on which the bucket-size
+    cap (window count), the distinct-doc dup test (groupBy), and the
+    dup-hash join all reuse the same partitioning; the span merge is a
+    per-document window (lag), partitioned by doc id.  Only slim
+    (id, pos, hash) rows ever move — never text.  Cross-doc equality
+    is tested on the md5-derived hash (bit-identical in every engine;
+    a 2^-32 collision shows up identically on both sides of the
+    oracle).
+
+    Union-of-intervals without a UDF: for sorted duplicated positions
+    p_1 < p_2 < ..., each interval [p_i, p_i+k-1] has length k, so the
+    union length is k + sum(min(k, p_i - p_{i-1})) and a new span
+    starts exactly when p_i - p_{i-1} > k — both are lag() arithmetic.
+
+    Returns one row PER DOCUMENT (zero-filled for clean docs):
+    (id, n_tokens, n_dup_positions, n_spans, covered_tokens,
+    dup_coverage).
+    """
+    toks = tokenize(F.col(text_col))
+    d = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    meta = d.select("id", F.size("toks").cast("long").alias("n_tokens"))
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+        lambda i: hash32(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+    )
+    grams = (
+        d.filter(F.size("toks") >= k)
+        .select("id", F.posexplode(gh).alias("p0", "h"))
+        .select("id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
+    )
+    if max_bucket_size is not None:
+        grams = cap_bucket_size(grams, ["h"], max_bucket_size)
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    dup_pos = grams.join(dup_hashes, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    contrib = F.when(prev.isNull(), F.lit(k)).otherwise(
+        F.least(F.lit(k), F.col("pos") - prev)
+    )
+    new_span = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    per_doc = (
+        dup_pos.select("id", contrib.alias("_c"), new_span.alias("_s"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_positions"),
+            F.sum("_s").cast("long").alias("n_spans"),
+            F.sum("_c").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        meta.join(per_doc, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+                "n_dup_positions"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_coverage"),
+        )
+        .orderBy("id")
+    )

@@ -25,6 +25,7 @@ from ..functions.text import (
 from ..functions.text import normalize_text
 from ..operators.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
+    duplicated_span_stats,
     minhash_lsh_pairs,
     simhash_fingerprints,
     simhash_hamming_pairs,
@@ -2317,6 +2318,94 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("max_len"),
     ).orderBy("id_a", "id_b")
+
+
+_SPAN_K = 8  # token granularity of the duplicated-span detector
+
+_SPAN_GRAM_HASH = hash32_sql(
+    f"array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')"
+)
+
+_SPAN_COVERAGE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - {_SPAN_K - 1}),
+                   i -> {{'pos': i, 'h': {_SPAN_GRAM_HASH}}})) AS u
+        FROM t WHERE len(toks) >= {_SPAN_K}
+    ),
+    gp AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.h AS h FROM g),
+    capped AS (
+        SELECT doc_id, pos, h FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY h) AS bsz FROM gp
+        ) WHERE bsz <= {DEFAULT_MAX_BUCKET_SIZE}
+    ),
+    dup AS (
+        SELECT h FROM capped GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM capped WHERE h IN (SELECT h FROM dup)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_positions,
+               CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN prev IS NULL THEN {_SPAN_K}
+                             ELSE LEAST({_SPAN_K}, pos - prev) END)
+                    AS BIGINT) AS covered_tokens
+        FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_dup_positions, 0) AS n_dup_positions,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.covered_tokens, 0) AS covered_tokens,
+           CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE)
+               / CAST(len(t.toks) AS DOUBLE) AS dup_coverage
+    FROM t LEFT JOIN agg a USING (doc_id)
+    ORDER BY id
+    """
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=_SPAN_COVERAGE_ORACLE,
+    tags=("dedup", "exact-substring", "span"),
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup: per-document duplicated-span
+    coverage — cross-document verbatim spans at token {k}-gram
+    granularity, merged into maximal spans (Lee et al. 2022
+    "ExactSubstr", re-expressed as a bucketed positional inverted
+    index instead of a suffix array; k scaled to the short synthetic
+    docs — production corpora would run k≈50).
+
+    This is the modality the rest of the dedup family cannot see:
+    whole-doc MinHash/SimHash miss a verbatim paragraph pasted into an
+    otherwise-unique document, and the winnowing entry reports shared
+    FINGERPRINTS, not the merged span geometry.  Output is doc-grain
+    (zero-filled for clean docs): duplicated gram positions, maximal
+    span count, union-of-intervals covered tokens, and coverage ratio.
+
+    Scale shape: one shuffle keyed by the 32-bit gram hash (bucket cap,
+    distinct-doc dup test, and dup-hash join all reuse that
+    partitioning), one per-doc window for the span merge, one doc-grain
+    join-back — slim (id, pos, hash) rows only, the text never moves,
+    and the bucket cap bounds any boilerplate gram's blowup; identical
+    cap on the oracle side (r4 lesson)."""
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return duplicated_span_stats(
+        d,
+        text_col="text",
+        id_col="doc_id",
+        k=_SPAN_K,
+        max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
+    )
 
 
 _WIN_N, _WIN_W, _WIN_MIN_SHARED = 3, 4, 2

@@ -929,3 +929,96 @@ def test_multisets_equal_matches_exceptall_semantics(spark, a_rows, b_rows):
     b = spark.createDataFrame(b_rows, schema) if b_rows else spark.createDataFrame([], schema)
     truth = sorted(a_rows) == sorted(b_rows)
     assert multisets_equal(a, b) == truth
+
+
+def _py_span_stats(docs, k=4):
+    """Independent pure-Python duplicated-span reference: positional
+    k-gram inverted index, dup = hash in >= 2 distinct docs, union of
+    equal-length intervals via the sorted-gap identity."""
+    import hashlib
+    import re
+
+    toks_by, index = {}, {}
+    for did, text in docs:
+        toks = re.split(r"\s+", text.lower())
+        toks_by[did] = toks
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            index.setdefault(h, []).append((did, i + 1))
+    dup_pos = {did: [] for did, _ in docs}
+    for rows in index.values():
+        if len({d for d, _ in rows}) >= 2:
+            for d, p in rows:
+                dup_pos[d].append(p)
+    out = {}
+    for did, _ in docs:
+        ps = sorted(dup_pos[did])
+        covered = spans = 0
+        prev = None
+        for p in ps:
+            if prev is None or p - prev > k:
+                spans += 1
+            covered += k if prev is None else min(k, p - prev)
+            prev = p
+        out[did] = (len(toks_by[did]), len(ps), spans, covered)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(documents())
+def test_span_stats_match_python_reference(spark, docs):
+    """duplicated_span_stats must agree with an independent per-corpus
+    Python scan on arbitrary small corpora (the tiny alphabet makes
+    cross-doc k-gram collisions likely, exercising merge geometry)."""
+    from big_data_processing_spark.operators.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.id: (r.n_tokens, r.n_dup_positions, r.n_spans, r.covered_tokens)
+        for r in duplicated_span_stats(df, k=4).collect()
+    }
+    assert got == _py_span_stats(docs, k=4)
+
+
+def test_span_merge_geometry(spark):
+    """Hand-built multi-span case: two shared runs separated by unique
+    filler must report exactly 2 maximal spans with the union-of-
+    intervals token count, and the clean doc reports zeros (the
+    fixture corpora only produce whole-doc single-span duplicates, so
+    the merge arithmetic is pinned here)."""
+    from big_data_processing_spark.operators.dedup import duplicated_span_stats
+
+    s1 = "alpha beta gamma delta epsilon"  # 5 tokens: 2 grams at k=4
+    s2 = "omega psi chi phi"  # 4 tokens: 1 gram at k=4
+    docs = [
+        (0, f"u0a u0b u0c {s1} u0d u0e u0f u0g {s2} u0h"),
+        (1, f"v1a {s1} v1b v1c {s2}"),
+        (2, "w2a w2b w2c w2d w2e w2f w2g w2h"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r.id: r for r in duplicated_span_stats(df, k=4).collect()}
+    # doc 0: s1 grams at pos 4,5 (covers tokens 4..8), s2 gram at pos
+    # 13 (covers 13..16) -> 2 spans, 5 + 4 = 9 covered of 17 tokens
+    assert (
+        rows[0].n_tokens,
+        rows[0].n_dup_positions,
+        rows[0].n_spans,
+        rows[0].covered_tokens,
+    ) == (17, 3, 2, 9)
+    assert rows[0].dup_coverage == 9 / 17
+    # doc 1: same two runs at pos 2,3 and 9 -> 2 spans, 9 of 12
+    assert (
+        rows[1].n_tokens,
+        rows[1].n_dup_positions,
+        rows[1].n_spans,
+        rows[1].covered_tokens,
+    ) == (12, 3, 2, 9)
+    # doc 2: clean -> zero-filled row still present (doc grain)
+    assert (
+        rows[2].n_tokens,
+        rows[2].n_dup_positions,
+        rows[2].n_spans,
+        rows[2].covered_tokens,
+        rows[2].dup_coverage,
+    ) == (8, 0, 0, 0, 0.0)
