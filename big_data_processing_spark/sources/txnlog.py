@@ -807,6 +807,12 @@ def _plan_merge(
         # staged merge in O(1) manifest reads instead of walking every
         # committed version to prove a file isn't shared
         "added": sorted(e["path"] for e in new_files),
+        # observability: how many files survived stat-range + partition
+        # pruning and were actually scanned by the exact semi-join.
+        # Equal to the read snapshot's file count when nothing could be
+        # pruned (e.g. the conservative keep on pre-evolution files);
+        # strictly smaller proves pruning was live for this plan.
+        "n_candidates": len(candidates),
     }
     if partition_by:
         manifest["partition_by"] = partition_by

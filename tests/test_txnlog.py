@@ -1437,9 +1437,12 @@ def test_evolution_entry_certificate_fires_on_buggy_prune(
     """Certificate liveness for txnlog_partition_evolution: with the
     pre-r10 pruning behavior restored (prune any file whose recorded
     values lack the CURRENT partition column), every pre-evolution file
-    is pruned, the merge rewrites nothing, and the entry's first
-    in-query certificate must RAISE — proving a green driver hash on
-    this entry really certifies the conservative-keep rule."""
+    is pruned, the merge rewrites nothing, and the entry's in-query
+    certificates must RAISE — proving a green driver hash on this
+    entry really certifies the conservative-keep rule.  Since r11 the
+    n_candidates certificate fires FIRST (the pruned candidate count
+    betrays the bug before the empty rewrite set does); either raise
+    is the certificate working."""
     import pytest as _pytest
 
     from big_data_processing_spark.plans.catalog import CATALOG
@@ -1459,5 +1462,33 @@ def test_evolution_entry_certificate_fires_on_buggy_prune(
         ]
 
     monkeypatch.setattr(tl, "_partition_prune_candidates", buggy)
-    with _pytest.raises(RuntimeError, match="rewrote nothing"):
+    with _pytest.raises(
+        RuntimeError, match="conservative keep is dead|rewrote nothing"
+    ):
+        CATALOG["txnlog_partition_evolution"].fn(spark, sf_dir).collect()
+
+
+def test_evolution_entry_optimize_certificate_fires_without_pruning(
+    spark, sf_dir, monkeypatch
+):
+    """Certificate liveness for the r11 OPTIMIZE half of
+    txnlog_partition_evolution: with partition pruning disabled
+    outright (prune = keep everything), the main cross-spec merge still
+    passes its conservative-keep certificate (keeping everything IS
+    the conservative behavior on an all-old-spec table), but the
+    follow-up merge on the OPTIMIZED clone sees a candidate set equal
+    to the live file count and the pruning-restored certificate must
+    RAISE — proving a green driver hash really certifies that OPTIMIZE
+    re-enabled partition pruning."""
+    import pytest as _pytest
+
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.sources import txnlog as tl
+
+    monkeypatch.setattr(
+        tl,
+        "_partition_prune_candidates",
+        lambda candidates, upd_keys, key_cols, partition_by: candidates,
+    )
+    with _pytest.raises(RuntimeError, match="pruning not restored"):
         CATALOG["txnlog_partition_evolution"].fn(spark, sf_dir).collect()
