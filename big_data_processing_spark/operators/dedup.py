@@ -466,14 +466,19 @@ def duplicated_span_stats(
 
     Scale shape (no suffix array, no all-pairs): positional gram
     hashes are row-local codegen expressions; the inverted index is
-    ONE shuffle keyed by the 32-bit gram hash, on which the bucket-size
-    cap (window count), the distinct-doc dup test (groupBy), and the
-    dup-hash join all reuse the same partitioning; the span merge is a
-    per-document window (lag), partitioned by doc id.  Only slim
-    (id, pos, hash) rows ever move — never text.  Cross-doc equality
-    is tested on the md5-derived hash (bit-identical in every engine;
-    a 2^-32 collision shows up identically on both sides of the
-    oracle).
+    ONE shuffle keyed by the 32-bit gram hash, over which a single
+    window pass computes BOTH the bucket-size cap (count) and the
+    distinct-doc dup test (min(id) != max(id) — sound because the cap
+    drops whole buckets, so a kept bucket's window sees every row of
+    its hash).  A groupBy+join formulation of the dup test made
+    Catalyst duplicate the entire gram pipeline under each consumer
+    (two text scans, two h-shuffles); the window form keeps it one
+    scan, one exchange.  The span merge is a per-document window
+    (lag), and the doc-grain aggregate reuses that partitioning.  Only
+    slim (id, pos, hash) rows ever move — never text.  Cross-doc
+    equality is tested on the md5-derived hash (bit-identical in every
+    engine; a 2^-32 collision shows up identically on both sides of
+    the oracle).
 
     Union-of-intervals without a UDF: for sorted duplicated positions
     p_1 < p_2 < ..., each interval [p_i, p_i+k-1] has length k, so the
@@ -496,15 +501,18 @@ def duplicated_span_stats(
         .select("id", F.posexplode(gh).alias("p0", "h"))
         .select("id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
     )
-    if max_bucket_size is not None:
-        grams = cap_bucket_size(grams, ["h"], max_bucket_size)
-    dup_hashes = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("id").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("h")
+    wb = Window.partitionBy("h")
+    flagged = grams.select(
+        "id",
+        "pos",
+        F.count(F.lit(1)).over(wb).alias("_bsz"),
+        F.min("id").over(wb).alias("_min_id"),
+        F.max("id").over(wb).alias("_max_id"),
     )
-    dup_pos = grams.join(dup_hashes, "h").select("id", "pos")
+    keep = F.col("_min_id") != F.col("_max_id")
+    if max_bucket_size is not None:
+        keep = keep & (F.col("_bsz") <= max_bucket_size)
+    dup_pos = flagged.filter(keep).select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     prev = F.lag("pos").over(w)
     contrib = F.when(prev.isNull(), F.lit(k)).otherwise(

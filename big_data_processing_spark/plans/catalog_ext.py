@@ -2392,12 +2392,14 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero-filled for clean docs): duplicated gram positions, maximal
     span count, union-of-intervals covered tokens, and coverage ratio.
 
-    Scale shape: one shuffle keyed by the 32-bit gram hash (bucket cap,
-    distinct-doc dup test, and dup-hash join all reuse that
-    partitioning), one per-doc window for the span merge, one doc-grain
-    join-back — slim (id, pos, hash) rows only, the text never moves,
-    and the bucket cap bounds any boilerplate gram's blowup; identical
-    cap on the oracle side (r4 lesson)."""
+    Scale shape: one shuffle keyed by the 32-bit gram hash, over which
+    a single window pass computes the bucket cap AND the distinct-doc
+    dup test (min(id) != max(id) — whole buckets are capped, so a kept
+    bucket's window sees every row of its hash), one per-doc window
+    for the span merge, one doc-grain join-back — slim (id, pos, hash)
+    rows only, the text never moves, and the bucket cap bounds any
+    boilerplate gram's blowup; identical cap on the oracle side (r4
+    lesson)."""
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return duplicated_span_stats(
         d,

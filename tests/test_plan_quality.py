@@ -556,3 +556,26 @@ def test_bloom_entry_single_fact_scan(spark, sf_dir):
     assert "raise_error" in final or "assert_true" in final, (
         "the pruning-liveness assert_true was optimized out of the plan"
     )
+
+
+def test_span_coverage_single_gram_shuffle(spark, sf_dir):
+    """dedup_span_coverage's inverted index must stay ONE exchange on
+    the gram hash with the dup test folded into the bucket-cap window:
+    the groupBy+join formulation of "hash in >= 2 docs" made Catalyst
+    duplicate the whole gram pipeline under each consumer (two text
+    scans, two h-shuffles — the r11 plan review caught it).  Counted
+    on the FINAL adaptive plan only: the `== Initial Plan ==` print
+    section duplicates every node and would double the counts."""
+    import re
+
+    df = CATALOG["dedup_span_coverage"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    h_ex = len(re.findall(r"Exchange hashpartitioning\(h#", final))
+    assert h_ex == 1, f"gram-hash exchanges: {h_ex} (pipeline duplicated?)"
+    assert final.count("SortMergeJoin") == 0
+    assert final.count("CartesianProduct") == 0
+    assert len(re.findall(r"\bWindow ", final)) == 2, (
+        "expected exactly the bucket-cap window and the span-merge lag window"
+    )
