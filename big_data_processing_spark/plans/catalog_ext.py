@@ -3026,9 +3026,7 @@ def curation_shard_plan_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REBALANCE_PCT = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 100}
 
 
-@query(
-    "curation_lang_rebalance",
-    oracle=f"""
+CURATION_LANG_REBALANCE_ORACLE = f"""
     WITH marked AS (
         SELECT lang,
                CASE WHEN {hash32_sql("'rebal:' || CAST(doc_id AS VARCHAR)")} % 100 <
@@ -3044,16 +3042,22 @@ _REBALANCE_PCT = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 100}
     FROM marked
     GROUP BY lang
     ORDER BY lang
-    """,
-    tags=("curation", "sampling"),
-)
+    """
+
+
 def curation_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-stratified rebalancing: deterministic hash-based
     downsampling to per-language keep fractions (dominant languages
     thinned, low-resource kept whole) — the mixture-shaping step of
     corpus assembly. Hash-of-id sampling is reproducible across
     engines, sessions, and data layout, unlike df.sample; a pure
-    column expression at any scale."""
+    column expression at any scale.
+
+    Retired catalog entry (r11): curation_domain_caps now carries this
+    surface as its 'lang_rebalance' arm (same documents population,
+    per-dimension mix policies united under one arm column); oracle
+    parity + reconstruction evidence lives in
+    tests/test_catalog_oracle.py."""
     from ..functions.text import hash32
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
@@ -3477,24 +3481,90 @@ def _domain_caps_oracle() -> str:
     """
 
 
+# The standalone domain-cap oracle keeps serving the retired-twin
+# parity test; the catalog entry hashes the two-arm union below.
+DOMAIN_CAPS_STANDALONE_ORACLE = _domain_caps_oracle()
+
+
+def _curation_mix_oracle() -> str:
+    quality_sql = _quality_oracle()
+    rebal_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _REBALANCE_PCT.items()
+    )
+    return f"""
+    WITH scored AS ({quality_sql.replace("ORDER BY doc_id", "")}),
+    ranked AS (
+        SELECT d.source, s.doc_id, s.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                    ORDER BY s.quality_score DESC, s.doc_id ASC) AS rn
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    caps AS (
+        SELECT 'domain_cap' AS arm, source AS mix_key,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS kept_frac,
+               MIN(CASE WHEN rn <= {_DOMAIN_CAP} THEN quality_score END)
+                   AS min_kept_quality,
+               MAX(quality_score) AS max_quality
+        FROM ranked GROUP BY source
+    ),
+    marked AS (
+        SELECT lang,
+               CASE WHEN {hash32_sql("'rebal:' || CAST(doc_id AS VARCHAR)")} % 100 <
+                    CASE lang {rebal_case} ELSE 100 END
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents
+    ),
+    reb AS (
+        SELECT 'lang_rebalance' AS arm, lang AS mix_key,
+               COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped,
+               CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac,
+               CAST(-1.0 AS DOUBLE) AS min_kept_quality,
+               CAST(-1.0 AS DOUBLE) AS max_quality
+        FROM marked GROUP BY lang
+    )
+    SELECT * FROM caps UNION ALL SELECT * FROM reb
+    ORDER BY arm, mix_key
+    """
+
+
 @query(
     "curation_domain_caps",
-    oracle=_domain_caps_oracle(),
-    tags=("curation", "domain", "cap"),
+    oracle=_curation_mix_oracle(),
+    tags=("curation", "domain", "cap", "sampling"),
 )
 def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain document caps — the web-corpus curation stage that
-    keeps any one source from dominating the training mix: rank docs
-    within each source by quality (doc_id tie-break), keep the top
-    _DOMAIN_CAP, report kept/dropped counts and the kept-quality floor
-    per source. Aggregates are count/min/max — order-independent, so no
-    decimal machinery is needed despite the float scores.
+    """Per-dimension training-mix policies, one arm per policy (r11
+    twin merge — both consume the same documents population):
+
+    - arm 'domain_cap': rank docs within each source by quality
+      (doc_id tie-break), keep the top _DOMAIN_CAP, report
+      kept/dropped counts and the kept-quality floor per source — the
+      web-corpus stage that keeps any one domain from dominating.
+    - arm 'lang_rebalance' (the retired curation_lang_rebalance,
+      standalone fn + parity + reconstruction tests retained):
+      deterministic hash-of-id downsampling to per-language keep
+      fractions — the mixture-shaping step; reproducible across
+      engines/sessions/layout, unlike df.sample.  Its quality columns
+      carry a -1.0 sentinel (NULL would hash as NaN-vs-None across
+      engines).
+
+    Aggregates are count/min/max — order-independent, so no decimal
+    machinery is needed despite the float scores.
 
     Scale: one shuffle by source for the window (WindowGroupLimit does
     NOT apply — ranks beyond the cap are still counted — but the
     per-source partitions are bounded by the domain cap policy itself
     at curation time; a trillion-doc source would be pre-sampled by the
-    ingest tier before ranking)."""
+    ingest tier before ranking); the rebalance arm is a pure map +
+    one lang-keyed aggregation."""
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
@@ -3507,7 +3577,7 @@ def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(scored, "doc_id")
         .withColumn("rn", F.row_number().over(w))
     )
-    return (
+    caps = (
         ranked.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -3522,8 +3592,30 @@ def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("min_kept_quality"),
             F.max("quality_score").alias("max_quality"),
         )
-        .orderBy("source")
+        .select(
+            F.lit("domain_cap").alias("arm"),
+            F.col("source").alias("mix_key"),
+            "n_docs",
+            "n_kept",
+            "n_dropped",
+            (F.col("n_kept").cast("double") / F.col("n_docs")).alias(
+                "kept_frac"
+            ),
+            "min_kept_quality",
+            "max_quality",
+        )
     )
+    reb = curation_lang_rebalance(spark, sf_dir).select(
+        F.lit("lang_rebalance").alias("arm"),
+        F.col("lang").alias("mix_key"),
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        "kept_frac",
+        F.lit(-1.0).alias("min_kept_quality"),
+        F.lit(-1.0).alias("max_quality"),
+    )
+    return caps.unionByName(reb).orderBy("arm", "mix_key")
 
 
 @query(

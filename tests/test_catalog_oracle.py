@@ -420,3 +420,58 @@ def test_prefix_levenshtein_columns_equal_retired_entry(spark, sf_dir):
     )
     retired = dedup_prefix_levenshtein(spark, sf_dir).collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
+
+
+def test_lang_rebalance_oracle_parity(spark, duck, sf_dir):
+    """The standalone language-rebalance entry (retired from the
+    catalog in r11: curation_domain_caps carries it as its
+    'lang_rebalance' arm) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        CURATION_LANG_REBALANCE_ORACLE,
+        curation_lang_rebalance,
+    )
+
+    result = curation_lang_rebalance(spark, sf_dir)
+    oracle = duck.sql(CURATION_LANG_REBALANCE_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_domain_caps_arm_oracle_parity(spark, duck, sf_dir):
+    """The merged entry's 'domain_cap' arm must still match the
+    pre-merge standalone domain-caps oracle (projected back to the
+    original columns)."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        DOMAIN_CAPS_STANDALONE_ORACLE,
+    )
+
+    arm = (
+        CATALOG["curation_domain_caps"].fn(spark, sf_dir)
+        .filter("arm = 'domain_cap'")
+        .selectExpr(
+            "mix_key AS source", "n_docs", "n_kept", "n_dropped",
+            "min_kept_quality", "max_quality",
+        )
+        .orderBy("source")
+    )
+    oracle = duck.sql(DOMAIN_CAPS_STANDALONE_ORACLE).df()
+    assert_frames_match(arm, oracle)
+
+
+def test_lang_rebalance_arm_equals_retired_entry(spark, sf_dir):
+    """Projecting the merged entry's 'lang_rebalance' arm must
+    reconstruct exactly the retired entry's rows."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        curation_lang_rebalance,
+    )
+
+    merged = (
+        CATALOG["curation_domain_caps"].fn(spark, sf_dir)
+        .filter("arm = 'lang_rebalance'")
+        .selectExpr("mix_key AS lang", "n_docs", "n_kept", "kept_frac")
+        .orderBy("lang")
+        .collect()
+    )
+    retired = curation_lang_rebalance(spark, sf_dir).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
