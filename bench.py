@@ -66,6 +66,12 @@ def main() -> None:
     ).collect()
     emb = load_table(spark, sf_dir, "embeddings").limit(16)
     emb.select(cosine(F.col("embedding"), F.col("embedding"))).collect()
+    # Arrow-path Python workers spin up lazily on the first mapInPandas
+    # task (~1-3s across 32 cores) and were being charged to whichever
+    # codec entry ran first alphabetically (multimodal_decode_stats
+    # carried a wandering 2-5s spread in every r11 run); touch the path
+    # once here so the cost lands in setup like the codegen warm-ups.
+    spark.range(32).mapInPandas(lambda it: it, "id long").collect()
     setup["expr_warmup"] = round(time.perf_counter() - t0, 3)
 
     # Each query runs N times (default 3, $SPARK_GRAFT_BENCH_RUNS) and
@@ -114,13 +120,21 @@ def main() -> None:
     one_time_setup = 0.0
     # Entries whose FIRST run in a fresh JVM pays a one-off the
     # expr_warmup above cannot reach (the PQ ADC distance fold is a
-    # multi-second codegen compile the first time it executes): one
-    # discarded warm-up run restores the steady state min-of-N
-    # measures.  Before this, knn_ivf_pq_rerank's committed spread
-    # (~2-3s, >=50% of its min) made its REGRESSION flag insensitive
-    # (judge r10 item 5).  Keep this list minimal — a broad warm-up
-    # would double bench wall time and hide genuine first-run costs.
-    warm_first = {"knn_ivf_pq_rerank"}
+    # multi-second codegen compile the first time it executes; the
+    # Misra-Gries mapPartitions and BPE HOF entries pay Python-worker
+    # spin-up + their own compile, measured ~3-5s once then ~0.4-1.4s
+    # steady): one discarded warm-up run restores the steady state
+    # min-of-N measures.  Before this, knn_ivf_pq_rerank's committed
+    # spread (~2-3s, >=50% of its min) made its REGRESSION flag
+    # insensitive (judge r10 item 5), and the other two carried the
+    # widest spreads of every r11 run.  Keep this list minimal — a
+    # broad warm-up would double bench wall time and hide genuine
+    # first-run costs.
+    warm_first = {
+        "knn_ivf_pq_rerank",
+        "heavy_hitters_tokens",
+        "bpe_pair_merge_step",
+    }
     for name in only if only else sorted(CATALOG):
         q = CATALOG[name]
         warm_onetime = 0.0
