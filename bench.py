@@ -135,6 +135,11 @@ def main() -> None:
         "heavy_hitters_tokens",
         "bpe_pair_merge_step",
     }
+    # tripwire: a rename/retire (twin merges do both) must not turn a
+    # warm-up into a silent no-op — the entry's one-off would re-enter
+    # its spread and quietly de-sensitize its REGRESSION flag again
+    unknown_warm = warm_first - CATALOG.keys()
+    assert not unknown_warm, f"warm_first names not in catalog: {unknown_warm}"
     for name in only if only else sorted(CATALOG):
         q = CATALOG[name]
         warm_onetime = 0.0

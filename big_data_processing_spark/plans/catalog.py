@@ -87,11 +87,13 @@ _PRIORITY: tuple[str, ...] = (
     # The 47 entries last green in r9 are the stalest and autofill the
     # back of the r11 window; the names below are this round's plan
     # changes and new entries.  Window arithmetic (re-simulated by
-    # tests/test_window_accounting.py): after the r11 twin merge
-    # (dedup_prefix_levenshtein retired into dedup_ngram_jaccard,
-    # catalog 97→96→97 net of the new span entry), 3 priority + the
-    # 46 remaining r9-stale + 1 r10-green filler = 50 slots; every
-    # entry outside carries an r10-green row.
+    # tests/test_window_accounting.py): after the TWO r11 twin merges
+    # (dedup_prefix_levenshtein retired into dedup_ngram_jaccard;
+    # curation_lang_rebalance retired into curation_domain_caps —
+    # catalog 97→96 net of the new span entry), 4 priority (one of
+    # which, curation_domain_caps, was itself r9-stale and already
+    # window-bound) + the 45 remaining r9-stale + 1 r10-green filler
+    # = 50 slots; every entry outside carries an r10-green row.
     #
     # Twin merge (judge r10 item 4; retiree keeps a local pytest
     # oracle + reconstruction test per the CLAUDE.md pattern):

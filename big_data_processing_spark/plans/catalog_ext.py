@@ -3456,25 +3456,37 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOMAIN_CAP = 15
 
 
-def _domain_caps_oracle() -> str:
+# Shared SQL fragments for the domain-caps family — ONE copy of the
+# ranking CTEs and the cap aggregates, composed by both the standalone
+# (retired-twin parity) oracle and the merged two-arm oracle so an
+# edit to the cap/tie-break logic cannot diverge them (r11 review).
+def _caps_ranked_ctes() -> str:
     quality_sql = _quality_oracle()
-    return f"""
-    WITH scored AS ({quality_sql.replace("ORDER BY doc_id", "")}),
+    return f"""scored AS ({quality_sql.replace("ORDER BY doc_id", "")}),
     ranked AS (
         SELECT d.source, s.doc_id, s.quality_score,
                ROW_NUMBER() OVER (PARTITION BY d.source
                     ORDER BY s.quality_score DESC, s.doc_id ASC) AS rn
         FROM scored s JOIN documents d USING (doc_id)
-    )
-    SELECT source,
-           COUNT(*) AS n_docs,
+    )"""
+
+
+def _caps_agg_cols() -> str:
+    return f"""COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_kept,
            CAST(SUM(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dropped,
            MIN(CASE WHEN rn <= {_DOMAIN_CAP} THEN quality_score END)
                AS min_kept_quality,
-           MAX(quality_score) AS max_quality
+           MAX(quality_score) AS max_quality"""
+
+
+def _domain_caps_oracle() -> str:
+    return f"""
+    WITH {_caps_ranked_ctes()}
+    SELECT source,
+           {_caps_agg_cols()}
     FROM ranked
     GROUP BY source
     ORDER BY source
@@ -3487,30 +3499,16 @@ DOMAIN_CAPS_STANDALONE_ORACLE = _domain_caps_oracle()
 
 
 def _curation_mix_oracle() -> str:
-    quality_sql = _quality_oracle()
     rebal_case = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in _REBALANCE_PCT.items()
     )
     return f"""
-    WITH scored AS ({quality_sql.replace("ORDER BY doc_id", "")}),
-    ranked AS (
-        SELECT d.source, s.doc_id, s.quality_score,
-               ROW_NUMBER() OVER (PARTITION BY d.source
-                    ORDER BY s.quality_score DESC, s.doc_id ASC) AS rn
-        FROM scored s JOIN documents d USING (doc_id)
-    ),
+    WITH {_caps_ranked_ctes()},
     caps AS (
         SELECT 'domain_cap' AS arm, source AS mix_key,
-               COUNT(*) AS n_docs,
+               {_caps_agg_cols()},
                CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_kept,
-               CAST(SUM(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_dropped,
-               CAST(SUM(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
-                    AS DOUBLE) / COUNT(*) AS kept_frac,
-               MIN(CASE WHEN rn <= {_DOMAIN_CAP} THEN quality_score END)
-                   AS min_kept_quality,
-               MAX(quality_score) AS max_quality
+                    AS DOUBLE) / COUNT(*) AS kept_frac
         FROM ranked GROUP BY source
     ),
     marked AS (
@@ -3525,12 +3523,14 @@ def _curation_mix_oracle() -> str:
                COUNT(*) AS n_docs,
                CAST(SUM(kept) AS BIGINT) AS n_kept,
                CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped,
-               CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac,
                CAST(-1.0 AS DOUBLE) AS min_kept_quality,
-               CAST(-1.0 AS DOUBLE) AS max_quality
+               CAST(-1.0 AS DOUBLE) AS max_quality,
+               CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
         FROM marked GROUP BY lang
     )
-    SELECT * FROM caps UNION ALL SELECT * FROM reb
+    SELECT arm, mix_key, n_docs, n_kept, n_dropped, kept_frac,
+           min_kept_quality, max_quality
+    FROM (SELECT * FROM caps UNION ALL SELECT * FROM reb)
     ORDER BY arm, mix_key
     """
 

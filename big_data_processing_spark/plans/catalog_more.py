@@ -2220,10 +2220,13 @@ def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the merge rewrote at least one file, and every rewritten file was
       recorded under the OLD spec (has "yr", lacks "pri") — under the
       pre-fix pruning the rewrite set is empty and this fires;
-    - the merge's candidate set was the WHOLE snapshot (manifest
-      n_candidates == pre-merge live file count): on an all-old-spec
-      table the conservative keep must defeat partition pruning
-      entirely (r11 — the before-OPTIMIZE half of the pruning story);
+    - the merge's partition prune dropped NOTHING (manifest
+      n_candidates == n_stat_candidates — compared to the stat-probe
+      survivors, not the snapshot file count, so a legitimate
+      stat-range drop on regenerated data can't read as a partition
+      prune): on an all-old-spec table the conservative keep must
+      defeat partition pruning entirely (r11 — the before-OPTIMIZE
+      half of the pruning story);
     - every file the merge ADDED is recorded under the NEW spec (write
       routing follows the manifest's current partition_by, never the
       files' historical specs);
@@ -2237,10 +2240,10 @@ def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
       clone's full live set) and every post-OPTIMIZE live file is
       recorded under the NEW spec (has "pri", lacks "yr") — old-spec
       files were migrated, not carried;
-    - a follow-up single-priority MERGE's candidate set SHRINKS below
-      the live file count (manifest n_candidates — partition pruning is
-      restored) and every file it rewrote is recorded in the hit
-      priority's partition.
+    - a follow-up single-priority MERGE's partition prune strictly
+      SHRINKS the stat-probe survivors (n_candidates <
+      n_stat_candidates — partition pruning is restored) and every
+      file it rewrote is recorded in the hit priority's partition.
     The hashed surface key-joins both tables' (yr, pri) rollups —
     create→merge→delete on the main clone, create→optimize→merge on the
     second — against one SQL reconstruction, so a green hash certifies
@@ -2283,10 +2286,15 @@ def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = _read_manifest(t, v_merge)
         pre_files = _read_manifest(t, v_merge - 1)["files"]
         by_path = {e["path"]: e for e in pre_files}
-        if m["n_candidates"] != len(pre_files):
+        # compare post-partition-prune to post-stat-prune, NOT to the
+        # snapshot's file count: the stat-range probe on ok may
+        # legitimately drop a file on regenerated data, and that must
+        # not read as a partition prune (r11 review)
+        if m["n_candidates"] != m["n_stat_candidates"]:
             raise RuntimeError(
-                f"cross-spec merge pruned {len(pre_files) - m['n_candidates']} "
-                "of an all-old-spec snapshot — the conservative keep is dead"
+                f"cross-spec merge partition-pruned "
+                f"{m['n_stat_candidates'] - m['n_candidates']} of an "
+                "all-old-spec snapshot — the conservative keep is dead"
             )
         if not m["rewrote"]:
             raise RuntimeError(
@@ -2331,7 +2339,8 @@ def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # --- OPTIMIZE spec migration (r11): second clone of the same
         # all-old-spec fixture, compacted FIRST, then merged ---
-        t2 = clone_to(src, os.path.join(tmp, "opt"))
+        with timed_phase("txnlog_partition_evolution"):
+            t2 = clone_to(src, os.path.join(tmp, "opt"))
         n_pre = len(_read_manifest(t2, 0)["files"])
         v_opt = txn_optimize(spark, t2, target_rows=10_000_000)
         if v_opt is None:
@@ -2361,11 +2370,14 @@ def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v2 = txn_merge(spark, t2, upd2, key_cols=["ok", "pri"])
         m2 = _read_manifest(t2, v2)
-        if not (1 <= m2["n_candidates"] < len(mo["files"])):
+        # pruning-restored = the partition prune strictly shrank the
+        # stat-probe survivors (not the raw file count, which the stat
+        # probe alone could shrink)
+        if not (1 <= m2["n_candidates"] < m2["n_stat_candidates"]):
             raise RuntimeError(
                 f"partition pruning not restored after optimize: "
-                f"{m2['n_candidates']} candidates over {len(mo['files'])} "
-                "live files"
+                f"{m2['n_candidates']} candidates of "
+                f"{m2['n_stat_candidates']} stat-probe survivors"
             )
         opt_by_path = {e["path"]: e for e in mo["files"]}
         for p in m2["rewrote"]:

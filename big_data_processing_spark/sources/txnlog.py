@@ -727,6 +727,7 @@ def _plan_merge(
             ]
         else:
             candidates = list(m["files"])
+        n_stat_candidates = len(candidates)
         candidates = _partition_prune_candidates(
             candidates, upd_keys, key_cols, partition_by
         )
@@ -807,11 +808,18 @@ def _plan_merge(
         # staged merge in O(1) manifest reads instead of walking every
         # committed version to prove a file isn't shared
         "added": sorted(e["path"] for e in new_files),
-        # observability: how many files survived stat-range + partition
-        # pruning and were actually scanned by the exact semi-join.
-        # Equal to the read snapshot's file count when nothing could be
-        # pruned (e.g. the conservative keep on pre-evolution files);
-        # strictly smaller proves pruning was live for this plan.
+        # observability: candidate counts after EACH planning prune —
+        # n_stat_candidates after the stat-range probe, n_candidates
+        # after the partition prune on top of it (= what the exact
+        # semi-join scanned).  Comparing the two isolates partition
+        # pruning from stat pruning: equal means the partition prune
+        # dropped nothing (e.g. the conservative keep on pre-evolution
+        # files); n_candidates strictly smaller proves partition
+        # pruning was live for this plan.  Comparing n_candidates to
+        # the snapshot's file count instead would conflate the two
+        # prunes and misread a legitimate stat-range drop as a
+        # partition prune (r11 review).
+        "n_stat_candidates": n_stat_candidates,
         "n_candidates": len(candidates),
     }
     if partition_by:
