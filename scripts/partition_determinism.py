@@ -58,6 +58,11 @@ SUBSET = [
     "serving_top_nations_monthly",
     "knn_ivf_refresh",
     "dashboard_grouping_sets",
+    # round-11 addition: the span detector's bucket-cap/dup-test window
+    # and per-doc lag window both repartition; duplicated-position sets
+    # (and therefore the merged span geometry) must not vary with how
+    # the gram explode's tasks are laid out
+    "dedup_span_coverage",
 ]
 
 
