@@ -701,6 +701,15 @@ def _run_history(spark, root: str, seed: int, n_ops: int = 10) -> None:
                 ", ".join(f"{c} long" for c in cols),
             )
             txn_merge(spark, t, sdf, ["k"])
+            # r11 manifest observability invariants: pruning only ever
+            # narrows (stat probe then partition prune), and the
+            # rewrite set is drawn from the post-prune candidates
+            mm = tl._read_manifest(t, tl.latest_version(t))
+            assert (
+                len(mm["rewrote"])
+                <= mm["n_candidates"]
+                <= mm["n_stat_candidates"]
+            ), (mm["rewrote"], mm["n_candidates"], mm["n_stat_candidates"])
             state.update({k: dict(r) for k, r in upd.items()})
             versions.append((snapshot(), list(cols)))
         elif op == "delete":
