@@ -1022,3 +1022,32 @@ def test_span_merge_geometry(spark):
         rows[2].covered_tokens,
         rows[2].dup_coverage,
     ) == (8, 0, 0, 0, 0.0)
+
+
+def test_span_stats_at_production_gram_size(spark):
+    """The catalog entry runs k=8 against the short fixture docs; the
+    production grain is k~50 tokens (Lee et al. 2022). Pin that the
+    operator works unchanged at that grain: a 60-token verbatim block
+    shared by two long docs is detected as one maximal span covering
+    exactly the 60 shared tokens, and a doc shorter than k produces
+    the zero-filled row instead of an error."""
+    from big_data_processing_spark.operators.dedup import duplicated_span_stats
+
+    k = 50
+    shared = " ".join(f"s{i}" for i in range(60))
+    doc_a = " ".join(f"a{i}" for i in range(70)) + " " + shared
+    doc_b = shared + " " + " ".join(f"b{i}" for i in range(40))
+    short = "too short for any gram"
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, short)], ["doc_id", "text"]
+    )
+    rows = {r.id: r for r in duplicated_span_stats(df, k=k).collect()}
+    # 60 shared tokens at k=50 -> 11 duplicated gram positions per doc,
+    # contiguous -> one span of exactly 60 covered tokens
+    for did, n_tok in ((0, 130), (1, 100)):
+        r = rows[did]
+        assert (r.n_tokens, r.n_dup_positions, r.n_spans, r.covered_tokens) == (
+            n_tok, 11, 1, 60,
+        ), (did, tuple(r))
+    assert (rows[2].n_dup_positions, rows[2].covered_tokens) == (0, 0)
+    assert rows[2].n_tokens == 5
