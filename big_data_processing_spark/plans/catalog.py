@@ -83,42 +83,41 @@ def query(
 # not registered are ignored, so the list can name entries added later
 # in the build.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 11 ---
-    # The 47 entries last green in r9 are the stalest and autofill the
-    # back of the r11 window; the names below are this round's plan
+    # --- round 12 ---
+    # The 46 entries last green in r10 are the stalest and autofill the
+    # back of the r12 window; the names below are this round's plan
     # changes and new entries.  Window arithmetic (re-simulated by
-    # tests/test_window_accounting.py): after the TWO r11 twin merges
-    # (dedup_prefix_levenshtein retired into dedup_ngram_jaccard;
-    # curation_lang_rebalance retired into curation_domain_caps —
-    # catalog 97→96 net of the new span entry), 4 priority (one of
-    # which, curation_domain_caps, was itself r9-stale and already
-    # window-bound) + the 45 remaining r9-stale + 1 r10-green filler
-    # = 50 slots; every entry outside carries an r10-green row.
+    # tests/test_window_accounting.py): after the r12 twin merge
+    # (binary_payload_stats retired into multimodal_stub_features —
+    # catalog 96 net of the new image-phash entry), the must-verify set
+    # is 45 remaining r10-stale + this priority list (the merge target
+    # was itself r10-stale and already window-bound, so only the new
+    # image entry consumes an extra slot): ≤47 of 50 slots, the rest
+    # autofill with the least-fresh r11-green entries.
     #
-    # Twin merge (judge r10 item 4; retiree keeps a local pytest
+    # Twin merge (judge r11 item 4; retiree keeps a local pytest
     # oracle + reconstruction test per the CLAUDE.md pattern):
-    #   dedup_ngram_jaccard absorbs dedup_prefix_levenshtein — both
-    #   verify the SAME 40-char-prefix-blocked candidate pairs, so the
-    #   merged entry computes shingle-Jaccard and tail-Levenshtein in
-    #   ONE self-join pass (pair grain unchanged).
-    "dedup_ngram_jaccard",
-    # New in round 11 (judge r10 item 2): exact substring-level dedup —
-    # cross-document duplicated-span detection over positional k-gram
-    # hashes (bucketed inverted index, adjacent hits merged into
-    # maximal spans; the modality whole-doc MinHash can't see).
-    "dedup_span_coverage",
-    # Contract change (judge r10 item 3): txnlog_partition_evolution
-    # now also certifies that OPTIMIZE after partition evolution
-    # migrates old-spec files to the current spec and RESTORES
-    # partition pruning for a follow-up MERGE (in-query raises on the
-    # post-OPTIMIZE manifest + the shrunken candidate set).
-    "txnlog_partition_evolution",
-    # Second r11 twin merge (judge r10 item 4, banking headroom for
-    # r12): curation_domain_caps absorbs curation_lang_rebalance as
-    # its 'lang_rebalance' arm (same documents population, one mix-
-    # policy surface per arm; the grains differ — source vs lang — so
-    # the union-of-arms shape is used, like setops_family).
-    "curation_domain_caps",
+    #   multimodal_stub_features absorbs binary_payload_stats — both
+    #   summarize the SAME text_as_media payload frame, so the merged
+    #   entry unions the doc-grain Arrow-extracted feature rows with
+    #   the source-grain byte rollup computed FROM those rows (one
+    #   mapInPandas pass feeds both arms).
+    "multimodal_stub_features",
+    # New in round 12 (judge r11 item 3): image perceptual-hash
+    # near-dup — dHash over the REAL PNG decode path, hamming-banded
+    # pair generation (the Manku bit-block pigeonhole reused from
+    # simhash_hamming_pairs), closed-form pixel fixtures so DuckDB can
+    # state the expected hashes without decoding PNG.  (The name is
+    # appended in the commit that registers the entry —
+    # test_priority_names_are_registered rejects unregistered names.)
+    # txnlog bench-I/O footprint shrink (judge r11 item 2a): the
+    # lifecycle entries' per-run table builds write fewer files per
+    # commit at bench scale (hash surfaces unchanged — row/sum
+    # certificates carry no file counts).  All txnlog entries are
+    # r10-stale and re-verify inside the r12 window by staleness
+    # alone; restore_history is listed explicitly as the one whose
+    # build layout changed most (4-file repartitionByRange dropped).
+    "txnlog_restore_history",
 )
 
 
