@@ -475,7 +475,18 @@ def duplicated_span_stats(
     (two text scans, two h-shuffles); the window form keeps it one
     scan, one exchange.  The span merge is a per-document window
     (lag), and the doc-grain aggregate reuses that partitioning.  Only
-    slim (id, pos, hash) rows ever move — never text.  Cross-doc
+    slim (id, pos, hash) rows ever move — never text.
+
+    Honest straggler note (ADVICE r11): the cap bounds what flows
+    DOWNSTREAM, but the Window.partitionBy("h") pass that computes it
+    still materializes every occurrence of a hot boilerplate gram in
+    ONE task before dropping the bucket — linear, never quadratic, yet
+    on a boilerplate-heavy 100 TB corpus that one task is a straggler
+    and can spill.  The refinement, if a real corpus bites: a salted
+    two-level aggregate (groupBy(h, salt) partials → groupBy(h) merge
+    of count/min/max) broadcast back onto the gram rows, trading one
+    extra tiny exchange for a bounded per-task bucket slice.  Same
+    tradeoff as every cap_bucket_size consumer (see its docstring).  Cross-doc
     equality is tested on the md5-derived hash (bit-identical in every
     engine; a 2^-32 collision shows up identically on both sides of
     the oracle).

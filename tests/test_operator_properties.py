@@ -974,9 +974,14 @@ def test_span_stats_match_python_reference(spark, docs):
     from big_data_processing_spark.operators.dedup import duplicated_span_stats
 
     df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # max_bucket_size=None: the pure-Python reference does not model
+    # the bucket cap, so the operator must run uncapped here — with
+    # the default cap this only passed because the documents()
+    # strategy tops out below it, a silent coupling that would turn
+    # into a flake if the strategy widened (ADVICE r11).
     got = {
         r.id: (r.n_tokens, r.n_dup_positions, r.n_spans, r.covered_tokens)
-        for r in duplicated_span_stats(df, k=4).collect()
+        for r in duplicated_span_stats(df, k=4, max_bucket_size=None).collect()
     }
     assert got == _py_span_stats(docs, k=4)
 
