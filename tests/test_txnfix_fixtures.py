@@ -48,13 +48,13 @@ def test_cdf_fixture_is_shared_and_never_mutated(spark, sf_dir):
 
 
 def test_mutating_entries_clone_and_leave_fixture_alone(spark, sf_dir):
-    from big_data_processing_spark.plans.txnfix import create4_fixture
+    from big_data_processing_spark.plans.txnfix import create_fixture
     from big_data_processing_spark.sources.txnlog import (
         _read_manifest,
         latest_version,
     )
 
-    src = create4_fixture(spark, sf_dir)
+    src = create_fixture(spark, sf_dir)
     before = _read_manifest(src, 0)["files"]
     for name in (
         "txnlog_merge_snapshot",
@@ -64,7 +64,7 @@ def test_mutating_entries_clone_and_leave_fixture_alone(spark, sf_dir):
     ):
         CATALOG[name].fn(spark, sf_dir).collect()
         assert latest_version(src) == 0, (
-            f"{name} committed to the shared create4 fixture"
+            f"{name} committed to the shared base-create fixture"
         )
         missing = [
             e["path"]

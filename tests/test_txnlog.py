@@ -407,12 +407,18 @@ def test_optimize_cluster_restores_pruning(spark, tmp_path):
         txn_merge(spark, t, ins, key_cols=["k"])
     before_rows = _rows(txn_read(spark, t))
 
-    v = txn_optimize(spark, t, target_rows=100, cluster=True)
+    # target 101, not 100: _sized_for_rewrite makes each insert-merge
+    # land as ONE 100-row file, and a file at exactly target_rows is
+    # correctly "big enough to keep" — the fixture's full-range-
+    # spanning files must count as small for the cluster pass to
+    # rewrite them all (the clustering behavior under test is
+    # unchanged; only the fixture's file sizes moved).
+    v = txn_optimize(spark, t, target_rows=101, cluster=True)
     assert v is not None
     m = _read_manifest(t, v)
     assert m.get("clustered") is True
     files = sorted(m["files"], key=lambda e: e["lo"])
-    assert len(files) == 4  # 400 rows / 100 target
+    assert len(files) == 4  # ceil(400 rows / 101 target)
     for a, b in zip(files, files[1:]):
         assert a["hi"] < b["lo"], "clustered file ranges must be disjoint"
     assert _rows(txn_read(spark, t)) == before_rows
