@@ -94,9 +94,32 @@ def decode_stub_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield out
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payloads."""
-    return media.mapInPandas(decode_stub_features, schema=FEATURE_SCHEMA)
+def extract_features(
+    media: DataFrame, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payloads.
+
+    ``carry_cols`` names metadata columns of ``media`` (e.g.
+    ``meta_source``) to pass through the Arrow hop untouched, appended
+    after the feature columns — so ONE decode pass can feed both a
+    per-media feature consumer and a metadata-grain rollup without a
+    join back to the media frame (r12: the merged
+    multimodal_stub_features entry aggregates its source arm off the
+    same pass the doc arm reads)."""
+    if not carry_cols:
+        return media.mapInPandas(decode_stub_features, schema=FEATURE_SCHEMA)
+    schema = T.StructType(
+        FEATURE_SCHEMA.fields + [media.schema[c] for c in carry_cols]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = next(decode_stub_features(iter([pdf])))
+            for c in carry_cols:  # same row order as the decode output
+                out[c] = pdf[c]
+            yield out
+
+    return media.mapInPandas(fn, schema=schema)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -430,6 +453,144 @@ def sample_apng_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 )
 
     return media.mapInPandas(fn, schema=FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing (dHash) — near-duplicate detection over pixels
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def synthesize_neardup_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GRAYSCALE near-duplicate PNG fixture per id — the
+    closed-form-oracle pattern of synthesize_png_media, shaped so that
+    groups of 4 consecutive selected ids are near-duplicate images:
+
+    with k = id // 10 (the fixture is meant for ids ≡ 0 mod 10),
+    g = k // 4 the dup group and every image a 9x8 grid of
+    constant-value blocks rendered at per-id scale (sx, sy) =
+    (1 + k%3, 1 + (k//3)%2) — so group members share content at
+    DIFFERENT pixel sizes, exactly what a perceptual hash must see
+    through.  Block (gx, gy) value:
+
+        base = (g*37 + gx*gx*13 + gy*gy*29 + gx*gy*7 + g*gx*3) % 256
+        v    = (base + 128) % 256  if k%2 == 1 and (gx, gy) ==
+               ((k*3) % 9, (k*5) % 8)   else base
+
+    i.e. odd members carry one strongly-perturbed block (<= 2 dHash
+    bits per perturbation), so within-group hamming stays <= 4 while
+    cross-group patterns differ at many bit positions.  Encoded
+    through the REAL PNG writer; a SQL oracle states the expected
+    pooled grid (and hence the expected dHash) without decoding PNG."""
+    from .mediacodec import encode_png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                k = mid // 10
+                g, m = k // 4, k % 2
+                px, py = (k * 3) % 9, (k * 5) % 8
+                sx, sy = 1 + k % 3, 1 + (k // 3) % 2
+                w, h = 9 * sx, 8 * sy
+                cells = [
+                    [
+                        (g * 37 + gx * gx * 13 + gy * gy * 29
+                         + gx * gy * 7 + g * gx * 3) % 256
+                        for gx in range(9)
+                    ]
+                    for gy in range(8)
+                ]
+                if m == 1:
+                    cells[py][px] = (cells[py][px] + 128) % 256
+                raw = bytes(
+                    cells[y // sy][x // sx]
+                    for y in range(h)
+                    for x in range(w)
+                )
+                out.append((mid, encode_png(w, h, 1, raw)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return spread(ids.select(id_col), id_col, cap=8).mapInPandas(
+        fn,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_image_dhash(
+    media: DataFrame, grid_w: int = 9, grid_h: int = 8, bits: int = 60
+) -> DataFrame:
+    """REAL-decode difference hash (dHash) over Arrow batches: decode
+    the PNG, collapse to exact integer grayscale (channel sum // n —
+    pure ints, no float luminance), pool to a ``grid_w x grid_h`` grid
+    by exact integer block means (sum // pixel count over the block's
+    [gx*w//grid_w, (gx+1)*w//grid_w) slice — size-invariant, the whole
+    point of a perceptual hash), and pack bit b = gy*(grid_w-1) + gx
+    (b < ``bits``) as ``pooled[gy][gx+1] > pooled[gy][gx]``.
+
+    60 bits, not the folkloric 64: the fingerprint then drops straight
+    into the SimHash banding machinery
+    (dedup.hamming_pairs_from_fingerprints, radius+1 blocks of
+    bits/(radius+1) bits) and stays clear of signed-long overflow on
+    both engines.  All arithmetic is closed-form integer, so a SQL
+    oracle reproduces the exact hash from a closed-form pixel rule.
+
+    Scale: one Arrow pass, row-local — fingerprints shuffle as slim
+    (id, long) rows into the banded join, never pixels."""
+    import numpy as np
+
+    from .mediacodec import decode_png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, raw = decode_png(bytes(payload))
+                arr = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, ch)
+                )
+                gray = arr.sum(axis=2) // ch
+                xs = [gx * w // grid_w for gx in range(grid_w + 1)]
+                ys = [gy * h // grid_h for gy in range(grid_h + 1)]
+                pooled = [
+                    [
+                        int(
+                            gray[ys[gy]:ys[gy + 1], xs[gx]:xs[gx + 1]].sum()
+                            // (
+                                (ys[gy + 1] - ys[gy])
+                                * (xs[gx + 1] - xs[gx])
+                            )
+                        )
+                        for gx in range(grid_w)
+                    ]
+                    for gy in range(grid_h)
+                ]
+                hval = 0
+                for gy in range(grid_h):
+                    for gx in range(grid_w - 1):
+                        b = gy * (grid_w - 1) + gx
+                        if b >= bits:
+                            break
+                        if pooled[gy][gx + 1] > pooled[gy][gx]:
+                            hval |= 1 << b
+                out.append((int(mid), hval))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(fn, schema=DHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -422,6 +422,45 @@ def test_prefix_levenshtein_columns_equal_retired_entry(spark, sf_dir):
     assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
 
 
+def test_binary_payload_stats_oracle_parity(spark, duck, sf_dir):
+    """The standalone payload-byte-stats entry (retired from the
+    catalog in r12: multimodal_stub_features carries it as its
+    'source' arm) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        BINARY_PAYLOAD_STATS_ORACLE,
+        binary_payload_stats,
+    )
+
+    result = binary_payload_stats(spark, sf_dir)
+    oracle = duck.sql(BINARY_PAYLOAD_STATS_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_payload_source_arm_equal_retired_entry(spark, sf_dir):
+    """Projecting the merged entry's 'source' arm back to the retired
+    entry's columns must reconstruct its rows exactly — the byte stats
+    are the same aggregates over the same media frame; only the route
+    changed (aggregated off the shared Arrow decode pass instead of a
+    second JVM scan), which is precisely what this pin certifies."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        binary_payload_stats,
+    )
+
+    merged = (
+        CATALOG["multimodal_stub_features"].fn(spark, sf_dir)
+        .filter("arm = 'source'")
+        .selectExpr(
+            "key AS source", "n_payloads", "total_bytes", "max_bytes",
+            "avg_bytes",
+        )
+        .orderBy("source")
+        .collect()
+    )
+    retired = binary_payload_stats(spark, sf_dir).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
+
+
 def test_lang_rebalance_oracle_parity(spark, duck, sf_dir):
     """The standalone language-rebalance entry (retired from the
     catalog in r11: curation_domain_caps carries it as its
