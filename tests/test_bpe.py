@@ -1,0 +1,147 @@
+"""BPE tokenizer: bounded training + distributed column-pipeline
+encode (operators/bpe.py) against an INDEPENDENT pure-Python greedy
+reference — the reference encodes by rank-priority fixpoint (the
+Sennrich/HF semantics), the engine encodes one fold pass per merge in
+order; the parity assertions are the proof the two agree (see the
+module docstring's argument for why)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_processing_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode_corpus,
+    bpe_encode_words,
+    train_bpe_merges,
+    word_counts,
+)
+from big_data_processing_spark.sources.readers import load_table
+
+from .conftest import TEST_SF_DIR
+
+
+def _ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Greedy-by-rank reference (Sennrich's algorithm): repeatedly find
+    the PRESENT pair with the lowest merge rank and apply one
+    left-to-right pass of it, until no learned pair is present."""
+    rank = {p: i for i, p in enumerate(merges)}
+    seq = list(word) + [END_OF_WORD]
+    while True:
+        present = {
+            (seq[i], seq[i + 1]) for i in range(len(seq) - 1)
+        } & rank.keys()
+        if not present:
+            return seq
+        a, b = min(present, key=rank.__getitem__)
+        out: list[str] = []
+        for s in seq:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        seq = out
+
+
+def _ref_train(word_n: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Independent training reference over an explicit frequency table."""
+    vocab = [(list(w) + [END_OF_WORD], n) for w, n in word_n.items()]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, n in vocab:
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] = (
+                    counts.get((seq[i], seq[i + 1]), 0) + n
+                )
+        if not counts:
+            break
+        top = max(counts.values())
+        pair = min(p for p, c in counts.items() if c == top)
+        merges.append(pair)
+        nxt = []
+        for seq, n in vocab:
+            out: list[str] = []
+            for s in seq:
+                if out and out[-1] == pair[0] and s == pair[1]:
+                    out[-1] = pair[0] + pair[1]
+                else:
+                    out.append(s)
+            nxt.append((out, n))
+        vocab = nxt
+    return merges
+
+
+def test_training_matches_reference_on_fixed_table(spark):
+    """Training on an explicit tiny corpus must reproduce the textbook
+    merge sequence (computed by the independent reference over the
+    same frequency table)."""
+    docs = [
+        (0, "low low low lower lower"),
+        (1, "lowest lowest newest newest newest"),
+        (2, "new new newer"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    counts = {r.word: r.n for r in word_counts(df).collect()}
+    got = train_bpe_merges(df, n_merges=8)
+    assert got == _ref_train(counts, 8)
+    # sanity: the corpus's dominant pattern gets merged early
+    assert ("l", "o") in got or ("o", "w") in got
+
+
+def test_encode_words_matches_greedy_reference(spark):
+    """The per-merge fold pipeline must produce EXACTLY the greedy
+    rank-priority reference encoding for every distinct word —
+    including words with repeated characters (overlap geometry) and
+    words unseen in training (which decompose to chars + sentinel)."""
+    docs = [
+        (0, "banana bandana cabana"),
+        (1, "banana banana bananas"),
+        (2, "aaa aaaa aab abab"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    merges = train_bpe_merges(df, n_merges=10)
+    words = ["banana", "bandana", "cabana", "bananas", "aaa", "aaaa",
+             "aab", "abab", "zzz", "ban"]
+    wdf = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {
+        r.word: list(r.subtokens)
+        for r in bpe_encode_words(wdf, merges).collect()
+    }
+    for w in words:
+        assert got[w] == _ref_encode(w, merges), (w, got[w])
+    # round-trip: concatenation restores the word + sentinel
+    for w in words:
+        assert "".join(got[w]) == w + END_OF_WORD
+
+
+def test_encode_corpus_on_documents(spark):
+    """Corpus encode over the real documents table: every token
+    occurrence carries the same subtokens its distinct word encodes to
+    (the join-back is lossless), and the reference agrees on a sample
+    of distinct words."""
+    df = load_table(spark, TEST_SF_DIR, "documents").limit(40)
+    merges = train_bpe_merges(df, n_merges=12, max_words=500)
+    enc = bpe_encode_corpus(df, merges)
+    rows = enc.collect()
+    assert rows, "corpus encode returned nothing"
+    by_word: dict[str, tuple] = {}
+    for r in rows:
+        assert "".join(r.subtokens) == r.word + END_OF_WORD
+        assert r.n_subtokens == len(r.subtokens)
+        prev = by_word.setdefault(r.word, tuple(r.subtokens))
+        assert prev == tuple(r.subtokens)  # one encoding per word
+    sample = sorted(by_word)[:25]
+    for w in sample:
+        assert list(by_word[w]) == _ref_encode(w, merges), w
+
+
+def test_encode_plan_is_shuffle_free_per_word(spark):
+    """The vocabulary encode itself must stay row-local: no exchange
+    between the distinct-word scan and the fold pipeline (the only
+    shuffles in the corpus plan are the distinct and the join-back)."""
+    wdf = spark.createDataFrame([("abc",), ("abd",)], ["word"])
+    plan = bpe_encode_words(
+        wdf, [("a", "b"), ("ab", "c")]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan
