@@ -285,14 +285,41 @@ def simhash_hamming_pairs(
     are capped BY DEFAULT (:data:`DEFAULT_MAX_BUCKET_SIZE`; ``None``
     opts out). Returns (id_a, id_b, hamming) with id_a < id_b, ordered.
     """
+    fp = simhash_fingerprints(df, text_col, id_col, bits=bits)
+    return hamming_pairs_from_fingerprints(
+        fp, bits=bits, radius=radius, max_block_size=max_block_size
+    )
+
+
+def hamming_pairs_from_fingerprints(
+    fp: DataFrame,
+    bits: int,
+    radius: int,
+    max_block_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    id_col: str = "id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """The banded bit-block hamming join of :func:`simhash_hamming_pairs`
+    over PRECOMPUTED fingerprints (r12: extracted so the image dHash
+    near-dup path shares it — any row-local bit fingerprint gets the
+    same Manku et al. pigeonhole machinery: split into ``radius + 1``
+    blocks, block collisions are the only candidates, verify exactly
+    with bit_count(a ^ b) <= radius).
+
+    ``fp`` carries one fingerprint LONG per id.  Same scale shape and
+    bucket-cap policy as the text form; returns (id_a, id_b, hamming)
+    with id_a < id_b, ordered."""
     blocks = radius + 1
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
-    # persist barrier: the fingerprint is an interpreted HOF fold that
+    # persist barrier: the fingerprint may be an interpreted expression
+    # (text HOF fold) or an Arrow-batched decode (image dHash) that
     # CollapseProject would otherwise substitute into every block term
     # and both join sides (recomputed ~blocks x 2 times per row);
     # caller-released via util.release_barriers
-    fp = persist_barrier(simhash_fingerprints(df, text_col, id_col, bits=bits))
+    fp = persist_barrier(
+        fp.select(F.col(id_col).alias("id"), F.col(fp_col).alias("simhash"))
+    )
     banded_raw = fp.select(
         "id",
         "simhash",

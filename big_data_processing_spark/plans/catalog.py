@@ -89,11 +89,12 @@ _PRIORITY: tuple[str, ...] = (
     # changes and new entries.  Window arithmetic (re-simulated by
     # tests/test_window_accounting.py): after the r12 twin merge
     # (binary_payload_stats retired into multimodal_stub_features —
-    # catalog 96 net of the new image-phash entry), the must-verify set
-    # is 45 remaining r10-stale + this priority list (the merge target
-    # was itself r10-stale and already window-bound, so only the new
-    # image entry consumes an extra slot): ≤47 of 50 slots, the rest
-    # autofill with the least-fresh r11-green entries.
+    # catalog 97 net of the two new entries), the must-verify set is
+    # 45 remaining r10-stale + this priority list (the merge target
+    # and restore_history are themselves r10-stale and already
+    # window-bound, so only the two NEW entries consume extra slots):
+    # 47 of 50 slots, the rest autofill with the least-fresh r11-green
+    # entries.  r13 budget: 97 - 50 = 47 stale → ≤3 new/changed.
     #
     # Twin merge (judge r11 item 4; retiree keeps a local pytest
     # oracle + reconstruction test per the CLAUDE.md pattern):
@@ -107,9 +108,14 @@ _PRIORITY: tuple[str, ...] = (
     # near-dup — dHash over the REAL PNG decode path, hamming-banded
     # pair generation (the Manku bit-block pigeonhole reused from
     # simhash_hamming_pairs), closed-form pixel fixtures so DuckDB can
-    # state the expected hashes without decoding PNG.  (The name is
-    # appended in the commit that registers the entry —
-    # test_priority_names_are_registered rejects unregistered names.)
+    # state the expected hashes without decoding PNG.
+    "image_phash_neardup",
+    # New in round 12 (judge r11 item 6): full BPE tokenizer encode —
+    # the per-merge F.aggregate fold pipeline over the top-300 words,
+    # hash-checked against literals from the INDEPENDENT greedy
+    # rank-priority reference (training shared via the IVF-centroid
+    # callable-oracle pattern).
+    "bpe_vocab_encode",
     # txnlog bench-I/O footprint shrink (judge r11 item 2a): the
     # lifecycle entries' per-run table builds write fewer files per
     # commit at bench scale (hash surfaces unchanged — row/sum

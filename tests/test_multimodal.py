@@ -588,3 +588,121 @@ def test_avi_topdown_negative_height_not_flipped():
     _, _, _, (got_td,) = decode_avi_rgb24(bytes(avi))
     assert got_td == bytes([200] * 9 + [10] * 9)
     assert got_td != got_bu
+
+
+def _ref_dhash(mid: int) -> int:
+    """Independent pure-Python recomputation of the near-dup fixture's
+    60-bit dHash from the closed pixel rule (the same arithmetic the
+    DuckDB oracle states in SQL)."""
+    k = mid // 10
+    g, m = k // 4, k % 2
+    px, py = (k * 3) % 9, (k * 5) % 8
+    cells = [
+        [
+            (g * 37 + gx * gx * 13 + gy * gy * 29 + gx * gy * 7 + g * gx * 3)
+            % 256
+            for gx in range(9)
+        ]
+        for gy in range(8)
+    ]
+    if m == 1:
+        cells[py][px] = (cells[py][px] + 128) % 256
+    h = 0
+    for gy in range(8):
+        for gx in range(8):
+            b = gy * 8 + gx
+            if b >= 60:
+                break
+            if cells[gy][gx + 1] > cells[gy][gx]:
+                h |= 1 << b
+    return h
+
+
+def test_image_dhash_matches_closed_form(spark):
+    """The REAL decode path (PNG codec → exact integer grayscale →
+    exact integer block-mean pooling → bit pack) must reproduce the
+    fixture's closed-form hash bit-for-bit — this equality is what
+    lets a SQL oracle verify the whole perceptual-hash pipeline
+    without decoding PNG."""
+    from big_data_processing_spark.operators.multimodal import (
+        extract_image_dhash,
+        synthesize_neardup_png_media,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 400, 10)], ["doc_id"])
+    media = synthesize_neardup_png_media(ids)
+    got = {r.media_id: r.dhash for r in extract_image_dhash(media).collect()}
+    assert got == {i: _ref_dhash(i) for i in range(0, 400, 10)}
+
+
+def test_image_dhash_resolution_invariant(spark):
+    """Same content rendered at different pixel sizes must hash
+    IDENTICALLY — the size-invariance a perceptual hash exists for.
+    Group members with m=0 share the exact grid but get different
+    (sx, sy) render scales: ids 0 (9x8) and 160 (27x8) are both
+    m=0 of g-equivalent content only when g matches, so compare
+    within one group: ids 0 (k=0, 9x8) and 20 (k=2, 27x8) share
+    g=0, m=0."""
+    from big_data_processing_spark.operators.multimodal import (
+        extract_image_dhash,
+        synthesize_neardup_png_media,
+    )
+    from big_data_processing_spark.operators.mediacodec import decode_png
+
+    ids = spark.createDataFrame([(0,), (20,)], ["doc_id"])
+    media = synthesize_neardup_png_media(ids)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    dims = {i: decode_png(p)[:2] for i, p in payloads.items()}
+    assert dims[0] != dims[20], "fixture must render at different sizes"
+    hashes = {r.media_id: r.dhash for r in extract_image_dhash(media).collect()}
+    assert hashes[0] == hashes[20]
+
+
+def test_image_dhash_on_rgb_decode_path(spark):
+    """The extractor's grayscale collapse must also run on the RGB
+    fixture (3-channel PNGs through the same real codec) — integer
+    channel-mean, no float luminance, deterministic across runs."""
+    from big_data_processing_spark.operators.multimodal import (
+        extract_image_dhash,
+        synthesize_png_media,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 100, 25)], ["doc_id"])
+    media = synthesize_png_media(ids)
+    a = {r.media_id: r.dhash for r in extract_image_dhash(media).collect()}
+    b = {r.media_id: r.dhash for r in extract_image_dhash(media).collect()}
+    assert a == b and len(a) == 4
+    assert all(0 <= h < (1 << 60) for h in a.values())
+
+
+def test_image_neardup_pairs_group_structure(spark):
+    """End-to-end on the fixture: every within-group pair must be
+    reported within radius 4 (each odd member's single perturbed block
+    moves at most 2 bits), with hamming 0 for the unperturbed m=0
+    twins rendered at different scales."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from big_data_processing_spark.operators.dedup import (
+        hamming_pairs_from_fingerprints,
+    )
+    from big_data_processing_spark.operators.multimodal import (
+        extract_image_dhash,
+        synthesize_neardup_png_media,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 160, 10)], ["doc_id"])
+    fp = extract_image_dhash(synthesize_neardup_png_media(ids))
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs_from_fingerprints(
+            fp, bits=60, radius=4, id_col="media_id", fp_col="dhash"
+        ).collect()
+    }
+    for g in range(4):
+        members = [40 * g + 10 * j for j in range(4)]
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                assert (a, b) in pairs, f"missed within-group pair {(a, b)}"
+                assert pairs[(a, b)] <= 4
+        # the two unperturbed members are exact perceptual duplicates
+        assert pairs[(members[0], members[2])] == 0
