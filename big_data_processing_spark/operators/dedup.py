@@ -478,6 +478,7 @@ def duplicated_span_stats(
     id_col: str = "doc_id",
     k: int = 8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    cap_stats: str = "window",
 ) -> DataFrame:
     """Exact substring-level dedup: per-document duplicated-span
     coverage (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -504,16 +505,20 @@ def duplicated_span_stats(
     (lag), and the doc-grain aggregate reuses that partitioning.  Only
     slim (id, pos, hash) rows ever move — never text.
 
-    Honest straggler note (ADVICE r11): the cap bounds what flows
-    DOWNSTREAM, but the Window.partitionBy("h") pass that computes it
-    still materializes every occurrence of a hot boilerplate gram in
-    ONE task before dropping the bucket — linear, never quadratic, yet
-    on a boilerplate-heavy 100 TB corpus that one task is a straggler
-    and can spill.  The refinement, if a real corpus bites: a salted
-    two-level aggregate (groupBy(h, salt) partials → groupBy(h) merge
-    of count/min/max) broadcast back onto the gram rows, trading one
-    extra tiny exchange for a bounded per-task bucket slice.  Same
-    tradeoff as every cap_bucket_size consumer (see its docstring).  Cross-doc
+    Honest straggler note (ADVICE r11): with the default
+    ``cap_stats="window"``, the cap bounds what flows DOWNSTREAM, but
+    the Window.partitionBy("h") pass that computes it still
+    materializes every occurrence of a hot boilerplate gram in ONE
+    task before dropping the bucket — linear, never quadratic, yet on
+    a boilerplate-heavy 100 TB corpus that one task is a straggler
+    and can spill.  ``cap_stats="salted"`` (r12) IS the refinement: a
+    salted two-level aggregate (groupBy(h, salt) partials →
+    groupBy(h) merge of count/min/max) joined back onto the gram
+    rows — one extra exchange, bounded per-task bucket slices,
+    bit-identical output (pinned by the cap-mode equality tests).
+    Default stays "window" (one exchange, the right plan when no gram
+    is degenerate); flip to "salted" when bucket_skew_stats shows a
+    hot tail.  Same tradeoff as every cap_bucket_size consumer.  Cross-doc
     equality is tested on the md5-derived hash (bit-identical in every
     engine; a 2^-32 collision shows up identically on both sides of
     the oracle).
@@ -539,14 +544,42 @@ def duplicated_span_stats(
         .select("id", F.posexplode(gh).alias("p0", "h"))
         .select("id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
     )
-    wb = Window.partitionBy("h")
-    flagged = grams.select(
-        "id",
-        "pos",
-        F.count(F.lit(1)).over(wb).alias("_bsz"),
-        F.min("id").over(wb).alias("_min_id"),
-        F.max("id").over(wb).alias("_max_id"),
-    )
+    if cap_stats == "salted":
+        # The straggler exit (see the honest straggler note above):
+        # per-hash count/min/max via a salted two-level aggregate —
+        # groupBy(h, salt) partials bound any hot gram's slice to
+        # ~bucket/16 rows per task, the tiny per-hash merge is one
+        # row per distinct gram, and the stats broadcast-shape join
+        # back onto the gram rows replaces the single-task window.
+        # Costs one extra exchange + join vs the window form; buys a
+        # bounded per-task bucket slice on boilerplate-heavy corpora.
+        # Result is IDENTICAL by construction (count/min/max are
+        # associative) — pinned by the cap-mode equality tests.
+        salt = F.pmod(F.hash("id", "pos"), F.lit(16))
+        partial = grams.groupBy("h", salt.alias("_salt")).agg(
+            F.count(F.lit(1)).alias("_pc"),
+            F.min("id").alias("_pmin"),
+            F.max("id").alias("_pmax"),
+        )
+        stats = partial.groupBy("h").agg(
+            F.sum("_pc").alias("_bsz"),
+            F.min("_pmin").alias("_min_id"),
+            F.max("_pmax").alias("_max_id"),
+        )
+        flagged = grams.join(stats, "h").select(
+            "id", "pos", "_bsz", "_min_id", "_max_id"
+        )
+    elif cap_stats == "window":
+        wb = Window.partitionBy("h")
+        flagged = grams.select(
+            "id",
+            "pos",
+            F.count(F.lit(1)).over(wb).alias("_bsz"),
+            F.min("id").over(wb).alias("_min_id"),
+            F.max("id").over(wb).alias("_max_id"),
+        )
+    else:
+        raise ValueError(f"unknown cap_stats mode {cap_stats!r}")
     keep = F.col("_min_id") != F.col("_max_id")
     if max_bucket_size is not None:
         keep = keep & (F.col("_bsz") <= max_bucket_size)

@@ -1029,6 +1029,73 @@ def test_span_merge_geometry(spark):
     ) == (8, 0, 0, 0, 0.0)
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(documents())
+def test_span_cap_modes_identical(spark, docs):
+    """cap_stats='salted' (the hot-gram straggler exit, r12) must be
+    BIT-IDENTICAL to the default window form on arbitrary corpora —
+    count/min/max are associative, so the two-level aggregate + join
+    is a pure physical rewrite."""
+    from big_data_processing_spark.operators.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = duplicated_span_stats(df, k=4, max_bucket_size=None).collect()
+    b = duplicated_span_stats(
+        df, k=4, max_bucket_size=None, cap_stats="salted"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_span_cap_modes_identical_when_cap_bites(spark):
+    """Both cap modes must drop EXACTLY the same over-cap buckets: a
+    hot gram repeated across many docs (bucket size 12 > cap 10) is
+    excluded from duplicated positions in both forms, while a
+    below-cap shared run still counts."""
+    from big_data_processing_spark.operators.dedup import duplicated_span_stats
+
+    hot = "h1 h2 h3 h4"  # one k=4 gram per doc, 12 docs -> bucket 12
+    cold = "c1 c2 c3 c4"
+    docs = [(i, f"u{i}a {hot} u{i}b") for i in range(12)]
+    docs += [(100, f"x {cold}"), (101, f"{cold} y")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for mode in ("window", "salted"):
+        rows = {
+            r.id: r
+            for r in duplicated_span_stats(
+                df, k=4, max_bucket_size=10, cap_stats=mode
+            ).collect()
+        }
+        assert all(rows[i].n_dup_positions == 0 for i in range(12)), mode
+        assert rows[100].n_dup_positions == 1 and rows[101].n_dup_positions == 1, mode
+        assert rows[100].covered_tokens == 4, mode
+
+
+def test_span_salted_plan_has_partial_aggregate(spark):
+    """The salted form's whole point: the per-hash stats must come
+    from a two-level aggregate (partial on (h, salt) → merge on h),
+    never a Window over h — assert the optimized plan carries
+    Aggregate nodes and NO window over the gram hash."""
+    from big_data_processing_spark.operators.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f")], ["doc_id", "text"]
+    )
+    plan = (
+        duplicated_span_stats(df, k=4, cap_stats="salted")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the alias is folded away in the optimized plan; the salt term
+    # itself (pmod(hash(id, pos))) must sit in an Aggregate grouping
+    assert "pmod(hash(id" in plan and "Aggregate" in plan, plan[:2000]
+    # the only Window left is the per-doc lag/span merge on id
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^,)]+)", plan):
+        assert m.group(1).startswith("id"), plan[:2000]
+
+
 def test_span_stats_at_production_gram_size(spark):
     """The catalog entry runs k=8 against the short fixture docs; the
     production grain is k~50 tokens (Lee et al. 2022). Pin that the
