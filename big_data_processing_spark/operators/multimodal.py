@@ -547,17 +547,28 @@ def extract_image_dhash(
     both engines.  All arithmetic is closed-form integer, so a SQL
     oracle reproduces the exact hash from a closed-form pixel rule.
 
+    Format dispatch (r12): payloads route by magic bytes — PNG through
+    decode_png, JPEG (SOI 0xFFD8) through the baseline decode_jpeg —
+    so a mixed-format corpus hashes in ONE pass, and the same image
+    content hashes identically across container formats wherever the
+    decode is exact (pinned by test_image_dhash_cross_format).
+
     Scale: one Arrow pass, row-local — fingerprints shuffle as slim
     (id, long) rows into the banded join, never pixels."""
     import numpy as np
 
-    from .mediacodec import decode_png
+    from .mediacodec import decode_jpeg, decode_png
+
+    def _decode(b: bytes):
+        if b[:2] == b"\xff\xd8":
+            return decode_jpeg(b)
+        return decode_png(b)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, ch, raw = decode_png(bytes(payload))
+                w, h, ch, raw = _decode(bytes(payload))
                 arr = (
                     np.frombuffer(raw, dtype=np.uint8)
                     .astype(np.int64)

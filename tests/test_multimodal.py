@@ -706,3 +706,58 @@ def test_image_neardup_pairs_group_structure(spark):
                 assert pairs[(a, b)] <= 4
         # the two unperturbed members are exact perceptual duplicates
         assert pairs[(members[0], members[2])] == 0
+
+
+def test_image_dhash_cross_format(spark):
+    """Format invariance wherever the decode is exact: the SAME pixel
+    content encoded as grayscale PNG and as baseline JPEG (constant
+    8x8 blocks at even offsets from 128 — the exact-quantization
+    regime the JPEG encoder fixtures document) must produce the SAME
+    dHash through the magic-byte dispatch, and a near-duplicate pair
+    ACROSS formats must surface from the banded join."""
+    from big_data_processing_spark.operators.dedup import (
+        hamming_pairs_from_fingerprints,
+    )
+    from big_data_processing_spark.operators.mediacodec import (
+        encode_jpeg_baseline,
+        encode_png,
+    )
+    from big_data_processing_spark.operators.multimodal import (
+        extract_image_dhash,
+    )
+
+    # 9x8 grid of constant 8x8 blocks -> 72x64 px, each grid cell one
+    # JPEG MCU, every value an even offset from 128 (exact decode)
+    def raw_for(seed: int) -> bytes:
+        cells = [
+            [
+                128
+                + 2 * (((gx * gx * 5 + gy * gy * 3 + seed * (gx + 1)) % 49) - 24)
+                for gx in range(9)
+            ]
+            for gy in range(8)
+        ]
+        return bytes(
+            cells[y // 8][x // 8] for y in range(64) for x in range(72)
+        )
+
+    rows = [
+        (0, encode_png(72, 64, 1, raw_for(0))),
+        (1, encode_jpeg_baseline(72, 64, 1, raw_for(0), subsample=False)),
+        (2, encode_png(72, 64, 1, raw_for(17))),  # different content
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    hashes = {r.media_id: r.dhash for r in extract_image_dhash(media).collect()}
+    assert hashes[0] == hashes[1], "PNG and JPEG of same pixels must agree"
+    assert hashes[0] != hashes[2]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs_from_fingerprints(
+            extract_image_dhash(media),
+            bits=60,
+            radius=4,
+            id_col="media_id",
+            fp_col="dhash",
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0, pairs

@@ -133,6 +133,7 @@ _GLOBAL_WINDOW_JUSTIFIED = {
     "global_month_rank",    # ranks distinct (year, month) pairs — dozens
     "vocab_top_tokens",     # rank over the ≤100-row TakeOrdered result
     "bpe_pair_merge_step",  # rank over the ≤20-row TakeOrdered result
+    "bpe_vocab_encode",     # rank over the ≤300-row TakeOrdered vocab
     "bloom_pruned_join_revenue",  # liveness-cert sums over the grouped
                                   # frame — ≤ |priorities|+1 rows (r10)
     # all three now ALSO carry the bounded_global_input limit-probe
