@@ -43,6 +43,18 @@ def test_bench_emits_single_json_line(tmp_path):
         detail = json.load(f)
     assert len(detail["queries"]) == d["n_queries"]
     assert set(detail["spread"]) == set(detail["queries"])
+    # r12 sidecar contract: trimmed spread rides beside the worst-run
+    # range, and the storage fingerprint + io_bound family are present
+    # for bench_delta's IO-DRIFT classification
+    assert set(detail["spread_worst"]) == set(detail["queries"])
+    assert all(
+        detail["spread"][n] <= detail["spread_worst"][n] + 1e-9
+        for n in detail["queries"]
+    )
+    assert detail["io_probe_s"] > 0
+    assert detail["io_bound"] and set(detail["io_bound"]) <= set(
+        detail["queries"]
+    )
     assert detail["runs_per_query"] == 2  # honored from the env override
     # one-time artifact builds must be split out, not hidden in timings
     one_time = [
