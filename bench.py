@@ -238,13 +238,16 @@ def main() -> None:
         # max-min let that single hit inflate the entry's spread and
         # de-sensitize its REGRESSION band for a whole round (16
         # entries carried spreads >50% of min in the r11 sidecar, all
-        # single-run artifacts).  Spread = 2nd-best minus best drops
-        # exactly one outlier run; a genuinely noisy entry still shows
-        # it (its 2nd-best is far from best too).  The worst-run range
-        # stays observable in spread_worst.  Bands still widen only
-        # from the COMMITTED baseline's spread (r10 rule).
+        # single-run artifacts).  Spread = 2nd-worst minus best drops
+        # exactly ONE outlier run at any n_runs (== 2nd-best at the
+        # default 3); a genuinely noisy entry still shows it.  The
+        # worst-run range stays observable in spread_worst.  Bands
+        # still widen only from the COMMITTED baseline's spread (r10
+        # rule).
         srt = sorted(adj)
-        spreads[name] = round((srt[1] if len(srt) > 2 else srt[-1]) - srt[0], 3)
+        spreads[name] = round(
+            (srt[-2] if len(srt) > 2 else srt[-1]) - srt[0], 3
+        )
         spread_worst[name] = round(srt[-1] - srt[0], 3)
         # classification is by phase KEY, not run position: an entry
         # may have per-run setup AND trigger a one-time artifact build
@@ -305,15 +308,33 @@ def main() -> None:
         "n_queries": len(timings),
         "runs_per_query": n_runs,
         # storage fingerprint + the entries whose per-run cost is
-        # dominated by table-format file churn on that storage (the
-        # txnlog lifecycle family, by tag) — bench_delta re-classifies
-        # their cross-environment deltas as IO-DRIFT when the probe
-        # says the current storage is materially slower (judge r11
-        # item 2b).  Not charged to total: it is a measurement of the
-        # environment, not engine work.
+        # dominated by table-format file churn on that storage —
+        # bench_delta re-classifies their cross-environment deltas as
+        # IO-DRIFT when the probe says the current storage is
+        # materially slower (judge r11 item 2b).  Not charged to
+        # total: it is a measurement of the environment, not engine
+        # work.
         "io_probe_s": _io_probe(),
+        # EXPLICIT lifecycle list, not the 'txnlog' tag: the tag also
+        # marks CPU-dominated consumers of txnlog fixtures
+        # (knn_ivf_refresh's IVF assignment, the CDF pair's rollups) —
+        # classifying those io_bound would let a genuine CPU deopt
+        # print IO-DRIFT on a slower-storage environment and ship
+        # unflagged (r12 review).  Members = entries whose per-run
+        # timed_phase is table MUTATION (clone forks, per-run
+        # create/merge/delete/optimize/vacuum/stage commits).
         "io_bound": sorted(
-            n for n in timings if "txnlog" in CATALOG[n].tags
+            n
+            for n in (
+                "txnlog_merge_snapshot",
+                "txnlog_compacted_read",
+                "txn_clone_isolation",
+                "txnlog_partitioned_merge",
+                "txnlog_partition_evolution",
+                "txnlog_wap_publish",
+                "txnlog_restore_history",
+            )
+            if n in timings
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

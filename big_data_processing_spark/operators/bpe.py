@@ -43,9 +43,16 @@ from pyspark.sql import functions as F
 from ..functions.text import tokenize
 
 # End-of-word sentinel (Sennrich's </w>): keeps "low" in "lowest" and
-# the standalone word "low" distinct, and makes decode boundaries
-# recoverable.  Chosen outside the tokenizer's lowercase-alnum
-# alphabet so it can never collide with a real character symbol.
+# the standalone word "low" distinct.  Precisely stated guarantee: it
+# can never collide with a BASE symbol (those are single characters;
+# the sentinel is length 4), so encoding is always well-defined and
+# deterministic.  It is NOT outside the token alphabet — the
+# tokenizer is whitespace-split, so an HTML-ish corpus can contain
+# the literal characters '<','/','w','>' and, with exactly the right
+# learned merges, a MERGED symbol could equal the sentinel string;
+# a decoder recovering word boundaries from raw symbol text would
+# then need escaping.  The engine only encodes (boundaries ride in
+# the array structure, not the strings), so no ambiguity arises here.
 END_OF_WORD = "</w>"
 
 

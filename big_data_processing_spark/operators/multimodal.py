@@ -577,17 +577,28 @@ def extract_image_dhash(
                 gray = arr.sum(axis=2) // ch
                 xs = [gx * w // grid_w for gx in range(grid_w + 1)]
                 ys = [gy * h // grid_h for gy in range(grid_h + 1)]
-                pooled = [
-                    [
-                        int(
-                            gray[ys[gy]:ys[gy + 1], xs[gx]:xs[gx + 1]].sum()
-                            // (
-                                (ys[gy + 1] - ys[gy])
-                                * (xs[gx + 1] - xs[gx])
-                            )
+
+                def cell(gx: int, gy: int) -> int:
+                    # an image narrower/shorter than the grid produces
+                    # zero-width slices — fall back to nearest-pixel
+                    # sampling for those cells (the conventional dHash
+                    # upscale) instead of dividing by zero on real-
+                    # world thumbnails/icons
+                    x0, x1 = xs[gx], xs[gx + 1]
+                    y0, y1 = ys[gy], ys[gy + 1]
+                    if x1 <= x0 or y1 <= y0:
+                        return int(
+                            gray[
+                                min(h - 1, gy * h // grid_h),
+                                min(w - 1, gx * w // grid_w),
+                            ]
                         )
-                        for gx in range(grid_w)
-                    ]
+                    return int(
+                        gray[y0:y1, x0:x1].sum() // ((y1 - y0) * (x1 - x0))
+                    )
+
+                pooled = [
+                    [cell(gx, gy) for gx in range(grid_w)]
                     for gy in range(grid_h)
                 ]
                 hval = 0

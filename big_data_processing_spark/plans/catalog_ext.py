@@ -1227,52 +1227,76 @@ def _ivf_parquet_path(sf_dir: str) -> str:
     return os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
 
 
+def _parquet_sig(pq_path: str) -> int:
+    """Content signature (file bytes via os.stat, no Spark job) for
+    the derived-literal caches: prevents serving stale centroids/
+    codebooks/merges when the dataset under the same path is
+    regenerated between rounds."""
+    import os
+
+    try:
+        if os.path.isdir(pq_path):
+            return sum(
+                os.path.getsize(os.path.join(pq_path, f))
+                for f in sorted(os.listdir(pq_path))
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(pq_path)
+    except OSError:
+        return 0
+
+
+def _literal_cache(kind: str, name: str, compute):
+    """Disk cache for deterministic oracle literals (IVF centroids, PQ
+    codebooks, BPE merges): ``.cache/<kind>/<name>.json``, atomic
+    tmp+rename write, recompute on miss.  Extracted r12 — the third
+    hand-copied instance of this block is where a signature-scheme fix
+    would have silently missed one."""
+    import json as _json
+    import os
+
+    cache = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".cache",
+        kind,
+        f"{name}.json",
+    )
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return _json.load(f)
+    value = compute()
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = cache + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(value, f)
+    os.replace(tmp, cache)
+    return value
+
+
 def _ivf_centroids_for(sf_dir: str) -> list[list[float]]:
     """Load-or-build the persisted IVF centroid index for this sf dir.
 
     The index build is an explicit offline step (a deterministic seeded
     Lloyd's fit on a bounded sample — see similarity.lloyd_kmeans)
     whose product, a tiny centroid table, is persisted under the repo
-    cache keyed by (dataset, n_cells, seed, content signature). The
-    content signature (file bytes via os.stat, no Spark job) prevents
-    serving stale centroids if the dataset under the same path is
-    regenerated. Because the fit is deterministic and Spark-free, the
-    DuckDB oracle builder derives the IDENTICAL index and embeds it as
-    SQL literals — the same seeded-literal pattern as the LSH oracle."""
-    import json
+    cache keyed by (dataset, n_cells, seed, content signature).
+    Because the fit is deterministic and Spark-free, the DuckDB oracle
+    builder derives the IDENTICAL index and embeds it as SQL literals
+    — the same seeded-literal pattern as the LSH oracle."""
     import os
 
     pq_path = _ivf_parquet_path(sf_dir)
-    try:
-        if os.path.isdir(pq_path):
-            sig = sum(
-                os.path.getsize(os.path.join(pq_path, f))
-                for f in sorted(os.listdir(pq_path))
-                if f.endswith(".parquet")
-            )
-        else:
-            sig = os.path.getsize(pq_path)
-    except OSError:
-        sig = 0
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache",
+    return _literal_cache(
         "ivf",
         # v2: deterministic Lloyd's fit (v1 files hold MLlib centroids)
-        f"{os.path.basename(os.path.normpath(sf_dir))}_v2_c{_IVF_CELLS}_s{_IVF_SEED}_{sig}.json",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_v2_c{_IVF_CELLS}"
+        f"_s{_IVF_SEED}_{_parquet_sig(pq_path)}",
+        lambda: fit_ivf_centroids_parquet(
+            pq_path, n_cells=_IVF_CELLS, seed=_IVF_SEED
+        ),
     )
-    if os.path.exists(cache):
-        with open(cache) as f:
-            return json.load(f)
-    centroids = fit_ivf_centroids_parquet(
-        pq_path, n_cells=_IVF_CELLS, seed=_IVF_SEED
-    )
-    os.makedirs(os.path.dirname(cache), exist_ok=True)
-    tmp = cache + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(centroids, f)
-    os.replace(tmp, cache)
-    return centroids
 
 
 def _ivf_index_for(spark: SparkSession, sf_dir: str):
@@ -1581,40 +1605,17 @@ def _pq_codebooks_for(sf_dir: str) -> list[list[list[float]]]:
     offline-index contract and content-signature cache key as
     :func:`_ivf_centroids_for`; the deterministic Spark-free fit lets
     the DuckDB oracle embed the identical codebooks as literals."""
-    import json
     import os
 
     pq_path = _ivf_parquet_path(sf_dir)
-    try:
-        if os.path.isdir(pq_path):
-            sig = sum(
-                os.path.getsize(os.path.join(pq_path, f))
-                for f in sorted(os.listdir(pq_path))
-                if f.endswith(".parquet")
-            )
-        else:
-            sig = os.path.getsize(pq_path)
-    except OSError:
-        sig = 0
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache",
+    return _literal_cache(
         "pq",
         f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_m{_PQ_M}_k{_PQ_K}_s{_PQ_SEED}_{sig}.json",
+        f"_m{_PQ_M}_k{_PQ_K}_s{_PQ_SEED}_{_parquet_sig(pq_path)}",
+        lambda: fit_pq_codebooks_parquet(
+            pq_path, m=_PQ_M, k=_PQ_K, seed=_PQ_SEED
+        ),
     )
-    if os.path.exists(cache):
-        with open(cache) as f:
-            return json.load(f)
-    books = fit_pq_codebooks_parquet(
-        pq_path, m=_PQ_M, k=_PQ_K, seed=_PQ_SEED
-    )
-    os.makedirs(os.path.dirname(cache), exist_ok=True)
-    tmp = cache + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(books, f)
-    os.replace(tmp, cache)
-    return books
 
 
 def _pq_rerank_oracle(sf_dir: str) -> str:
@@ -3480,8 +3481,24 @@ def bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_N_MERGES, _BPE_VOCAB_K, _BPE_MAX_WORDS = 16, 300, 2000
 
 
+def _bpe_ranked_words_sql(relation: str, limit: int) -> str:
+    """The ONE tokenize/count/rank SQL body every BPE consumer runs —
+    the oracle's live half (relation='documents') and the literal
+    generators (relation=read_parquet(...)) — so the tokenizer or the
+    tie-break can never drift between them and silently shrink the
+    oracle's ref join (r12 review)."""
+    return f"""
+        SELECT word, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rank
+        FROM (SELECT t AS word, COUNT(*) AS n
+              FROM (SELECT unnest(list_filter({_TOKENS}, t -> t != '')) AS t
+                    FROM {relation})
+              GROUP BY 1)
+        QUALIFY rank <= {limit}
+    """
+
+
 def _bpe_merges_for(sf_dir: str) -> list:
-    import json as _json
     import os
 
     pq = os.path.join(sf_dir, "documents.parquet")
@@ -3489,51 +3506,26 @@ def _bpe_merges_for(sf_dir: str) -> list:
         sig = os.path.getsize(pq)
     except OSError:
         sig = 0
-    cache = os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        ".cache",
+
+    def compute():
+        import duckdb
+
+        from ..operators.bpe import bpe_merge_loop
+
+        rows = duckdb.sql(
+            _bpe_ranked_words_sql(f"read_parquet('{pq}')", _BPE_MAX_WORDS)
+        ).fetchall()
+        return bpe_merge_loop(
+            [(w, int(n)) for w, n, _r in rows], _BPE_N_MERGES
+        )
+
+    merges = _literal_cache(
         "bpe",
         f"{os.path.basename(os.path.normpath(sf_dir))}_m{_BPE_N_MERGES}"
-        f"_w{_BPE_MAX_WORDS}_{sig}.json",
+        f"_w{_BPE_MAX_WORDS}_{sig}",
+        compute,
     )
-    if os.path.exists(cache):
-        with open(cache) as f:
-            return [tuple(p) for p in _json.load(f)]
-    import duckdb
-
-    from ..operators.bpe import bpe_merge_loop
-
-    rows = duckdb.sql(
-        f"""
-        SELECT t AS word, COUNT(*) AS n
-        FROM (SELECT unnest(list_filter(
-                  regexp_split_to_array(lower(text), '\\s+'),
-                  t -> t != '')) AS t
-              FROM read_parquet('{pq}'))
-        GROUP BY 1 ORDER BY n DESC, word ASC LIMIT {_BPE_MAX_WORDS}
-        """
-    ).fetchall()
-    merges = bpe_merge_loop([(w, int(n)) for w, n in rows], _BPE_N_MERGES)
-    os.makedirs(os.path.dirname(cache), exist_ok=True)
-    tmp = cache + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(merges, f)
-    os.replace(tmp, cache)
-    return merges
-
-
-def _bpe_top_words_sql() -> str:
-    """Shared top-K word ranking (count DESC, word ASC) both the
-    oracle's live half and the literal generator below run — ONE
-    definition so they cannot drift."""
-    return f"""
-        SELECT t AS word, COUNT(*) AS n
-        FROM (SELECT unnest(list_filter({_TOKENS}, t -> t != '')) AS t
-              FROM documents)
-        GROUP BY 1
-    """
+    return [tuple(p) for p in merges]
 
 
 def _bpe_encode_oracle(sf_dir: str) -> str:
@@ -3544,7 +3536,9 @@ def _bpe_encode_oracle(sf_dir: str) -> str:
     — the rank-priority fixpoint algorithm, deliberately NOT the
     engine's per-merge fold — over the shared learned merges.  A green
     hash therefore certifies the column-pipeline encode against the
-    reference BPE semantics on real corpus words."""
+    reference BPE semantics on real corpus words.  Both halves run
+    _bpe_ranked_words_sql, so the live topk and the ref literals are
+    the same word set by construction."""
     import os
 
     import duckdb
@@ -3554,18 +3548,7 @@ def _bpe_encode_oracle(sf_dir: str) -> str:
     merges = _bpe_merges_for(sf_dir)
     pq = os.path.join(sf_dir, "documents.parquet")
     words = duckdb.sql(
-        f"""
-        SELECT word FROM (
-            SELECT word, n,
-                   ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS r
-            FROM (SELECT t AS word, COUNT(*) AS n
-                  FROM (SELECT unnest(list_filter(
-                            regexp_split_to_array(lower(text), '\\s+'),
-                            t -> t != '')) AS t
-                        FROM read_parquet('{pq}'))
-                  GROUP BY 1)
-        ) WHERE r <= {_BPE_VOCAB_K}
-        """
+        _bpe_ranked_words_sql(f"read_parquet('{pq}')", _BPE_VOCAB_K)
     ).fetchall()
 
     def q(s: str) -> str:
@@ -3573,16 +3556,11 @@ def _bpe_encode_oracle(sf_dir: str) -> str:
 
     lits = ", ".join(
         f"({q(w)}, {len(enc)}, {q(' '.join(enc))})"
-        for (w,) in words
+        for (w, _n, _r) in words
         for enc in [greedy_reference_encode(w, merges)]
     )
     return f"""
-    WITH counted AS ({_bpe_top_words_sql()}),
-    topk AS (
-        SELECT word, n,
-               ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rank
-        FROM counted QUALIFY rank <= {_BPE_VOCAB_K}
-    ),
+    WITH topk AS ({_bpe_ranked_words_sql("documents", _BPE_VOCAB_K)}),
     ref(word, n_subtokens, subtokens) AS (VALUES {lits})
     SELECT CAST(topk.rank AS INT) AS rank,
            topk.word,

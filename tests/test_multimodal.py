@@ -761,3 +761,29 @@ def test_image_dhash_cross_format(spark):
         ).collect()
     }
     assert pairs.get((0, 1)) == 0, pairs
+
+
+def test_image_dhash_smaller_than_grid(spark):
+    """Images narrower/shorter than the 9x8 pooling grid (icons,
+    thumbnails) must hash via the nearest-pixel fallback instead of
+    dividing by a zero-width block (r12 review: the closed-form
+    fixtures always render >= 9x8, so only this test exercises the
+    branch) — and identical tiny images must still collide."""
+    from big_data_processing_spark.operators.mediacodec import encode_png
+    from big_data_processing_spark.operators.multimodal import (
+        extract_image_dhash,
+    )
+
+    tiny = bytes((i * 37) % 256 for i in range(4 * 4))  # 4x4 gray
+    other = bytes((i * 91 + 13) % 256 for i in range(2 * 3))  # 2x3 gray
+    media = spark.createDataFrame(
+        [
+            (0, encode_png(4, 4, 1, tiny)),
+            (1, encode_png(4, 4, 1, tiny)),
+            (2, encode_png(2, 3, 1, other)),
+        ],
+        ["media_id", "payload"],
+    )
+    hashes = {r.media_id: r.dhash for r in extract_image_dhash(media).collect()}
+    assert hashes[0] == hashes[1]
+    assert all(0 <= v < (1 << 60) for v in hashes.values())
