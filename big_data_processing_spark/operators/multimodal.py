@@ -467,6 +467,35 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+def _dhash_of_gray(gray, w: int, h: int, grid_w: int, grid_h: int, bits: int) -> int:
+    """Shared pool+pack core of the still-image and video-frame dHash
+    extractors: exact integer block means over the grid (nearest-pixel
+    fallback for images smaller than the grid), bit b = gy*(grid_w-1)
+    + gx set when the right cell exceeds the left."""
+    xs = [gx * w // grid_w for gx in range(grid_w + 1)]
+    ys = [gy * h // grid_h for gy in range(grid_h + 1)]
+
+    def cell(gx: int, gy: int) -> int:
+        x0, x1 = xs[gx], xs[gx + 1]
+        y0, y1 = ys[gy], ys[gy + 1]
+        if x1 <= x0 or y1 <= y0:
+            return int(
+                gray[min(h - 1, gy * h // grid_h), min(w - 1, gx * w // grid_w)]
+            )
+        return int(gray[y0:y1, x0:x1].sum() // ((y1 - y0) * (x1 - x0)))
+
+    pooled = [[cell(gx, gy) for gx in range(grid_w)] for gy in range(grid_h)]
+    hval = 0
+    for gy in range(grid_h):
+        for gx in range(grid_w - 1):
+            b = gy * (grid_w - 1) + gx
+            if b >= bits:
+                break
+            if pooled[gy][gx + 1] > pooled[gy][gx]:
+                hval |= 1 << b
+    return hval
+
+
 def synthesize_neardup_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic GRAYSCALE near-duplicate PNG fixture per id — the
     closed-form-oracle pattern of synthesize_png_media, shaped so that
@@ -575,44 +604,136 @@ def extract_image_dhash(
                     .reshape(h, w, ch)
                 )
                 gray = arr.sum(axis=2) // ch
-                xs = [gx * w // grid_w for gx in range(grid_w + 1)]
-                ys = [gy * h // grid_h for gy in range(grid_h + 1)]
-
-                def cell(gx: int, gy: int) -> int:
-                    # an image narrower/shorter than the grid produces
-                    # zero-width slices — fall back to nearest-pixel
-                    # sampling for those cells (the conventional dHash
-                    # upscale) instead of dividing by zero on real-
-                    # world thumbnails/icons
-                    x0, x1 = xs[gx], xs[gx + 1]
-                    y0, y1 = ys[gy], ys[gy + 1]
-                    if x1 <= x0 or y1 <= y0:
-                        return int(
-                            gray[
-                                min(h - 1, gy * h // grid_h),
-                                min(w - 1, gx * w // grid_w),
-                            ]
-                        )
-                    return int(
-                        gray[y0:y1, x0:x1].sum() // ((y1 - y0) * (x1 - x0))
-                    )
-
-                pooled = [
-                    [cell(gx, gy) for gx in range(grid_w)]
-                    for gy in range(grid_h)
-                ]
-                hval = 0
-                for gy in range(grid_h):
-                    for gx in range(grid_w - 1):
-                        b = gy * (grid_w - 1) + gx
-                        if b >= bits:
-                            break
-                        if pooled[gy][gx + 1] > pooled[gy][gx]:
-                            hval |= 1 << b
-                out.append((int(mid), hval))
+                out.append(
+                    (int(mid), _dhash_of_gray(gray, w, h, grid_w, grid_h, bits))
+                )
             yield pd.DataFrame(out, columns=["media_id", "dhash"])
 
     return media.mapInPandas(fn, schema=DHASH_SCHEMA)
+
+
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def extract_video_frame_dhash(
+    media: DataFrame,
+    every_n: int = 2,
+    grid_w: int = 9,
+    grid_h: int = 8,
+    bits: int = 60,
+) -> DataFrame:
+    """Per-frame dHash over REAL video decode: walk the AVI container
+    (RIFF parse, DIB layout undo), keep every Nth frame, grayscale it
+    exactly (channel sum // 3) and hash through the same pool+pack
+    core as the still-image extractor — the fingerprint layer of
+    video-level near-duplicate detection (re-encoded/re-contained
+    copies of a clip share frame hashes even when the files differ
+    byte-for-byte).  1→N fan-out like sample_video_frames.
+
+    Scale: one Arrow pass over the blob scan; downstream only slim
+    (media_id, frame_idx, long) rows move — see video_neardup_pairs
+    for the pair stage."""
+    import numpy as np
+
+    from .mediacodec import decode_avi_rgb24
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _fps, frames = decode_avi_rgb24(bytes(payload))
+                for f in range(0, len(frames), every_n):
+                    arr = (
+                        np.frombuffer(frames[f], dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(h, w, 3)
+                    )
+                    gray = arr.sum(axis=2) // 3
+                    out.append(
+                        (
+                            int(mid),
+                            f,
+                            len(frames),
+                            _dhash_of_gray(gray, w, h, grid_w, grid_h, bits),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["media_id", "frame_idx", "n_frames", "dhash"],
+                )
+
+    return media.mapInPandas(fn, schema=FRAME_DHASH_SCHEMA)
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    every_n: int = 2,
+    radius: int = 4,
+    min_matched_frames: int = 2,
+) -> DataFrame:
+    """Video-level near-duplicate pairs from frame-level perceptual
+    hashes: every sampled frame fingerprints via
+    :func:`extract_video_frame_dhash`, frame pairs within hamming
+    ``radius`` come from the shared banded bit-block join (each frame
+    keyed as media_id * 2^20 + frame_idx — frame counts are bounded
+    far below 2^20 by the sampler), and two videos pair when at least
+    ``min_matched_frames`` DISTINCT frames of the lower-id video match
+    frames of the other.  Returns (id_a, id_b, n_matched_frames,
+    min_hamming), id_a < id_b, ordered.
+
+    Scale: the pair stage inherits the banded join's guarantees (never
+    all-pairs, bucket-capped); the video rollup is one groupBy over
+    the already-tiny pair set.  Frames of the SAME video (static
+    scenes) collide in the band join but are filtered before the
+    rollup, so a long still clip cannot pair with itself."""
+    from .dedup import hamming_pairs_from_fingerprints
+
+    frames = extract_video_frame_dhash(media, every_n=every_n)
+    keyed = frames.select(
+        (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx")).alias("fid"),
+        "dhash",
+    )
+    fpairs = hamming_pairs_from_fingerprints(
+        keyed, bits=60, radius=radius, id_col="fid", fp_col="dhash"
+    )
+    def vid(c: str):
+        return F.shiftright(F.col(c), 20).cast("long")
+
+    def frame(c: str):
+        return F.col(c).bitwiseAND(F.lit((1 << 20) - 1)).cast("long")
+
+    cross = fpairs.select(
+        vid("id_a").alias("va"),
+        frame("id_a").alias("fa"),
+        vid("id_b").alias("vb"),
+        "hamming",
+    ).filter(F.col("va") != F.col("vb"))
+    # id_a < id_b on the packed key already orders (va, fa) <= (vb, *),
+    # but equal-video frame pairs must go; re-orient by video id so the
+    # (va < vb) pair grain is canonical
+    return (
+        cross.groupBy("va", "vb")
+        .agg(
+            F.countDistinct("fa").cast("long").alias("n_matched_frames"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+        .filter(F.col("n_matched_frames") >= min_matched_frames)
+        .select(
+            F.col("va").alias("id_a"),
+            F.col("vb").alias("id_b"),
+            "n_matched_frames",
+            "min_hamming",
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------

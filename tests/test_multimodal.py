@@ -787,3 +787,76 @@ def test_image_dhash_smaller_than_grid(spark):
     hashes = {r.media_id: r.dhash for r in extract_image_dhash(media).collect()}
     assert hashes[0] == hashes[1]
     assert all(0 <= v < (1 << 60) for v in hashes.values())
+
+
+def test_video_frame_dhash_and_neardup_pairs(spark):
+    """Video-level near-dup end to end on REAL AVI containers: a clip,
+    a re-encoded copy at a different frame rate with one perturbed
+    block (frame hashes survive), an UNRELATED clip, and a static clip
+    whose identical frames must not self-pair.  The copy pair — and
+    only it — must surface, with its matched-frame count."""
+    from big_data_processing_spark.operators.mediacodec import (
+        encode_avi_rgb24,
+    )
+    from big_data_processing_spark.operators.multimodal import (
+        extract_video_frame_dhash,
+        video_neardup_pairs,
+    )
+
+    w, h = 18, 16  # 9x8 grid of 2x2 blocks
+
+    def frame_for(scene: int, f: int, perturb: bool = False) -> bytes:
+        cells = [
+            [
+                (scene * 41 + gx * gx * 7 + gy * gy * 11 + f * 29 + gx * gy)
+                % 256
+                for gx in range(9)
+            ]
+            for gy in range(8)
+        ]
+        if perturb:
+            cells[3][4] = (cells[3][4] + 128) % 256
+        return bytes(
+            bytes([cells[y // 2][x // 2]] * 3)[i]
+            for y in range(h)
+            for x in range(w)
+            for i in range(3)
+        )
+
+    clip = [frame_for(1, f) for f in range(6)]
+    copy = [frame_for(1, f, perturb=(f == 2)) for f in range(6)]
+    other = [frame_for(9, f) for f in range(6)]
+    still = [frame_for(5, 0)] * 6
+    media = spark.createDataFrame(
+        [
+            (0, encode_avi_rgb24(w, h, 10, clip)),
+            (1, encode_avi_rgb24(w, h, 25, copy)),  # different fps
+            (2, encode_avi_rgb24(w, h, 10, other)),
+            (3, encode_avi_rgb24(w, h, 10, still)),
+        ],
+        ["media_id", "payload"],
+    )
+    frames = extract_video_frame_dhash(media, every_n=2).collect()
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r.media_id, {})[r.frame_idx] = r.dhash
+    assert set(by_vid) == {0, 1, 2, 3}
+    assert set(by_vid[0]) == {0, 2, 4}  # every 2nd of 6 frames
+    # unperturbed sampled frames hash identically across the two
+    # encodings; the perturbed frame 2 differs but stays within radius
+    assert by_vid[0][0] == by_vid[1][0] and by_vid[0][4] == by_vid[1][4]
+    assert by_vid[0][2] != by_vid[1][2]
+
+    pairs = {
+        (r.id_a, r.id_b): (r.n_matched_frames, r.min_hamming)
+        for r in video_neardup_pairs(
+            media, every_n=2, radius=4, min_matched_frames=2
+        ).collect()
+    }
+    assert (0, 1) in pairs, pairs
+    n_matched, min_ham = pairs[(0, 1)]
+    assert n_matched == 3 and min_ham == 0
+    # no pair involves the unrelated clip, and the static clip's
+    # identical frames never pair it with itself
+    assert all(2 not in p and (3, 3) != p for p in pairs)
+    assert all(a != b for a, b in pairs)
