@@ -673,37 +673,38 @@ def extract_video_frame_dhash(
     return media.mapInPandas(fn, schema=FRAME_DHASH_SCHEMA)
 
 
-def video_neardup_pairs(
-    media: DataFrame,
-    every_n: int = 2,
+def frame_neardup_pairs(
+    frames: DataFrame,
     radius: int = 4,
     min_matched_frames: int = 2,
+    fp_col: str = "dhash",
+    bits: int = 60,
 ) -> DataFrame:
-    """Video-level near-duplicate pairs from frame-level perceptual
-    hashes: every sampled frame fingerprints via
-    :func:`extract_video_frame_dhash`, frame pairs within hamming
-    ``radius`` come from the shared banded bit-block join (each frame
-    keyed as media_id * 2^20 + frame_idx — frame counts are bounded
-    far below 2^20 by the sampler), and two videos pair when at least
-    ``min_matched_frames`` DISTINCT frames of the lower-id video match
-    frames of the other.  Returns (id_a, id_b, n_matched_frames,
-    min_hamming), id_a < id_b, ordered.
+    """Media-level near-duplicate pairs from FRAME-level fingerprints
+    (media_id, frame_idx, <fp_col>) — shared by the video dHash and
+    audio spectral paths: frame pairs within hamming ``radius`` come
+    from the banded bit-block join (each frame keyed as
+    media_id * 2^20 + frame_idx — frame counts are bounded far below
+    2^20 by the samplers), and two media pair when at least
+    ``min_matched_frames`` DISTINCT frames of the lower-id medium
+    match frames of the other.  Returns (id_a, id_b,
+    n_matched_frames, min_hamming), id_a < id_b, ordered.
 
     Scale: the pair stage inherits the banded join's guarantees (never
-    all-pairs, bucket-capped); the video rollup is one groupBy over
-    the already-tiny pair set.  Frames of the SAME video (static
-    scenes) collide in the band join but are filtered before the
-    rollup, so a long still clip cannot pair with itself."""
+    all-pairs, bucket-capped); the media rollup is one groupBy over
+    the already-tiny pair set.  Frames of the SAME medium (static
+    scenes, sustained notes) collide in the band join but are filtered
+    before the rollup, so a long still clip cannot pair with itself."""
     from .dedup import hamming_pairs_from_fingerprints
 
-    frames = extract_video_frame_dhash(media, every_n=every_n)
     keyed = frames.select(
         (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx")).alias("fid"),
-        "dhash",
+        fp_col,
     )
     fpairs = hamming_pairs_from_fingerprints(
-        keyed, bits=60, radius=radius, id_col="fid", fp_col="dhash"
+        keyed, bits=bits, radius=radius, id_col="fid", fp_col=fp_col
     )
+
     def vid(c: str):
         return F.shiftright(F.col(c), 20).cast("long")
 
@@ -717,7 +718,7 @@ def video_neardup_pairs(
         "hamming",
     ).filter(F.col("va") != F.col("vb"))
     # id_a < id_b on the packed key already orders (va, fa) <= (vb, *),
-    # but equal-video frame pairs must go; re-orient by video id so the
+    # but equal-media frame pairs must go; re-orient by media id so the
     # (va < vb) pair grain is canonical
     return (
         cross.groupBy("va", "vb")
@@ -733,6 +734,120 @@ def video_neardup_pairs(
             "min_hamming",
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    every_n: int = 2,
+    radius: int = 4,
+    min_matched_frames: int = 2,
+) -> DataFrame:
+    """Video-level near-duplicate pairs: per-frame dHash
+    (:func:`extract_video_frame_dhash`) through the shared frame
+    rollup (:func:`frame_neardup_pairs`) — re-encoded/re-contained
+    copies of a clip pair even when the files differ byte-for-byte."""
+    return frame_neardup_pairs(
+        extract_video_frame_dhash(media, every_n=every_n),
+        radius=radius,
+        min_matched_frames=min_matched_frames,
+    )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def extract_audio_fingerprint(
+    media: DataFrame,
+    frame_len: int = 512,
+    hop: int = 256,
+    bands: int = 61,
+    bits: int = 60,
+) -> DataFrame:
+    """Spectral audio fingerprint over the REAL WAV decode — the
+    Haitsma & Kalker (2002) robust-hash shape at the engine's 60-bit
+    grain: each ``frame_len``-sample window (hop ``hop``) FFTs to a
+    power spectrum, energy sums over ``bands`` log-spaced bands, and
+    bit m = 1 when band m's energy exceeds band m+1's — a sign-of-
+    band-delta code, invariant to GLOBAL GAIN by construction (scaling
+    every sample by c multiplies every band energy by c², leaving the
+    comparisons unchanged) and robust to small additive noise (only
+    near-tied bands can flip).  Returns (media_id, frame_idx,
+    n_frames, afp) — one 60-bit long per window, ready for
+    :func:`frame_neardup_pairs` exactly like video frame hashes.
+
+    Scale: one Arrow pass over the blob scan (numpy rfft per window);
+    only slim fingerprint rows move downstream — the same shape as
+    every perceptual-hash path in this module."""
+    import numpy as np
+
+    from .mediacodec import decode_wav_pcm16
+
+    # log-spaced band edges over the positive-frequency bins —
+    # deterministic floats; needs enough bins for one per band
+    n_bins = frame_len // 2 + 1
+    if n_bins < bands + 1:
+        raise ValueError(
+            f"frame_len {frame_len} gives {n_bins} bins < {bands + 1} "
+            "band edges"
+        )
+    edges = np.unique(
+        np.rint(np.geomspace(1, n_bins - 1, bands + 1)).astype(np.int64)
+    )
+    # duplicate rounded edges at the low end shrink the band count —
+    # split the widest gaps until exactly `bands` bands remain (still
+    # monotone, still deterministic)
+    while len(edges) < bands + 1:
+        gaps = np.diff(edges)
+        i = int(np.argmax(gaps))
+        edges = np.insert(edges, i + 1, edges[i] + gaps[i] // 2)
+    edges = edges[: bands + 1]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, _ch, samples = decode_wav_pcm16(bytes(payload))
+                x = np.asarray(samples, dtype=np.float64)
+                n_frames = max(0, (len(x) - frame_len) // hop + 1)
+                for f in range(n_frames):
+                    win = x[f * hop : f * hop + frame_len]
+                    spec = np.abs(np.fft.rfft(win)) ** 2
+                    e = np.add.reduceat(spec, edges[:-1])
+                    hval = 0
+                    for m in range(min(bits, bands - 1)):
+                        if e[m] > e[m + 1]:
+                            hval |= 1 << m
+                    out.append((int(mid), f, n_frames, hval))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["media_id", "frame_idx", "n_frames", "afp"]
+                )
+
+    return media.mapInPandas(fn, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(
+    media: DataFrame,
+    radius: int = 6,
+    min_matched_frames: int = 2,
+) -> DataFrame:
+    """Audio-level near-duplicate pairs: spectral window fingerprints
+    (:func:`extract_audio_fingerprint`) through the shared frame
+    rollup — a re-gained or lightly-noised copy of a recording pairs
+    with its source even when the PCM bytes differ everywhere."""
+    return frame_neardup_pairs(
+        extract_audio_fingerprint(media),
+        radius=radius,
+        min_matched_frames=min_matched_frames,
+        fp_col="afp",
     )
 
 

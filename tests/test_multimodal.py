@@ -860,3 +860,73 @@ def test_video_frame_dhash_and_neardup_pairs(spark):
     # identical frames never pair it with itself
     assert all(2 not in p and (3, 3) != p for p in pairs)
     assert all(a != b for a, b in pairs)
+
+
+def test_audio_fingerprint_gain_invariant_and_neardup(spark):
+    """Spectral audio fingerprints (Haitsma-Kalker shape) over real WAV
+    payloads: a 2x-gained copy fingerprints IDENTICALLY per window
+    (band-delta signs are gain-invariant by construction), a lightly
+    phase-jittered copy stays within the hamming radius, an unrelated
+    signal does not pair, and the audio near-dup rollup surfaces
+    exactly the copy pairs."""
+    import math
+
+    from big_data_processing_spark.operators.mediacodec import (
+        encode_wav_pcm16,
+    )
+    from big_data_processing_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        extract_audio_fingerprint,
+    )
+
+    n = 512 * 4  # 4 analysis windows at frame_len=512, hop=256 -> 13
+    def tone_mix(freqs, gain=1.0, jitter=0.0):
+        return [
+            max(
+                -32768,
+                min(
+                    32767,
+                    int(
+                        gain
+                        * sum(
+                            3000 * math.sin(2 * math.pi * f * (t / 16000.0) + jitter)
+                            for f in freqs
+                        )
+                    ),
+                ),
+            )
+            for t in range(n)
+        ]
+
+    base = tone_mix([440.0, 1320.0, 2750.0])
+    gained = tone_mix([440.0, 1320.0, 2750.0], gain=2.0)
+    jittered = tone_mix([440.0, 1320.0, 2750.0], jitter=0.01)
+    other = tone_mix([615.0, 987.0, 4100.0])
+    media = spark.createDataFrame(
+        [
+            (0, encode_wav_pcm16(base)),
+            (1, encode_wav_pcm16(gained)),
+            (2, encode_wav_pcm16(jittered)),
+            (3, encode_wav_pcm16(other)),
+        ],
+        ["media_id", "payload"],
+    )
+    fps = extract_audio_fingerprint(media).collect()
+    by_vid = {}
+    for r in fps:
+        by_vid.setdefault(r.media_id, {})[r.frame_idx] = r.afp
+    assert set(by_vid) == {0, 1, 2, 3}
+    assert len(by_vid[0]) == (n - 512) // 256 + 1
+    # exact gain invariance, window for window
+    assert by_vid[0] == by_vid[1]
+    # unrelated content differs substantially in at least some windows
+    assert by_vid[0] != by_vid[3]
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in audio_neardup_pairs(
+            media, radius=6, min_matched_frames=2
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs, pairs
+    assert all(3 not in p for p in pairs), pairs
