@@ -63,11 +63,14 @@ SUBSET = [
     # (and therefore the merged span geometry) must not vary with how
     # the gram explode's tasks are laid out
     "dedup_span_coverage",
-    # round-12 addition: the dHash fingerprints are row-local Arrow
+    # round-12 additions: the dHash fingerprints are row-local Arrow
     # work, but the banded hamming self-join + dropDuplicates merge
     # candidates across whatever task layout the media explode got —
-    # the pair set (and each pair's hamming) must not vary with it
+    # the pair set (and each pair's hamming) must not vary with it;
+    # the BPE entry's top-k vocabulary cut and fold encodes must be
+    # identical under any partitioning of the word count
     "image_phash_neardup",
+    "bpe_vocab_encode",
 ]
 
 
