@@ -930,3 +930,58 @@ def test_audio_fingerprint_gain_invariant_and_neardup(spark):
     }
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs, pairs
     assert all(3 not in p for p in pairs), pairs
+
+
+def test_image_dhash_matches_pure_python_reference_on_random_images(spark):
+    """Property: on ARBITRARY images (random geometry incl. smaller
+    than the grid, random pixels, gray and RGB), the extractor's
+    numpy pooling must equal a numpy-free pure-Python dHash reference
+    implementing the same spec — exact integer block means over
+    [gx*w//9,(gx+1)*w//9) slices, nearest-pixel fallback for empty
+    slices, channel sum // ch grayscale, bit b = gy*8+gx < 60."""
+    import random
+
+    from big_data_processing_spark.operators.mediacodec import encode_png
+    from big_data_processing_spark.operators.multimodal import (
+        extract_image_dhash,
+    )
+
+    def ref(w, h, ch, raw):
+        gray = [
+            [
+                sum(raw[(y * w + x) * ch + c] for c in range(ch)) // ch
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        xs = [gx * w // 9 for gx in range(10)]
+        ys = [gy * h // 8 for gy in range(9)]
+
+        def cell(gx, gy):
+            x0, x1, y0, y1 = xs[gx], xs[gx + 1], ys[gy], ys[gy + 1]
+            if x1 <= x0 or y1 <= y0:
+                return gray[min(h - 1, gy * h // 8)][min(w - 1, gx * w // 9)]
+            s = sum(gray[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            return s // ((y1 - y0) * (x1 - x0))
+
+        hval = 0
+        for gy in range(8):
+            for gx in range(8):
+                b = gy * 8 + gx
+                if b >= 60:
+                    break
+                if cell(gx + 1, gy) > cell(gx, gy):
+                    hval |= 1 << b
+        return hval
+
+    rng = random.Random(1234)
+    rows, want = [], {}
+    for i in range(40):
+        w, h = rng.randint(1, 24), rng.randint(1, 20)
+        ch = rng.choice([1, 3])
+        raw = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        rows.append((i, encode_png(w, h, ch, raw)))
+        want[i] = ref(w, h, ch, raw)
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r.media_id: r.dhash for r in extract_image_dhash(media).collect()}
+    assert got == want
