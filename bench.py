@@ -315,26 +315,18 @@ def main() -> None:
         # total: it is a measurement of the environment, not engine
         # work.
         "io_probe_s": _io_probe(),
-        # EXPLICIT lifecycle list, not the 'txnlog' tag: the tag also
-        # marks CPU-dominated consumers of txnlog fixtures
-        # (knn_ivf_refresh's IVF assignment, the CDF pair's rollups) —
-        # classifying those io_bound would let a genuine CPU deopt
-        # print IO-DRIFT on a slower-storage environment and ship
-        # unflagged (r12 review).  Members = entries whose per-run
+        # The dedicated 'io-mutation' tag, NOT the broad 'txnlog' tag:
+        # that one also marks CPU-dominated consumers of txnlog
+        # fixtures (knn_ivf_refresh's IVF assignment, the CDF pair's
+        # rollups) — classifying those io_bound would let a genuine
+        # CPU deopt print IO-DRIFT on a slower-storage environment and
+        # ship unflagged (r12 review).  The tag lives on each entry's
+        # @query registration (next to the code it classifies, so a
+        # new lifecycle entry self-enrolls): entries whose per-run
         # timed_phase is table MUTATION (clone forks, per-run
         # create/merge/delete/optimize/vacuum/stage commits).
         "io_bound": sorted(
-            n
-            for n in (
-                "txnlog_merge_snapshot",
-                "txnlog_compacted_read",
-                "txn_clone_isolation",
-                "txnlog_partitioned_merge",
-                "txnlog_partition_evolution",
-                "txnlog_wap_publish",
-                "txnlog_restore_history",
-            )
-            if n in timings
+            n for n in timings if "io-mutation" in CATALOG[n].tags
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

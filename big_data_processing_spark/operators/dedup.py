@@ -555,6 +555,13 @@ def duplicated_span_stats(
         # bounded per-task bucket slice on boilerplate-heavy corpora.
         # Result is IDENTICAL by construction (count/min/max are
         # associative) — pinned by the cap-mode equality tests.
+        # persist barrier: grams feeds BOTH the stats aggregate and
+        # the join-back as independent subtrees — without it the whole
+        # tokenize→gram-hash→explode pipeline (the pass this mode
+        # exists to keep affordable) runs twice (r12 review); the
+        # window form needs no barrier, its single pass reuses the
+        # exchange.  Caller-released via util.release_barriers.
+        grams = persist_barrier(grams)
         salt = F.pmod(F.hash("id", "pos"), F.lit(16))
         partial = grams.groupBy("h", salt.alias("_salt")).agg(
             F.count(F.lit(1)).alias("_pc"),

@@ -697,10 +697,25 @@ def frame_neardup_pairs(
     before the rollup, so a long still clip cannot pair with itself."""
     from .dedup import hamming_pairs_from_fingerprints
 
-    keyed = frames.select(
-        (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx")).alias("fid"),
-        fp_col,
+    # the pack bound is load-bearing, not advisory: frame_idx >= 2^20
+    # would alias into the NEXT media id (phantom pairs, a bypassed
+    # same-media filter, duplicate fids in the banded join), so it
+    # RAISES row-locally instead of silently mis-attributing — hit it
+    # with a ~5 h unsampled recording and the fix is a coarser
+    # hop/every_n, not a dropped frame (r12 review)
+    packed = F.when(
+        (F.col("frame_idx") >= 0) & (F.col("frame_idx") < F.lit(1 << 20)),
+        F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("frame_neardup_pairs: frame_idx "),
+                F.col("frame_idx").cast("string"),
+                F.lit(" outside the 2^20 pack bound — sample coarser"),
+            )
+        )
     )
+    keyed = frames.select(packed.alias("fid"), fp_col)
     fpairs = hamming_pairs_from_fingerprints(
         keyed, bits=bits, radius=radius, id_col="fid", fp_col=fp_col
     )
@@ -791,31 +806,43 @@ def extract_audio_fingerprint(
     from .mediacodec import decode_wav_pcm16
 
     # log-spaced band edges over the positive-frequency bins —
-    # deterministic floats; needs enough bins for one per band
+    # deterministic floats.  bands + 2, not bands + 1: edges live in
+    # [1, n_bins - 1], which holds n_bins - 1 distinct integers; with
+    # exactly bands + 1 available the gap-splitting below would insert
+    # a duplicate (gap // 2 == 0) and np.add.reduceat would emit a
+    # zero-width 'band' equal to its neighbor, silently deadening that
+    # bit (r12 review)
     n_bins = frame_len // 2 + 1
-    if n_bins < bands + 1:
+    if n_bins < bands + 2:
         raise ValueError(
-            f"frame_len {frame_len} gives {n_bins} bins < {bands + 1} "
-            "band edges"
+            f"frame_len {frame_len} gives {n_bins} bins; need >= "
+            f"{bands + 2} for {bands} distinct bands"
         )
     edges = np.unique(
         np.rint(np.geomspace(1, n_bins - 1, bands + 1)).astype(np.int64)
     )
     # duplicate rounded edges at the low end shrink the band count —
     # split the widest gaps until exactly `bands` bands remain (still
-    # monotone, still deterministic)
+    # monotone, still deterministic; terminates because the range
+    # holds > bands + 1 distinct integers)
     while len(edges) < bands + 1:
         gaps = np.diff(edges)
         i = int(np.argmax(gaps))
         edges = np.insert(edges, i + 1, edges[i] + gaps[i] // 2)
-    edges = edges[: bands + 1]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _rate, _ch, samples = decode_wav_pcm16(bytes(payload))
+                _rate, ch, samples = decode_wav_pcm16(bytes(payload))
                 x = np.asarray(samples, dtype=np.float64)
+                if ch > 1:
+                    # decode returns INTERLEAVED samples; FFTing them
+                    # raw would mix L/R into an artificial Nyquist
+                    # component and a stereo recording would never
+                    # pair with its mono downmix — downmix by channel
+                    # mean first (r12 review)
+                    x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
                 n_frames = max(0, (len(x) - frame_len) // hop + 1)
                 for f in range(n_frames):
                     win = x[f * hop : f * hop + frame_len]

@@ -922,7 +922,7 @@ def merge_upsert_partition_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM merged GROUP BY 2
     ORDER BY version, bucket
     """,
-    tags=("merge", "txnlog", "writer"),
+    tags=("merge", "txnlog", "writer", "io-mutation"),
 )
 def txnlog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-log MERGE with time travel, hash-checked end to end
@@ -991,7 +991,7 @@ def txnlog_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg CROSS JOIN (SELECT 'post' AS phase UNION ALL SELECT 'pre') p
     ORDER BY phase, bucket
     """,
-    tags=("merge", "txnlog", "optimize", "writer"),
+    tags=("merge", "txnlog", "optimize", "writer", "io-mutation"),
 )
 def txnlog_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE/compaction end to end, hash-checked: a txnlog table is
@@ -1733,7 +1733,7 @@ def txnlog_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_keys, CAST(SUM(tc) AS BIGINT) AS sum_cents
     FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
     """,
-    tags=("txnlog", "clone", "vacuum", "isolation"),
+    tags=("txnlog", "clone", "vacuum", "isolation", "io-mutation"),
 )
 def txn_clone_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLONE isolation under divergence AND retention, hash-checked
@@ -2079,7 +2079,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sum_cents
     FROM base GROUP BY 1 ORDER BY 1
     """,
-    tags=("txnlog", "partitioning", "merge", "scale"),
+    tags=("txnlog", "partitioning", "merge", "scale", "io-mutation"),
 )
 def txnlog_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned MERGE over a hive-partitioned txnlog table
@@ -2200,7 +2200,7 @@ def txnlog_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM main JOIN opt USING (yr, pri) ORDER BY yr, pri
     """,
     tags=("txnlog", "partitioning", "evolution", "merge", "delete",
-          "optimize", "scale"),
+          "optimize", "scale", "io-mutation"),
 )
 def txnlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-spec MERGE + DELETE after partition evolution (new r10):

@@ -493,7 +493,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY 1
     """,
-    tags=("txnlog", "wap", "constraints", "writer"),
+    tags=("txnlog", "wap", "constraints", "writer", "io-mutation"),
 )
 def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish end to end, hash-checked: a poisoned merge
@@ -603,7 +603,7 @@ def txnlog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT CAST(SUM(tc) AS BIGINT) FROM v1)
     ) ORDER BY version
     """,
-    tags=("txnlog", "restore", "history", "timetravel"),
+    tags=("txnlog", "restore", "history", "timetravel", "io-mutation"),
 )
 def txnlog_restore_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE + DESCRIBE HISTORY/DETAIL, hash-checked end to end (the
