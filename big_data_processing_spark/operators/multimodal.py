@@ -702,16 +702,25 @@ def frame_neardup_pairs(
     # same-media filter, duplicate fids in the banded join), so it
     # RAISES row-locally instead of silently mis-attributing — hit it
     # with a ~5 h unsampled recording and the fix is a coarser
-    # hop/every_n, not a dropped frame (r12 review)
+    # hop/every_n, not a dropped frame (r12 review).  The media_id
+    # half is guarded too (r12 advice): an id >= 2^43 overflows the
+    # signed-long pack and aliases frames into OTHER media — same
+    # hazard, other operand; the fix there is a narrower id space.
     packed = F.when(
-        (F.col("frame_idx") >= 0) & (F.col("frame_idx") < F.lit(1 << 20)),
+        (F.col("frame_idx") >= 0)
+        & (F.col("frame_idx") < F.lit(1 << 20))
+        & (F.col("media_id") >= 0)
+        & (F.col("media_id") < F.lit(1 << 43)),
         F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx"),
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("frame_neardup_pairs: frame_idx "),
+                F.lit("frame_neardup_pairs: (media_id, frame_idx) = ("),
+                F.col("media_id").cast("string"),
+                F.lit(", "),
                 F.col("frame_idx").cast("string"),
-                F.lit(" outside the 2^20 pack bound — sample coarser"),
+                F.lit(") outside the 2^43 x 2^20 pack bounds — "),
+                F.lit("sample coarser or renumber media ids"),
             )
         )
     )
@@ -779,6 +788,42 @@ AUDIO_FP_SCHEMA = T.StructType(
 )
 
 
+def audio_band_edges(frame_len: int, bands: int):
+    """Log-spaced spectral band edges over the positive-frequency bins
+    — deterministic ints, shared by :func:`extract_audio_fingerprint`
+    and the closed-form WAV fixtures (which place one tone per band so
+    a SQL oracle can state the fingerprint without an FFT).
+
+    bands + 2, not bands + 1: edges live in [1, n_bins - 1], which
+    holds n_bins - 1 distinct integers; with exactly bands + 1
+    available the gap-splitting below would insert a duplicate
+    (gap // 2 == 0) and np.add.reduceat would emit a zero-width 'band'
+    equal to its neighbor, silently deadening that bit (r12 review).
+    Band m covers bins [edges[m], edges[m+1]); the spectrum is
+    truncated at edges[-1], so the Nyquist bin is outside every band
+    (r12 advice)."""
+    import numpy as np
+
+    n_bins = frame_len // 2 + 1
+    if n_bins < bands + 2:
+        raise ValueError(
+            f"frame_len {frame_len} gives {n_bins} bins; need >= "
+            f"{bands + 2} for {bands} distinct bands"
+        )
+    edges = np.unique(
+        np.rint(np.geomspace(1, n_bins - 1, bands + 1)).astype(np.int64)
+    )
+    # duplicate rounded edges at the low end shrink the band count —
+    # split the widest gaps until exactly `bands` bands remain (still
+    # monotone, still deterministic; terminates because the range
+    # holds > bands + 1 distinct integers)
+    while len(edges) < bands + 1:
+        gaps = np.diff(edges)
+        i = int(np.argmax(gaps))
+        edges = np.insert(edges, i + 1, edges[i] + gaps[i] // 2)
+    return edges
+
+
 def extract_audio_fingerprint(
     media: DataFrame,
     frame_len: int = 512,
@@ -805,30 +850,7 @@ def extract_audio_fingerprint(
 
     from .mediacodec import decode_wav_pcm16
 
-    # log-spaced band edges over the positive-frequency bins —
-    # deterministic floats.  bands + 2, not bands + 1: edges live in
-    # [1, n_bins - 1], which holds n_bins - 1 distinct integers; with
-    # exactly bands + 1 available the gap-splitting below would insert
-    # a duplicate (gap // 2 == 0) and np.add.reduceat would emit a
-    # zero-width 'band' equal to its neighbor, silently deadening that
-    # bit (r12 review)
-    n_bins = frame_len // 2 + 1
-    if n_bins < bands + 2:
-        raise ValueError(
-            f"frame_len {frame_len} gives {n_bins} bins; need >= "
-            f"{bands + 2} for {bands} distinct bands"
-        )
-    edges = np.unique(
-        np.rint(np.geomspace(1, n_bins - 1, bands + 1)).astype(np.int64)
-    )
-    # duplicate rounded edges at the low end shrink the band count —
-    # split the widest gaps until exactly `bands` bands remain (still
-    # monotone, still deterministic; terminates because the range
-    # holds > bands + 1 distinct integers)
-    while len(edges) < bands + 1:
-        gaps = np.diff(edges)
-        i = int(np.argmax(gaps))
-        edges = np.insert(edges, i + 1, edges[i] + gaps[i] // 2)
+    edges = audio_band_edges(frame_len, bands)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -847,7 +869,10 @@ def extract_audio_fingerprint(
                 for f in range(n_frames):
                     win = x[f * hop : f * hop + frame_len]
                     spec = np.abs(np.fft.rfft(win)) ** 2
-                    e = np.add.reduceat(spec, edges[:-1])
+                    # truncate to edges[-1] so the top band ends at its
+                    # documented upper edge instead of silently
+                    # absorbing the Nyquist bin (r12 advice)
+                    e = np.add.reduceat(spec[: edges[-1]], edges[:-1])
                     hval = 0
                     for m in range(min(bits, bands - 1)):
                         if e[m] > e[m + 1]:
@@ -875,6 +900,171 @@ def audio_neardup_pairs(
         radius=radius,
         min_matched_frames=min_matched_frames,
         fp_col="afp",
+    )
+
+
+def synthesize_neardup_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic near-duplicate AVI fixture per id — the video arm
+    of the closed-form AV-near-dup oracle (the
+    synthesize_neardup_png_media pattern, frame-sequenced):
+
+    with k = id // 20 (the fixture is meant for ids ≡ 0 mod 20),
+    g = k // 4 the dup group and m = k % 2 the perturbation parity,
+    every video holds 4 frames, each a 9x8 grid of constant-value
+    RGB (v, v, v) blocks rendered at per-id scale
+    (sx, sy) = (1 + k%3, 1 + (k//3)%2) — group members share frame
+    content at DIFFERENT pixel sizes and frame rates, what a
+    re-encoded copy looks like.  Block (gx, gy) of frame f:
+
+        base = (g*31 + f*17 + gx*gx*11 + gy*gy*23 + gx*gy*5
+                + g*gx*2) % 256
+        v    = (base + 128) % 256  if m == 1 and (gx, gy) ==
+               ((k*3 + f) % 9, (k*5 + f) % 8)   else base
+
+    i.e. odd members carry one strongly-perturbed block PER FRAME
+    (<= 2 dHash bits), so within-group frame hamming stays <= 4 while
+    cross-group frames differ widely.  Encoded through the REAL AVI
+    writer; a SQL oracle states the expected pooled grid (and hence
+    each sampled frame's dHash) without decoding AVI."""
+    from .mediacodec import encode_avi_rgb24
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                k = mid // 20
+                g, m = k // 4, k % 2
+                sx, sy = 1 + k % 3, 1 + (k // 3) % 2
+                w, h = 9 * sx, 8 * sy
+                frames = []
+                for f in range(4):
+                    cells = [
+                        [
+                            (g * 31 + f * 17 + gx * gx * 11 + gy * gy * 23
+                             + gx * gy * 5 + g * gx * 2) % 256
+                            for gx in range(9)
+                        ]
+                        for gy in range(8)
+                    ]
+                    if m == 1:
+                        px, py = (k * 3 + f) % 9, (k * 5 + f) % 8
+                        cells[py][px] = (cells[py][px] + 128) % 256
+                    frames.append(
+                        bytes(
+                            b
+                            for y in range(h)
+                            for x in range(w)
+                            for b in (cells[y // sy][x // sx],) * 3
+                        )
+                    )
+                out.append(
+                    (mid, encode_avi_rgb24(w, h, 10 + 5 * (k % 3), frames))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return spread(ids.select(id_col), id_col, cap=8).mapInPandas(
+        fn,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def neardup_audio_bit(g: int, m: int, k: int, b: int) -> int:
+    """The designed fingerprint bit b of audio fixture member (g, m, k)
+    — the closed form both :func:`synthesize_neardup_wav_media` and
+    the SQL oracle state (the engine recovers it through the real WAV
+    decode + FFT; this function never touches audio):
+
+        base  = ((g*29 + b*b*7 + b*3) % 11) < 5
+        flips (odd members only): positions (k*7 + 1) % 60 and
+        (k*13 + 31) % 60, XOR-applied (they cancel if they collide)
+    """
+    bit = int(((g * 29 + b * b * 7 + b * 3) % 11) < 5)
+    if m % 2 == 1:
+        f1, f2 = (k * 7 + 1) % 60, (k * 13 + 31) % 60
+        bit ^= int(b == f1) ^ int(b == f2)
+    return bit
+
+
+def synthesize_neardup_wav_media(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    frame_len: int = 512,
+    hop: int = 256,
+    bands: int = 61,
+    bits: int = 60,
+) -> DataFrame:
+    """Deterministic near-duplicate WAV fixture per id — the audio arm
+    of the closed-form AV-near-dup oracle.  Each file realizes a
+    DESIGNED 60-bit spectral fingerprint (:func:`neardup_audio_bit`,
+    with k = id // 20 for ids ≡ 10 mod 20, g = k // 4, m = k % 4):
+    one exact-bin tone per log band (bin ``edges[band]`` from
+    :func:`audio_band_edges` — orthogonal over the analysis window, so
+    band energies are closed-form) with amplitudes walked down the
+    bit chain, A[60] = 260 and A[b] = A[b+1] ± 2 so that
+    A[b] > A[b+1] exactly when bit b is set; every adjacent band
+    comparison then carries an energy margin >= 65536*(4*min(A)+4)
+    ~ 3.7e7, orders of magnitude above int16 quantization leakage, so
+    the REAL decode + FFT + band-energy pipeline provably recovers the
+    designed pattern (pinned across the id range by
+    test_av_neardup_fixture_fingerprints_match_designed).
+
+    Members of a group share the base pattern at DIFFERENT gains
+    (1 + 0.1*m — the gain invariance the fingerprint is built for);
+    odd members additionally flip two designed bits, keeping
+    within-group hamming <= 4 (radius 6) while cross-group patterns
+    differ at ~half the positions.  3 analysis windows per file
+    (len = frame_len + 2*hop), all realizing the same pattern."""
+    import numpy as np
+
+    edges = audio_band_edges(frame_len, bands)
+    n_samples = frame_len + 2 * hop
+    n = np.arange(n_samples, dtype=np.float64)
+    # one (band, sample) sinusoid matrix, shared by every file: only
+    # the per-file amplitude vector differs
+    tones = np.sin(
+        2.0 * np.pi * edges[:bands, None] * n[None, :] / frame_len
+        + 0.5 * np.arange(bands, dtype=np.float64)[:, None]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mediacodec import encode_wav_pcm16
+
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                k = mid // 20
+                g, m = k // 4, k % 4
+                amps = np.empty(bands, dtype=np.float64)
+                amps[bands - 1] = 260.0
+                for b in range(bits - 1, -1, -1):
+                    amps[b] = amps[b + 1] + (
+                        2.0 if neardup_audio_bit(g, m, k, b) else -2.0
+                    )
+                gain = 1.0 + 0.1 * m
+                x = np.rint(gain * (amps @ tones)).astype(np.int64)
+                if np.abs(x).max() > 32767:
+                    raise ValueError(
+                        "synthesize_neardup_wav_media: clipped sample — "
+                        "amplitude chain exceeds int16"
+                    )
+                out.append((mid, encode_wav_pcm16([int(s) for s in x])))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return spread(ids.select(id_col), id_col, cap=8).mapInPandas(
+        fn,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
     )
 
 

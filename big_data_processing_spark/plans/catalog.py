@@ -97,9 +97,13 @@ _PRIORITY: tuple[str, ...] = (
     # promoted to ONE driver-hashed entry — an `arm` column over
     # closed-form AVI/WAV fixtures, oracle replaying
     # sample→pool/band→pack→hamming-band→rollup in SQL exactly as
-    # image_phash_neardup's does.  (The name is appended to this tuple
-    # in the same commit that registers the entry —
-    # test_priority_names_are_registered forbids forward references.)
+    # image_phash_neardup's does.
+    "av_neardup_pairs",
+    # r13 twin merge target (plan change; r12-stale, so this listing
+    # consumes no extra slot — it only moves the entry to the front):
+    # knn_ivf_cosine now carries the retired knn_ivf_refresh report as
+    # its 'refresh' arm in a long-format union.
+    "knn_ivf_cosine",
     # cap_bucket_size rework (judge r12 item 5, carried two rounds):
     # the over-cap buckets are now pre-aggregated (groupBy count > cap)
     # and anti-joined away BEFORE the band rows reach the self-join, so
@@ -108,11 +112,12 @@ _PRIORITY: tuple[str, ...] = (
     # computed as an aggregate instead of a window) and pinned by an
     # equality pytest on a skewed fixture; every banded family inherits
     # the change, so the r12-green consumers below re-earn their green
-    # now.  The remaining r12-green consumers (knn_lsh_cosine,
-    # dedup_incremental_batch) do not fit the 50-slot budget this
-    # round; they are r13-stale next round and re-verify in the r14
-    # window by staleness — two-round coverage of the changed plan
-    # holds either way.
+    # now.  The fourth r12-green consumer (dedup_embedding_cosine)
+    # does not fit the 50-slot budget this round; it is r13-stale next
+    # round and re-verifies in the r14 window by staleness — two-round
+    # coverage of the changed plan holds either way.  (The r11-green
+    # consumers — dedup_minhash_pairs and the artifact-shared cluster/
+    # canonical family — are window-bound by staleness already.)
     "dedup_simhash",
     "dedup_winnow_pairs",
     "image_phash_neardup",

@@ -56,7 +56,9 @@ SUBSET = [
     # partitions after a txnlog MERGE, grouping-sets expansion whose
     # partial-agg combining varies with task layout
     "serving_top_nations_monthly",
-    "knn_ivf_refresh",
+    # r13: knn_ivf_refresh retired into knn_ivf_cosine's 'refresh' arm
+    # — the merged entry keeps the quantized-distance-sum coverage
+    "knn_ivf_cosine",
     "dashboard_grouping_sets",
     # round-11 addition: the span detector's bucket-cap/dup-test window
     # and per-doc lag window both repartition; duplicated-position sets
@@ -71,6 +73,11 @@ SUBSET = [
     # identical under any partitioning of the word count
     "image_phash_neardup",
     "bpe_vocab_encode",
+    # round-13 addition: both AV arms run the banded hamming join over
+    # packed (media, frame) keys and roll up with countDistinct — the
+    # pair set, matched-frame counts and min hammings must not vary
+    # with how the media synth/decode explode's tasks are laid out
+    "av_neardup_pairs",
 ]
 
 

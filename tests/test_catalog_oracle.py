@@ -514,3 +514,44 @@ def test_lang_rebalance_arm_equals_retired_entry(spark, sf_dir):
     )
     retired = curation_lang_rebalance(spark, sf_dir).collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
+
+
+def test_knn_ivf_refresh_oracle_parity(spark, duck, sf_dir):
+    """The standalone IVF-maintenance entry (retired from the catalog
+    in r13: knn_ivf_cosine carries it as its 'refresh' arm) keeps its
+    DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        _ivf_refresh_oracle,
+        knn_ivf_refresh,
+    )
+
+    result = knn_ivf_refresh(spark, sf_dir)
+    oracle = duck.sql(_ivf_refresh_oracle(sf_dir)).df()
+    assert_frames_match(result, oracle)
+
+
+def test_ivf_refresh_arm_equals_retired_entry(spark, sf_dir):
+    """Un-pivoting the merged entry's 'refresh' arm back to the
+    retired entry's (cell x metric) values must reconstruct its rows
+    exactly — same txnlog MERGE, same assignment, same integer sums;
+    only the shape changed."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        _IVF_REPORT_METRICS,
+        knn_ivf_refresh,
+    )
+
+    merged_rows = (
+        CATALOG["knn_ivf_cosine"].fn(spark, sf_dir)
+        .filter("arm = 'refresh'")
+        .select("k1", "metric", "m")
+        .collect()
+    )
+    by_cell: dict = {}
+    for r in merged_rows:
+        by_cell.setdefault(r.k1, {})[r.metric] = r.m
+    retired = {
+        r.cell: {m: int(r[m]) for m in _IVF_REPORT_METRICS}
+        for r in knn_ivf_refresh(spark, sf_dir).collect()
+    }
+    assert {int(c): v for c, v in by_cell.items()} == retired

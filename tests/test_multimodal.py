@@ -985,3 +985,79 @@ def test_image_dhash_matches_pure_python_reference_on_random_images(spark):
     media = spark.createDataFrame(rows, ["media_id", "payload"])
     got = {r.media_id: r.dhash for r in extract_image_dhash(media).collect()}
     assert got == want
+
+
+def test_av_neardup_fixture_fingerprints_match_designed(spark):
+    """The av_neardup_pairs oracle states DESIGNED fingerprints closed
+    form; this pin proves the real decode pipelines recover them
+    exactly, per frame, across the id range — the load-bearing link
+    between the SQL oracle and the engine's Arrow passes.
+
+    Video: every sampled frame's dHash from the REAL AVI decode must
+    equal the closed-form hash of the fixture's 9x8 cell grid.  Audio:
+    every analysis window's spectral fingerprint from the REAL WAV
+    decode + FFT must equal the designed bit pattern
+    (neardup_audio_bit) — i.e. the amplitude-chain margins dominate
+    int16 quantization leakage at every (group, member, gain)."""
+    from big_data_processing_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+        extract_video_frame_dhash,
+        neardup_audio_bit,
+        synthesize_neardup_avi_media,
+        synthesize_neardup_wav_media,
+    )
+
+    vids = list(range(0, 200, 20))
+    auds = list(range(10, 210, 20))
+    vdf = spark.createDataFrame([(i,) for i in vids], ["doc_id"])
+    adf = spark.createDataFrame([(i,) for i in auds], ["doc_id"])
+
+    def video_hash(mid: int, f: int) -> int:
+        k = mid // 20
+        g, m = k // 4, k % 2
+        cells = [
+            [
+                (g * 31 + f * 17 + gx * gx * 11 + gy * gy * 23
+                 + gx * gy * 5 + g * gx * 2) % 256
+                for gx in range(9)
+            ]
+            for gy in range(8)
+        ]
+        if m == 1:
+            px, py = (k * 3 + f) % 9, (k * 5 + f) % 8
+            cells[py][px] = (cells[py][px] + 128) % 256
+        h = 0
+        for gy in range(8):
+            for gx in range(8):
+                b = gy * 8 + gx
+                if b < 60 and cells[gy][gx + 1] > cells[gy][gx]:
+                    h |= 1 << b
+        return h
+
+    frames = extract_video_frame_dhash(
+        synthesize_neardup_avi_media(vdf), every_n=2
+    ).collect()
+    assert {(r.media_id, r.frame_idx) for r in frames} == {
+        (i, f) for i in vids for f in (0, 2)
+    }
+    for r in frames:
+        assert r.n_frames == 4
+        assert r.dhash == video_hash(r.media_id, r.frame_idx), (
+            r.media_id,
+            r.frame_idx,
+        )
+
+    def audio_fp(mid: int) -> int:
+        k = mid // 20
+        g, m = k // 4, k % 4
+        return sum(neardup_audio_bit(g, m, k, b) << b for b in range(60))
+
+    afps = extract_audio_fingerprint(
+        synthesize_neardup_wav_media(adf)
+    ).collect()
+    assert {(r.media_id, r.frame_idx) for r in afps} == {
+        (i, f) for i in auds for f in (0, 1, 2)
+    }
+    for r in afps:
+        assert r.n_frames == 3
+        assert r.afp == audio_fp(r.media_id), (r.media_id, r.frame_idx)
