@@ -74,6 +74,38 @@ def _symbols(word: str) -> list[str]:
     return list(word) + [END_OF_WORD]
 
 
+def byte_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→printable-unicode table (Radford et al. 2019,
+    the public encoder.py construction): the 188 printable latin-1
+    bytes map to themselves; the remaining 68 (controls, space, DEL,
+    0xA0, 0xAD) shift to U+0100.. so every byte is a visible,
+    whitespace-free character and BPE can run over arbitrary UTF-8 —
+    byte 0x20 becomes 'Ġ', 0x0A becomes 'Ċ'.  Bijective by
+    construction (pinned in tests/test_bpe.py)."""
+    bs = (
+        list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+def _byte_symbols(word: str) -> list[str]:
+    """Byte-level base alphabet (GPT-2 style): one mapped symbol per
+    UTF-8 byte, no end-of-word sentinel (boundaries ride in the word
+    grain, exactly as the char-level pipeline's array structure).  A
+    multibyte code point starts as several symbols and merges back
+    together if frequent — the whole point of byte-level BPE: no
+    unknown-symbol escape hatch is ever needed."""
+    table = byte_to_unicode()
+    return [table[b] for b in word.encode("utf-8")]
+
+
 def _merge_pass(seq: list[str], a: str, b: str) -> list[str]:
     """One left-to-right non-overlapping application of (a, b) -> a+b —
     the same fold :func:`bpe_encode_words` expresses as a Column."""
@@ -87,7 +119,7 @@ def _merge_pass(seq: list[str], a: str, b: str) -> list[str]:
 
 
 def bpe_merge_loop(
-    word_n: list[tuple[str, int]], n_merges: int
+    word_n: list[tuple[str, int]], n_merges: int, symbols_fn=_symbols
 ) -> list[tuple[str, str]]:
     """The classic driver-side BPE training loop over an explicit
     (word, count) frequency table: count adjacent symbol pairs
@@ -96,9 +128,13 @@ def bpe_merge_loop(
     Python — shared by the Spark trainer (:func:`train_bpe_merges`)
     and the oracle-side trainer in plans/catalog_ext (which feeds it a
     DuckDB word count), so both learn IDENTICAL merges to embed as
-    literals (the IVF-centroid pattern)."""
+    literals (the IVF-centroid pattern).
+
+    ``symbols_fn`` picks the base alphabet: char-level + sentinel
+    (default) or :func:`_byte_symbols` for GPT-2-style byte-level —
+    the loop itself is alphabet-agnostic (r13)."""
     vocab: list[tuple[list[str], int]] = [
-        (_symbols(w), int(n)) for w, n in word_n
+        (symbols_fn(w), int(n)) for w, n in word_n
     ]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -139,7 +175,7 @@ def train_bpe_merges(
 
 
 def greedy_reference_encode(
-    word: str, merges: list[tuple[str, str]]
+    word: str, merges: list[tuple[str, str]], symbols_fn=_symbols
 ) -> list[str]:
     """Rank-priority greedy encode (the Sennrich/HuggingFace fixpoint
     semantics): repeatedly apply one left-to-right pass of the
@@ -149,7 +185,7 @@ def greedy_reference_encode(
     test expectations, so a driver hash / pytest pass certifies the
     two semantics agree (the module docstring argues why they must)."""
     rank = {p: i for i, p in enumerate(merges)}
-    seq = _symbols(word)
+    seq = symbols_fn(word)
     while True:
         present = {
             (seq[i], seq[i + 1]) for i in range(len(seq) - 1)
@@ -160,20 +196,46 @@ def greedy_reference_encode(
         seq = _merge_pass(seq, a, b)
 
 
+def byte_symbol_col(word_col: str):
+    """Column expression decomposing a word into its GPT-2 byte-level
+    base symbols — the Spark twin of :func:`_byte_symbols`, entirely
+    built-in (no UDF): UTF-8 encode → hex → split into byte pairs
+    ((?<=\\G..) keeps the engine-side parse row-local) → 256-entry
+    literal lookup.  A fold pipeline over this column stays in the
+    same shuffle-free regime as the char-level one."""
+    table = byte_to_unicode()
+    lut = F.array(*[F.lit(table[i]) for i in range(256)])
+    hx = F.lower(F.hex(F.encode(F.col(word_col), "UTF-8")))
+    pairs = F.filter(F.split(hx, "(?<=\\G..)"), lambda p: p != F.lit(""))
+    return F.transform(
+        pairs,
+        lambda p: F.element_at(lut, F.conv(p, 16, 10).cast("int") + 1),
+    )
+
+
 def bpe_encode_words(
-    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Encode each word into its BPE subtoken array as a PURE column
-    pipeline: split to character symbols + the end-of-word sentinel,
-    then ONE ``F.aggregate`` left-to-right fold per merge (row-local,
-    whole plan shuffle-free).  Adds ``subtokens: array<string>``.
+    pipeline: split to base symbols (character symbols + the
+    end-of-word sentinel, or GPT-2 byte-level symbols via
+    ``byte_level=True`` — r13, the alphabet most modern pipelines
+    train), then ONE ``F.aggregate`` left-to-right fold per merge
+    (row-local, whole plan shuffle-free).  Adds
+    ``subtokens: array<string>``.
 
     Closure-factory per merge — never default-arg captures in HOF
     lambdas (CLAUDE.md)."""
-    chars = F.filter(
-        F.split(F.col(word_col), ""), lambda c: c != F.lit("")
-    )
-    seq = F.concat(chars, F.array(F.lit(END_OF_WORD)))
+    if byte_level:
+        seq = byte_symbol_col(word_col)
+    else:
+        chars = F.filter(
+            F.split(F.col(word_col), ""), lambda c: c != F.lit("")
+        )
+        seq = F.concat(chars, F.array(F.lit(END_OF_WORD)))
 
     def apply_merge(col, a: str, b: str):
         def step(acc, x):
