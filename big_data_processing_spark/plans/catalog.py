@@ -111,16 +111,21 @@ _PRIORITY: tuple[str, ...] = (
     # The kept row set is identical by construction (same predicate,
     # computed as an aggregate instead of a window) and pinned by an
     # equality pytest on a skewed fixture; every banded family inherits
-    # the change, so the r12-green consumers below re-earn their green
-    # now.  The fourth r12-green consumer (dedup_embedding_cosine)
-    # does not fit the 50-slot budget this round; it is r13-stale next
-    # round and re-verifies in the r14 window by staleness — two-round
-    # coverage of the changed plan holds either way.  (The r11-green
-    # consumers — dedup_minhash_pairs and the artifact-shared cluster/
-    # canonical family — are window-bound by staleness already.)
+    # the change, so ALL FOUR r12-green consumers below re-earn their
+    # green now — the fourth (dedup_embedding_cosine) fits because the
+    # second r13 twin merge (dedup_bucket_skew_report folded into
+    # dedup_minhash_pairs as 'skew:<metric>' rows — both compute over
+    # the same banded layout) retires another r12-stale entry:
+    # catalog 96, stale 45, so 45 + av_neardup_pairs + these four = 50
+    # exactly.  (The r11-green consumers — dedup_minhash_pairs itself
+    # and the artifact-shared cluster/canonical family — are
+    # window-bound by staleness already; the merged pairs entry is
+    # also a plan change and is listed for the front of the window.)
     "dedup_simhash",
     "dedup_winnow_pairs",
     "image_phash_neardup",
+    "dedup_embedding_cosine",
+    "dedup_minhash_pairs",
 )
 
 

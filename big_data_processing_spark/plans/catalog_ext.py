@@ -496,21 +496,59 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_artifact(spark, sf_dir, "dedup_components", build)
 
 
+# Skew-report metrics carried as rows of the pairs entry since the
+# r13 twin merge: (arm='skew:<metric>', id_a=-1, id_b=value) — the
+# value rides the BIGINT id_b slot so the two pair arms' rows stay
+# byte-identical to the pre-merge entry.
+_SKEW_METRICS = (
+    "n_buckets",
+    "max_bucket",
+    "n_buckets_over_cap",
+    "n_rows_dropped",
+)
+
+DEDUP_BUCKET_SKEW_ORACLE: str = f"""
+    WITH {{bands_cte}},
+    sizes AS (
+        SELECT band_idx, band_hash, COUNT(*) AS bsz
+        FROM bands GROUP BY band_idx, band_hash
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(bsz) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN bsz > {_MH_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_over_cap,
+           CAST(SUM(CASE WHEN bsz > {_MH_CAP} THEN bsz ELSE 0 END) AS BIGINT)
+               AS n_rows_dropped
+    FROM sizes
+    """
+
+
 # Both skew regimes in one hash-checked entry (r4's capped/uncapped
 # twin entries merged to free a rotation slot): the `arm` column keys
 # default-cap pairs (DEFAULT_MAX_BUCKET_SIZE — never bites on sane
 # corpora, but regenerated-data degeneracy drops identically in both
-# engines) and tight-cap pairs (cap=2, bites on this corpus).
+# engines) and tight-cap pairs (cap=2, bites on this corpus).  r13:
+# the observability twin (dedup_bucket_skew_report) folds in as four
+# 'skew:<metric>' rows — pipeline and its logged report under ONE
+# driver hash.
 @query(
     "dedup_minhash_pairs",
     oracle=f"""
-    SELECT 'default_cap' AS arm, * FROM (
-        {_minhash_oracle(max_bucket=DEFAULT_MAX_BUCKET_SIZE)})
-    UNION ALL
-    SELECT 'tight_cap' AS arm, * FROM ({_minhash_oracle(max_bucket=_MH_CAP)})
+    SELECT arm, id_a, id_b, jaccard FROM (
+        SELECT 'default_cap' AS arm, * FROM (
+            {_minhash_oracle(max_bucket=DEFAULT_MAX_BUCKET_SIZE)})
+        UNION ALL
+        SELECT 'tight_cap' AS arm, * FROM ({_minhash_oracle(max_bucket=_MH_CAP)})
+        UNION ALL
+        SELECT 'skew:' || metric AS arm, CAST(-1 AS BIGINT) AS id_a,
+               v AS id_b, CAST(0.0 AS DOUBLE) AS jaccard
+        FROM (
+            SELECT * FROM ({DEDUP_BUCKET_SKEW_ORACLE.format(bands_cte=_minhash_bands_cte())})
+        ) UNPIVOT (v FOR metric IN ({', '.join(_SKEW_METRICS)}))
+    )
     ORDER BY arm, id_a, id_b
     """,
-    tags=("dedup", "minhash", "lsh", "skew"),
+    tags=("dedup", "minhash", "lsh", "skew", "observability"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12 hashes) + LSH(4 bands x 3 rows) near-dup candidate
@@ -526,14 +564,20 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       degenerate boilerplate bucket on a web corpus from going
       quadratic on one reducer.  Recall inside dropped buckets is
       sacrificed knowingly (members still collide in their other
-      bands; dedup_bucket_skew_report is the observability side).
+      bands);
+    - skew:<metric> (merged r13, the retired dedup_bucket_skew_report
+      twin — same banded layout, so one driver hash certifies the
+      pipeline AND its logged observability report): the four skew
+      metrics as (id_a=-1, id_b=value) rows — bucket count, max
+      bucket, over-_MH_CAP buckets, rows a cap=_MH_CAP would drop.
 
     Scale: signatures are row-local array exprs; only band buckets
     shuffle (each doc contributes 4 tiny rows). The Jaccard verify
     joins shingle sets only for candidates — never all pairs.  The
     default-cap arm reads the family's shared materialized artifact
     (_dedup_pairs_default); the tight-cap arm differs in banding, so
-    it computes fresh."""
+    it computes fresh; the skew arm is one aggregate over the banded
+    layout (a 1-row frame reshaped to 4 metric rows)."""
     default = _dedup_pairs_default(spark, sf_dir).withColumn(
         "arm", F.lit("default_cap")
     )
@@ -545,29 +589,31 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=_MH_THRESH,
         max_bucket_size=_MH_CAP,
     ).withColumn("arm", F.lit("tight_cap"))
-    return default.unionByName(tight).orderBy("arm", "id_a", "id_b")
-
-
-@query(
-    "dedup_bucket_skew_report",
-    oracle=f"""
-    WITH {_minhash_bands_cte()},
-    sizes AS (
-        SELECT band_idx, band_hash, COUNT(*) AS bsz
-        FROM bands GROUP BY band_idx, band_hash
+    stack_args = ", ".join(f"'{m}', {m}" for m in _SKEW_METRICS)
+    skew = (
+        dedup_bucket_skew_report(spark, sf_dir)
+        .selectExpr(f"stack({len(_SKEW_METRICS)}, {stack_args}) AS (metric, v)")
+        .select(
+            F.concat(F.lit("skew:"), F.col("metric")).alias("arm"),
+            F.lit(-1).cast("long").alias("id_a"),
+            F.col("v").cast("long").alias("id_b"),
+            F.lit(0.0).alias("jaccard"),
+        )
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
-           CAST(MAX(bsz) AS BIGINT) AS max_bucket,
-           CAST(SUM(CASE WHEN bsz > {_MH_CAP} THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_buckets_over_cap,
-           CAST(SUM(CASE WHEN bsz > {_MH_CAP} THEN bsz ELSE 0 END) AS BIGINT)
-               AS n_rows_dropped
-    FROM sizes
-    """,
-    tags=("dedup", "skew", "observability"),
-)
+    return (
+        default.select("arm", "id_a", "id_b", "jaccard")
+        .unionByName(tight.select("arm", "id_a", "id_b", "jaccard"))
+        .unionByName(skew)
+        .orderBy("arm", "id_a", "id_b")
+    )
+
+
 def dedup_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The observability half of the skew guard: what would the
+    """[Retired from the catalog in r13: dedup_minhash_pairs carries
+    these metrics as its 'skew:<metric>' rows; oracle parity + arm
+    reconstruction stay pinned in tests/test_catalog_oracle.py.]
+
+    The observability half of the skew guard: what would the
     _MH_CAP bucket cap drop? Bucket count, max bucket size, over-cap
     buckets, and rows removed — the report a production pipeline LOGS
     alongside every capped dedup run so capping degenerate boilerplate

@@ -555,3 +555,40 @@ def test_ivf_refresh_arm_equals_retired_entry(spark, sf_dir):
         for r in knn_ivf_refresh(spark, sf_dir).collect()
     }
     assert {int(c): v for c, v in by_cell.items()} == retired
+
+
+def test_bucket_skew_report_oracle_parity(spark, duck, sf_dir):
+    """The standalone skew-observability entry (retired from the
+    catalog in r13: dedup_minhash_pairs carries it as its
+    'skew:<metric>' rows) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        DEDUP_BUCKET_SKEW_ORACLE,
+        _minhash_bands_cte,
+        dedup_bucket_skew_report,
+    )
+
+    result = dedup_bucket_skew_report(spark, sf_dir)
+    oracle = duck.sql(
+        DEDUP_BUCKET_SKEW_ORACLE.format(bands_cte=_minhash_bands_cte())
+    ).df()
+    assert_frames_match(result, oracle)
+
+
+def test_skew_arm_equals_retired_entry(spark, sf_dir):
+    """Projecting the merged entry's 'skew:<metric>' rows back to the
+    retired report's columns must reconstruct it exactly — same banded
+    layout, same aggregate; only the shape changed."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        _SKEW_METRICS,
+        dedup_bucket_skew_report,
+    )
+
+    merged = {
+        r.arm.split(":", 1)[1]: r.id_b
+        for r in CATALOG["dedup_minhash_pairs"].fn(spark, sf_dir)
+        .filter("arm LIKE 'skew:%'")
+        .collect()
+    }
+    retired = dedup_bucket_skew_report(spark, sf_dir).collect()[0]
+    assert merged == {m: int(retired[m]) for m in _SKEW_METRICS}
