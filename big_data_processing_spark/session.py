@@ -55,6 +55,22 @@ def get_spark(
         # the testdata events table stores TIMESTAMP(NANOS) parquet, which
         # Spark only reads via this legacy long passthrough
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # STATIC conf (first-session only): the whole-stage-codegen class
+        # cache defaults to 100 entries, far below this engine's working
+        # set — a full catalog pass generates ~1900 codegen units, and
+        # three entries alone exceed 100 units in ONE run (r13 A/B:
+        # knn_ivf_cosine 120, minhash_index_cdf_refresh 122,
+        # dashboard_rollup_incremental 113), so at the default they evict
+        # and re-janino-compile their own classes between consecutive
+        # runs.  Measured two full catalog passes at sf0.01: 100-entry
+        # cache = 2360 recompiles on the SECOND pass (every entry, ~10 s
+        # of compile, 95.2 s wall) vs 46 recompiles / 77.8 s wall here —
+        # and the recompiles were the "wandering" multi-second transient
+        # the bench sidecar's trimmed spread works around.  Sized to hold
+        # a full pass with headroom; generated classes are small, so the
+        # metaspace cost is tens of MB per JVM (driver AND executors
+        # compile — each executor JVM carries its own cache at 100 TB).
+        .config("spark.sql.codegen.cache.maxEntries", "8192")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
