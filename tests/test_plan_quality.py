@@ -30,6 +30,19 @@ def _n_unpartitioned_windows(df) -> int:
     )
 
 
+def test_codegen_class_cache_holds_catalog_working_set(spark):
+    """The janino class cache (static conf, default 100) must hold the
+    catalog's codegen working set: a full pass generates ~1900 units and
+    single entries exceed 100 units per run, so the default re-compiles
+    a query's own classes between its consecutive runs — measured in r13
+    as 2360 recompiles on a repeat catalog pass (~10s of compile, the
+    'wandering' bench transient) vs 46 at the get_spark setting.  The
+    session fixture builds the first session in this process, so the
+    static conf must be visible here; losing it would silently bring
+    the thrash back."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096
+
+
 BROADCAST_QUERIES = [
     "region_customer_rollup",
     "semi_join_building_orders",
