@@ -117,7 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     # dedup_minhash_pairs as 'skew:<metric>' rows — both compute over
     # the same banded layout) retires another r12-stale entry:
     # catalog 96, stale 45, so 45 + av_neardup_pairs + these four = 50
-    # exactly.  (The r11-green consumers — dedup_minhash_pairs itself
+    # exactly — then the THIRD merge (events_session_window, see the
+    # list tail) brings it to 49 of 50 with one slot banked for r14.
+    # (The r11-green consumers — dedup_minhash_pairs itself
     # and the artifact-shared cluster/canonical family — are
     # window-bound by staleness already; the merged pairs entry is
     # also a plan change and is listed for the front of the window.)
@@ -126,6 +128,13 @@ _PRIORITY: tuple[str, ...] = (
     "image_phash_neardup",
     "dedup_embedding_cosine",
     "dedup_minhash_pairs",
+    # second r13 twin merge (headroom for r14): events_session_window
+    # retired into events_sessionize as its native arm, key-joined on
+    # (user_id, session_seq) — catalog 95.  The survivor is r12-stale,
+    # so this listing consumes no extra slot; with the retiree gone the
+    # window holds 44 stale + av_neardup_pairs + the four r12-green
+    # plan-changed entries = 49 of 50.
+    "events_sessionize",
 )
 
 
@@ -969,8 +978,12 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(session_seq AS INT) AS session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
            COUNT(*) AS n_events,
-           {dsum_sql('value', 9)} AS session_value
+           COUNT(*) AS n_events_native,
+           {dsum_sql('value', 9)} AS session_value,
+           {dsum_sql('value', 9)} AS session_value_native
     FROM sessions
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq
@@ -978,13 +991,30 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "sessionization", "streaming-analog"),
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity gap) via the
-    lag→flag→running-sum idiom — the batch twin of the streaming
-    session-window operator in streaming/. Deterministic tie-break on
-    event_id.
+    """Gap-based sessionization (30-min inactivity gap), BOTH ways,
+    key-joined — merged r13 with the retired ``events_session_window``
+    twin (window headroom; the retiree keeps its pytest oracle in
+    tests/test_catalog_oracle.py):
 
-    Scale: a single hash shuffle on user_id; both windows and the final
-    aggregate reuse that partitioning (Catalyst plans one Exchange)."""
+    - the lag→flag→running-sum idiom (this entry's original arm):
+      (user_id, session_seq) → n_events, session_value; deterministic
+      tie-break on event_id;
+    - Spark's native ``session_window`` gap-merge (the retired entry's
+      fn, reused): session bounds serialized as strings, plus the same
+      measures as ``*_native`` columns, sequenced per user by
+      row_number over session_start (sessions are disjoint with a
+      ≥30-min gap, so starts are unique per user — the ranking carries
+      a unique key).
+
+    The inner join on (user_id, session_seq) makes the row a
+    cross-implementation certificate: if the two sessionizations ever
+    split differently the join drops rows (row-count mismatch) and any
+    measure disagreement lands in the hashed columns — the oracle
+    computes the sessions once and asserts both arms equal it.
+
+    Scale: each arm is a single hash shuffle on user_id (windows and
+    aggregate reuse the partitioning); the join runs over session-grain
+    aggregates, orders of magnitude smaller than the fact input."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     gap_us = 1800 * 1000 * 1000
@@ -1002,8 +1032,33 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_seq",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    return (
+    lag_arm = (
         sessions.groupBy("user_id", F.col("session_seq").cast("int").alias("session_seq"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 9).alias("session_value"))
+    )
+    # runtime import: catalog_more imports this module for @query
+    from .catalog_more import events_session_window
+
+    wn = Window.partitionBy("user_id").orderBy("session_start")
+    native_arm = events_session_window(spark, sf_dir).select(
+        "user_id",
+        F.row_number().over(wn).cast("int").alias("session_seq"),
+        "session_start",
+        "session_end",
+        F.col("n_events").alias("n_events_native"),
+        F.col("session_value").alias("session_value_native"),
+    )
+    return (
+        lag_arm.join(native_arm, ["user_id", "session_seq"])
+        .select(
+            "user_id",
+            "session_seq",
+            "session_start",
+            "session_end",
+            "n_events",
+            "n_events_native",
+            "session_value",
+            "session_value_native",
+        )
         .orderBy("user_id", "session_seq")
     )

@@ -448,9 +448,11 @@ def ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mktsegment", "rnk", "custkey")
 
 
-@query(
-    "events_session_window",
-    oracle="""
+# Retired from the catalog in r13: events_sessionize carries this
+# computation as its native arm (key-joined on (user_id, session_seq),
+# a cross-implementation certificate).  The oracle stays here for the
+# retiree's pytest check in tests/test_catalog_oracle.py.
+EVENTS_SESSION_WINDOW_ORACLE = """
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
@@ -472,15 +474,20 @@ def ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess
     GROUP BY user_id, sid
     ORDER BY user_id, session_start
-    """,
-    tags=("window", "session", "streaming-analog"),
-)
+    """
+
+
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native session_window (gap-merged event-time sessions) in
     batch form — the same operator runs under readStream for true
     streaming sessions; oracle replicates the gap semantics with the
     lag→flag→running-sum idiom. Window bounds serialized as strings
-    (session end = last event + gap)."""
+    (session end = last event + gap).
+
+    [Retired from the catalog in r13: ``events_sessionize`` joins this
+    fn's output as its ``*_native`` columns — the driver hash now
+    certifies both implementations against one oracle.  This fn keeps
+    its standalone DuckDB parity check in tests/test_catalog_oracle.py.]"""
     ev = _t(spark, sf_dir, "events")
     sw = F.session_window("ts", "30 minutes")
     return (

@@ -592,3 +592,44 @@ def test_skew_arm_equals_retired_entry(spark, sf_dir):
     }
     retired = dedup_bucket_skew_report(spark, sf_dir).collect()[0]
     assert merged == {m: int(retired[m]) for m in _SKEW_METRICS}
+
+
+def test_events_session_window_oracle_parity(spark, duck, sf_dir):
+    """The standalone native-session_window entry (retired from the
+    catalog in r13: events_sessionize joins it in as its ``*_native``
+    columns) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_more import (
+        EVENTS_SESSION_WINDOW_ORACLE,
+        events_session_window,
+    )
+
+    result = events_session_window(spark, sf_dir)
+    oracle = duck.sql(EVENTS_SESSION_WINDOW_ORACLE).df()
+    assert_frames_match(result, oracle)
+
+
+def test_session_native_arm_equals_retired_entry(spark, sf_dir):
+    """Projecting the merged entry's native columns back to the retired
+    entry's schema must reconstruct its rows exactly — the inner join
+    on (user_id, session_seq) is lossless precisely when both
+    sessionizations split identically, which is the certificate the
+    merge exists to carry."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_more import (
+        events_session_window,
+    )
+
+    merged = (
+        CATALOG["events_sessionize"].fn(spark, sf_dir)
+        .selectExpr(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events_native AS n_events",
+            "session_value_native AS session_value",
+        )
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+    retired = events_session_window(spark, sf_dir).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
