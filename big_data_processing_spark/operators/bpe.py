@@ -37,6 +37,8 @@ greedy reference.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +76,7 @@ def _symbols(word: str) -> list[str]:
     return list(word) + [END_OF_WORD]
 
 
+@functools.lru_cache(maxsize=1)
 def byte_to_unicode() -> dict[int, str]:
     """The GPT-2 byte→printable-unicode table (Radford et al. 2019,
     the public encoder.py construction): the 188 printable latin-1

@@ -63,7 +63,9 @@ def cap_bucket_size(
     AQE plans the anti join as a broadcast, and over-cap rows drop
     map-side without any single-task concentration.  The kept row set
     is IDENTICAL by construction (same predicate, computed as an
-    aggregate instead of a window) — pinned by
+    aggregate instead of a window; the anti join is NULL-SAFE so an
+    over-cap all-NULL bucket caps exactly like the window form did —
+    r13 review) — pinned by
     test_cap_bucket_size_preagg_equals_window_form.
 
     Cost: the count aggregate re-traverses the banded frame (column-
@@ -75,9 +77,24 @@ def cap_bucket_size(
         banded.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_bsz"))
         .filter(F.col("_bsz") > max_bucket_size)
-        .select(*bucket_cols)
+        .select(
+            *[F.col(c).alias(f"_capkey_{c}") for c in bucket_cols]
+        )
     )
-    return banded.join(over, bucket_cols, "left_anti")
+    # null-safe equality, NOT the name-list equi form: groupBy puts
+    # all NULL-keyed rows in one group (as the old window form and the
+    # SQL oracles' window counts do), but a plain equi anti-join can
+    # never match a NULL key, so an over-cap NULL bucket would slip
+    # through the cap entirely.  eqNullSafe keeps the semantics
+    # identical to the window form for every key, NULL included, and
+    # remains a hash-joinable equi predicate (the over frame stays
+    # broadcast-sized).  Aliased keys keep the derived-frame self-join
+    # reference unambiguous.
+    cond = None
+    for c in bucket_cols:
+        clause = banded[c].eqNullSafe(F.col(f"_capkey_{c}"))
+        cond = clause if cond is None else cond & clause
+    return banded.join(over, cond, "left_anti")
 
 
 def bucket_skew_stats(

@@ -1022,6 +1022,15 @@ def synthesize_neardup_wav_media(
     (len = frame_len + 2*hop), all realizing the same pattern."""
     import numpy as np
 
+    # the amplitude chain anchors at the top band and walks down one
+    # slot per bit, so the designed fixture only covers every band when
+    # bands == bits + 1 — any other shape would leave chain slots no
+    # bit ever wrote (formerly uninitialized np.empty garbage)
+    if bands != bits + 1:
+        raise ValueError(
+            "synthesize_neardup_wav_media: bands must be bits + 1 "
+            f"(got bands={bands}, bits={bits})"
+        )
     edges = audio_band_edges(frame_len, bands)
     n_samples = frame_len + 2 * hop
     n = np.arange(n_samples, dtype=np.float64)
@@ -1041,7 +1050,7 @@ def synthesize_neardup_wav_media(
                 mid = int(mid)
                 k = mid // 20
                 g, m = k // 4, k % 4
-                amps = np.empty(bands, dtype=np.float64)
+                amps = np.zeros(bands, dtype=np.float64)
                 amps[bands - 1] = 260.0
                 for b in range(bits - 1, -1, -1):
                     amps[b] = amps[b + 1] + (

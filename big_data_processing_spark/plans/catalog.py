@@ -1010,7 +1010,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-implementation certificate: if the two sessionizations ever
     split differently the join drops rows (row-count mismatch) and any
     measure disagreement lands in the hashed columns — the oracle
-    computes the sessions once and asserts both arms equal it.
+    computes the sessions once and asserts both arms equal it.  The
+    two arms agree even at the EXACT 30:00 gap: native session_window
+    merges inclusively at prev_ts + gap (probed r13, pinned by
+    test_session_gap_boundary_semantics_agree), matching the lag
+    idiom's strict `> gap` split.
 
     Scale: each arm is a single hash shuffle on user_id (windows and
     aggregate reuse the partitioning); the join runs over session-grain

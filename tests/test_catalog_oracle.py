@@ -633,3 +633,35 @@ def test_session_native_arm_equals_retired_entry(spark, sf_dir):
     )
     retired = events_session_window(spark, sf_dir).collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
+
+
+def test_session_gap_boundary_semantics_agree(spark):
+    """The two sessionization arms joined by events_sessionize must
+    agree at the EXACT 30:00 gap: the lag idiom splits only on gap
+    strictly > 30 min, and Spark's native session_window was probed
+    (r13) to merge inclusively at prev_ts + gap — an event exactly
+    30:00.000000 later stays in the session, 30:00.000001 starts a new
+    one.  If a Spark upgrade ever flips the native boundary to
+    half-open, the merged entry's inner join would silently drop rows;
+    this pin fails first."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),  # exactly the gap: same session
+        (2, t0),
+        (2, t0 + dt.timedelta(minutes=30, microseconds=1)),  # just over: split
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    native = {
+        r.user_id: r.n
+        for r in df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert native == {1: 1, 2: 2}, native

@@ -511,9 +511,10 @@ def test_rollup_revenue_single_expand_scan(spark, sf_dir):
 
 def test_ivf_knn_plan_shape(spark, sf_dir):
     """knn_ivf_cosine's real computation (the catalog entry returns a
-    checkpoint scan, plan-opaque): cell routing + shortlist + rerank
-    must stay within 3 exchanges with both explicit broadcasts intact
-    and no sort-merge/cartesian fallback.  Bounds are final-section
+    checkpoint scan, plan-opaque): cell routing is row-local literal
+    arithmetic, so the pipeline's ONE join — corpus x broadcast query
+    side on cell — must stay a broadcast join within 3 exchanges, no
+    sort-merge/cartesian fallback.  Bounds are exact final-section
     counts (r13 _plan_shape recalibration — the old ones were
     unknowingly doubled by the Initial Plan tail)."""
     from pyspark.sql import functions as F

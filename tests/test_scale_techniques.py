@@ -233,14 +233,19 @@ def test_cap_bucket_size_preagg_equals_window_form(spark):
     count — so a degenerate bucket contributes map-side partial counts
     instead of concentrating its rows in one task.  Two pins: the kept
     set is exactly the window form's (same predicate, bucket at the
-    cap KEPT, bucket over the cap dropped whole), and the plan carries
-    an aggregate + left-anti join with NO window node."""
+    cap KEPT, bucket over the cap dropped whole — INCLUDING an
+    over-cap NULL-keyed bucket, which groupBy and window counts both
+    collect into one group but a plain equi anti-join could never
+    match: the r13 review found the name-list join form silently
+    exempted NULL buckets from the cap, hence eqNullSafe), and the
+    plan carries an aggregate + left-anti join with NO window node."""
     from big_data_processing_spark.operators.dedup import cap_bucket_size
 
     rows = (
         [("hot", i) for i in range(20)]
         + [("atcap", i) for i in range(8)]
         + [("cold", 0), ("cold", 1)]
+        + [(None, 100 + i) for i in range(9)]  # over-cap NULL bucket
     )
     banded = spark.createDataFrame(
         [(0, h, i) for h, i in rows], ["band_idx", "band_hash", "id"]
