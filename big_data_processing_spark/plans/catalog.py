@@ -131,10 +131,22 @@ _PRIORITY: tuple[str, ...] = (
     # second r13 twin merge (headroom for r14): events_session_window
     # retired into events_sessionize as its native arm, key-joined on
     # (user_id, session_seq) — catalog 95.  The survivor is r12-stale,
-    # so this listing consumes no extra slot; with the retiree gone the
-    # window holds 44 stale + av_neardup_pairs + the four r12-green
-    # plan-changed entries = 49 of 50.
+    # so this listing consumes no extra slot.
     "events_sessionize",
+    # r13 correction (review pass): the cap rework changed the plan of
+    # SIX r12-green cap consumers, not four — knn_lsh_cosine (via
+    # lsh_bucket_knn's banded cap) and minhash_index_cdf_refresh (caps
+    # its band maintenance) were missed above and must re-earn green
+    # now.  The two extra slots come from one banked slot (the
+    # session-window merge) plus a third twin merge:
+    # dedup_cluster_assign retired into dedup_canonical_docs as its
+    # min_doc/max_doc columns (same groupBy, same shared components
+    # artifact; the retiree is filter(n_docs > 1) of the survivor).
+    # Final r13 window: 43 stale + av_neardup_pairs + 4 cap-reworked
+    # + these two + the canonical survivor (stale, slot-free) = 50.
+    "knn_lsh_cosine",
+    "minhash_index_cdf_refresh",
+    "dedup_canonical_docs",
 )
 
 

@@ -790,11 +790,6 @@ def _cluster_oracle() -> str:
     """
 
 
-@query(
-    "dedup_cluster_assign",
-    oracle=_cluster_oracle(),
-    tags=("dedup", "clusters", "graph"),
-)
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTER assignment — the step after pair
     generation in a real dedup pipeline: MinHash near-dup pairs plus
@@ -808,7 +803,14 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     one join + a map-side-combinable min; dedup graphs converge in a
     handful of rounds (diameter of near-clique clusters).  The pair
     generation + fixpoint run once per process and are shared with
-    dedup_canonical_docs via the materialized artifact memo."""
+    dedup_canonical_docs via the materialized artifact memo.
+
+    [Retired from the catalog in r13 (window headroom for the two
+    cap-rework re-verifications): ``dedup_canonical_docs`` now carries
+    this summary as its min_doc/max_doc columns — every edge-cluster
+    row of the retiree is ``filter(n_docs > 1)`` of the merged entry.
+    This fn keeps its standalone DuckDB parity check in
+    tests/test_catalog_oracle.py (oracle: ``_cluster_oracle``).]"""
     return cluster_summary(_dedup_components(spark, sf_dir))
 
 
@@ -948,7 +950,8 @@ def _canonical_oracle() -> str:
     SELECT cluster_id, COUNT(*) AS n_docs,
            MIN(CASE WHEN rk = 1 THEN node END) AS canonical_doc,
            MIN(CASE WHEN rk = 1 THEN quality_score END) AS canonical_quality,
-           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           MIN(node) AS min_doc, MAX(node) AS max_doc
     FROM ranked GROUP BY cluster_id ORDER BY cluster_id
     """
 
@@ -968,6 +971,13 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     run actually materializes is `filter(node == canonical)`; this
     entry reports the per-cluster accounting so the hash pins both the
     clustering and the argmax.
+
+    Merged r13 with the retired ``dedup_cluster_assign`` twin (window
+    headroom for the cap-rework re-verifications): the min_doc/max_doc
+    member-range columns are two extra aggregates in the SAME groupBy,
+    so every edge-cluster row of the retiree is exactly
+    ``filter(n_docs > 1)`` here (singletons report their own id for
+    both bounds) — pinned by the reconstruction pytest.
 
     Scale: components are the label-propagation fixpoint (two longs
     per doc); quality is row-local; the argmax is a window PARTITIONED
@@ -1004,6 +1014,8 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "canonical_quality"
             ),
             (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+            F.min("node").alias("min_doc"),
+            F.max("node").alias("max_doc"),
         )
         .orderBy("cluster_id")
     )

@@ -665,3 +665,39 @@ def test_session_gap_boundary_semantics_agree(spark):
         .collect()
     }
     assert native == {1: 1, 2: 2}, native
+
+
+def test_dedup_cluster_assign_oracle_parity(spark, duck, sf_dir):
+    """The standalone cluster-summary entry (retired from the catalog
+    in r13: dedup_canonical_docs carries it as its min_doc/max_doc
+    columns) keeps its DuckDB oracle check here."""
+    from big_data_processing_spark.plans.catalog_ext import (
+        _cluster_oracle,
+        dedup_cluster_assign,
+    )
+
+    result = dedup_cluster_assign(spark, sf_dir)
+    oracle = duck.sql(_cluster_oracle()).df()
+    assert_frames_match(result, oracle)
+
+
+def test_cluster_summary_columns_equal_retired_entry(spark, sf_dir):
+    """Filtering the merged entry to edge clusters (n_docs > 1) and
+    projecting the member-range columns must reconstruct the retired
+    summary exactly — both aggregate the SAME shared components
+    artifact, so any divergence means the singleton COALESCE or the
+    member count drifted between the two formulations."""
+    from big_data_processing_spark.plans.catalog import CATALOG
+    from big_data_processing_spark.plans.catalog_ext import (
+        dedup_cluster_assign,
+    )
+
+    merged = (
+        CATALOG["dedup_canonical_docs"].fn(spark, sf_dir)
+        .filter("n_docs > 1")
+        .select("cluster_id", "n_docs", "min_doc", "max_doc")
+        .orderBy("cluster_id")
+        .collect()
+    )
+    retired = dedup_cluster_assign(spark, sf_dir).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in retired]
