@@ -133,19 +133,23 @@ _PRIORITY: tuple[str, ...] = (
     # (user_id, session_seq) — catalog 95.  The survivor is r12-stale,
     # so this listing consumes no extra slot.
     "events_sessionize",
-    # r13 correction (review pass): the cap rework changed the plan of
-    # SIX r12-green cap consumers, not four — knn_lsh_cosine (via
-    # lsh_bucket_knn's banded cap) and minhash_index_cdf_refresh (caps
-    # its band maintenance) were missed above and must re-earn green
-    # now.  The two extra slots come from one banked slot (the
-    # session-window merge) plus a third twin merge:
-    # dedup_cluster_assign retired into dedup_canonical_docs as its
-    # min_doc/max_doc columns (same groupBy, same shared components
-    # artifact; the retiree is filter(n_docs > 1) of the survivor).
-    # Final r13 window: 43 stale + av_neardup_pairs + 4 cap-reworked
-    # + these two + the canonical survivor (stale, slot-free) = 50.
-    "knn_lsh_cosine",
-    "minhash_index_cdf_refresh",
+    # third r13 twin merge: dedup_cluster_assign retired into
+    # dedup_canonical_docs as its min_doc/max_doc columns (same
+    # groupBy, same shared components artifact; the retiree is
+    # filter(n_docs > 1) of the survivor).  The survivor is r12-stale,
+    # so this listing consumes no extra slot.
+    #
+    # The review pass briefly believed two MORE r12-green entries
+    # (knn_lsh_cosine, minhash_index_cdf_refresh) were cap consumers;
+    # a full plan sweep refuted both (grep false positives: lsh takes
+    # no cap parameter, the refresh entry only mentions the cap in its
+    # docstring) — the four listed above ARE the complete r12-green
+    # cap-consumer set, now pinned mechanically by
+    # test_plan_quality._CAP_CONSUMERS so the next shared-operator
+    # rework enumerates its plan changes by sweep, not grep.
+    # Final r13 window: 43 stale + av_neardup_pairs + the four
+    # cap-reworked + the two merge survivors (stale, slot-free) = 48
+    # of 50, two slots banked for r14.
     "dedup_canonical_docs",
 )
 

@@ -154,12 +154,37 @@ _GLOBAL_WINDOW_JUSTIFIED = {
 }
 
 
+# Entries whose OWN plan runs the banded-bucket skew cap
+# (operators/dedup.cap_bucket_size — greppable in plans by its
+# `_capkey_` alias).  This list is window-accounting-critical: a cap
+# rework changes the executed plan of EXACTLY these entries, and every
+# one of them must then re-earn a driver-green row (_PRIORITY).  The
+# r13 lesson that motivated the pin: grep-based attribution produced
+# two FALSE consumers (lsh_bucket_knn takes no cap at all; the cdf
+# refresh entry only mentions the cap in a docstring), and only a plan
+# sweep settled the set.  Transitive consumers via the shared pairs
+# ARTIFACT (dedup_canonical_docs reads the capped pair list from its
+# memoized parquet) do not appear here — their own plan is a file
+# scan; the cap ran in the artifact build.
+_CAP_CONSUMERS = {
+    "av_neardup_pairs",
+    "dedup_embedding_cosine",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_winnow_pairs",
+    "image_phash_neardup",
+}
+
+
 def test_catalog_plan_invariants_single_sweep(spark, sf_dir):
     """One plan pass over EVERY catalog query enforcing the 100 TB
     invariants: no cartesian product, no nested-loop join outside the
     bounded-side allowlist, and no unpartitioned Window outside the
     bounded-input allowlist (a partitionless window serializes its
-    whole input through one reducer)."""
+    whole input through one reducer).  The same pass pins the exact
+    set of skew-cap consumers so the next cap rework can enumerate the
+    plans it changes mechanically instead of by grep."""
+    cap_consumers = set()
     for name in CATALOG:
         df = CATALOG[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -174,6 +199,12 @@ def test_catalog_plan_invariants_single_sweep(spark, sf_dir):
             assert name in _GLOBAL_WINDOW_JUSTIFIED, (
                 f"{name}: unpartitioned window with no documented bounded input"
             )
+        if "_capkey_" in plan:
+            cap_consumers.add(name)
+    assert cap_consumers == _CAP_CONSUMERS, (
+        "skew-cap consumer set drifted — update _CAP_CONSUMERS AND put "
+        f"every changed entry in _PRIORITY: {sorted(cap_consumers)}"
+    )
 
 
 def test_asof_join_plan_has_no_join_operator(spark, sf_dir):
