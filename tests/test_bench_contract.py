@@ -23,7 +23,14 @@ def test_bench_emits_single_json_line(tmp_path):
         env=env,
         capture_output=True,
         text=True,
-        timeout=600,
+        # 600 assumed r12-era hardware; the r13 environment measures
+        # uniformly ~2.5x slower (bench io probe 0.102 -> 0.261 s,
+        # full pytest 17.5 -> 52 min on identical code) and the timed
+        # toy run landed at 579 s wall — a hardware-drift flake, not a
+        # contract change.  Headroom sized to that measured drift; the
+        # r13 per-entry optimizations pull the toy run itself back
+        # down (OPTIMIZATION_r13.md).
+        timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
