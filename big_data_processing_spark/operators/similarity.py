@@ -113,7 +113,16 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     self-join sides, and an unrolled 18x64-term tree duplicated 12+
     ways OOMs Catalyst under a default-heap driver. The interpreted
     cost is paid ONCE per row instead — callers materialize the
-    signature projection (persist barrier) before banding."""
+    signature projection (persist barrier) before banding.
+
+    The built Column is memoized per (planes, input column) — the
+    n_planes x dim literal tree costs seconds of py4j round-trips per
+    construction and the LSH entries rebuild plans every bench run
+    (r13; same rationale as :func:`_ivf_cell_fns`)."""
+    key = ("sig_bits", tuple(tuple(p) for p in planes), str(vec))
+    cached = _pq_cache().get(key)
+    if cached is not None:
+        return cached
     dv = _to_double(vec)
     sig = None
     for j, p in enumerate(planes):
@@ -123,6 +132,7 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
         )
         term = bit * F.lit(1 << j).cast("long")
         sig = term if sig is None else sig + term
+    _pq_cache()[key] = sig
     return sig
 
 
@@ -242,13 +252,26 @@ def fit_ivf_centroids_parquet(
 def _ivf_cell_fns(centroids: "list[list[float]]"):
     """(cell_dists, nearest_cells) expression builders for an IVF
     quantizer — shared by ivf_knn and ivf_pq_knn so both assign cells
-    with the bit-identical expression the oracles mirror."""
+    with the bit-identical expression the oracles mirror.
 
-    def cell_dists(vec: Column) -> Column:
-        """Array of squared L2 distances to every centroid. Compact HOF
-        folds on purpose: unrolling to 16x64 literal terms was measured
-        ~15x SLOWER end-to-end — Catalyst/codegen time on the giant
-        duplicated trees dwarfs the interpreted-fold cost it saves."""
+    Built Columns are MEMOIZED per (centroids, input column, n) in the
+    session-scoped expression cache (r13, guide §1/§5 — driver-side
+    work): constructing the 16x(64-literal zip_with + fold) tree costs
+    ~1.5-3.5 s of py4j round-trips PER CALL, and the IVF entries
+    rebuild their plans on every bench run — construction, not
+    execution (~0.5 s per corpus pass), was the dominant cost of the
+    whole IVF family.  A Column is an immutable unresolved expression,
+    so reuse across queries is safe; keying on ``str(vec)`` scopes the
+    memo to the named input column, and the cache self-invalidates on
+    SparkContext change (see :func:`_pq_cache`)."""
+    ckey = ("ivf_cells", tuple(tuple(c) for c in centroids))
+
+    def _build_dists(vec: Column) -> Column:
+        # Array of squared L2 distances to every centroid. Compact HOF
+        # folds on purpose: unrolling to 16x64 literal terms was
+        # measured ~15x SLOWER end-to-end — Catalyst/codegen time on
+        # the giant duplicated trees dwarfs the interpreted-fold cost
+        # it saves.
         dv = _to_double(vec)
         return F.array(
             *[
@@ -265,11 +288,24 @@ def _ivf_cell_fns(centroids: "list[list[float]]"):
             ]
         )
 
+    def cell_dists(vec: Column) -> Column:
+        key = (*ckey, "dists", str(vec))
+        col = _pq_cache().get(key)
+        if col is None:
+            col = _build_dists(vec)
+            _pq_cache()[key] = col
+        return col
+
     def nearest_cells(vec: Column, n: int) -> Column:
-        d = cell_dists(vec)
-        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-        pairs = F.arrays_zip(d.alias("d"), idx.alias("i"))
-        return F.slice(F.array_sort(pairs), 1, n).getField("i")
+        key = (*ckey, "nearest", n, str(vec))
+        col = _pq_cache().get(key)
+        if col is None:
+            d = cell_dists(vec)
+            idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+            pairs = F.arrays_zip(d.alias("d"), idx.alias("i"))
+            col = F.slice(F.array_sort(pairs), 1, n).getField("i")
+            _pq_cache()[key] = col
+        return col
 
     return cell_dists, nearest_cells
 
