@@ -231,36 +231,48 @@ def bpe_encode_words(
     ``subtokens: array<string>``.
 
     Closure-factory per merge — never default-arg captures in HOF
-    lambdas (CLAUDE.md)."""
-    if byte_level:
-        seq = byte_symbol_col(word_col)
-    else:
-        chars = F.filter(
-            F.split(F.col(word_col), ""), lambda c: c != F.lit("")
-        )
-        seq = F.concat(chars, F.array(F.lit(END_OF_WORD)))
+    lambdas (CLAUDE.md).
 
-    def apply_merge(col, a: str, b: str):
-        def step(acc, x):
-            hit = (
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b))
+    The built fold tree is memoized per (merges, word_col, byte_level)
+    in the session expression cache (r13): each merge's fold lambda
+    costs ~20 py4j round-trips to construct, the tree is rebuilt on
+    every plan build otherwise, and the expression is a pure function
+    of its key — see operators/util.session_expr_cache."""
+    from .util import session_expr_cache
+
+    key = ("bpe_encode", tuple(merges), word_col, bool(byte_level))
+    seq = session_expr_cache().get(key)
+    if seq is None:
+        if byte_level:
+            seq = byte_symbol_col(word_col)
+        else:
+            chars = F.filter(
+                F.split(F.col(word_col), ""), lambda c: c != F.lit("")
             )
-            return F.when(
-                hit,
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(a + b)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x)))
+            seq = F.concat(chars, F.array(F.lit(END_OF_WORD)))
 
-        return F.aggregate(
-            col, F.array().cast("array<string>"), step
-        )
+        def apply_merge(col, a: str, b: str):
+            def step(acc, x):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
 
-    for a, b in merges:
-        seq = apply_merge(seq, a, b)
+            return F.aggregate(
+                col, F.array().cast("array<string>"), step
+            )
+
+        for a, b in merges:
+            seq = apply_merge(seq, a, b)
+        session_expr_cache()[key] = seq
     return words.withColumn("subtokens", seq)
 
 

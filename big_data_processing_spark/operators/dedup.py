@@ -229,6 +229,25 @@ def minhash_lsh_pairs(
         bands=bands,
         shingle_n=shingle_n,
     )
+    return minhash_pairs_from_bands(
+        banded,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def minhash_pairs_from_bands(
+    banded: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """The post-banding half of :func:`minhash_lsh_pairs` — cap, banded
+    self-join, exact-Jaccard verify — over a prebuilt
+    :func:`minhash_band_rows` frame.  Split out (r13) so a caller that
+    needs the SAME banded layout more than once (e.g. two cap regimes,
+    or pairs + skew observability) signs the corpus once and shares the
+    frame instead of re-running the shingle/md5/permutation pass per
+    consumer."""
     if max_bucket_size is not None:
         banded = cap_bucket_size(banded, ["band_idx", "band_hash"], max_bucket_size)
     a = banded.alias("a")

@@ -863,6 +863,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (query_id, neighbor_id, adc_d2,
     rank): exact query subvectors scored against each neighbor's
@@ -878,10 +879,15 @@ def pq_adc_topk(
     # persist barrier: the 128-aggregate encode expression would
     # otherwise be substituted into every (neighbor, query) pair row;
     # at production scale the codes ARE a materialized index table.
-    # Caller-released via util.release_barriers.
-    codes = persist_barrier(
-        pq_encode(spread(corpus, id_col), codebooks, id_col, vec_col)
-    )
+    # Caller-released via util.release_barriers.  A caller that already
+    # holds the encoded (id, codes) table — the IVF+PQ composition
+    # builds the identical encode for its routed index — passes it via
+    # ``codes`` so the corpus is quantized once, not once per arm
+    # (r13; values are the same expression either way).
+    if codes is None:
+        codes = persist_barrier(
+            pq_encode(spread(corpus, id_col), codebooks, id_col, vec_col)
+        )
     q = _pq_query_luts(queries, codebooks, id_col, vec_col)
     scored = (
         codes.withColumnRenamed("id", "neighbor_id")
@@ -909,6 +915,7 @@ def pq_rerank_topk(
     shortlist: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The production PQ serving pipeline: ADC over compressed codes
     selects a per-query ``shortlist``, then ONLY those candidates are
@@ -928,8 +935,35 @@ def pq_rerank_topk(
         k=shortlist,
         id_col=id_col,
         vec_col=vec_col,
+        codes=codes,
     ).select("query_id", "neighbor_id")
     return _exact_cosine_rerank(corpus, queries, short, k, id_col, vec_col)
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted IVF+PQ serving-side index — one (id, codes, cell)
+    row per corpus vector (cell from the IVF coarse quantizer, codes
+    from the PQ encode).  Split out of :func:`ivf_pq_knn` (r13) so a
+    caller running BOTH the routed composition and the full-corpus ADC
+    scan (the pq-family catalog entry's two arms) quantizes the corpus
+    once: the plain PQ pipeline consumes ``.select("id", "codes")`` of
+    this frame — the identical encode expression, so values are
+    unchanged.  Caller-released via util.release_barriers."""
+    _, nearest_cells = _ivf_cell_fns(centroids)
+    base = spread(corpus, id_col).select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        nearest_cells(F.col(vec_col), 1).getItem(0).alias("cell"),
+    )
+    return persist_barrier(
+        pq_encode(base, codebooks, id_col, vec_col, keep_cols=("cell",))
+    )
 
 
 def ivf_pq_knn(
@@ -944,6 +978,7 @@ def ivf_pq_knn(
     n_probe: int = 6,
     seed: int = 42,
     index: list[list[float]] | None = None,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus-scale ANN composition (the FAISS IVFPQ shape): the
     IVF coarse quantizer routes each query to its ``n_probe`` nearest
@@ -966,15 +1001,11 @@ def ivf_pq_knn(
         else build_ivf_index(corpus, vec_col=vec_col, n_cells=n_cells, seed=seed)
     )
     _, nearest_cells = _ivf_cell_fns(centroids)
-    base = spread(corpus, id_col).select(
-        F.col(id_col).alias(id_col),
-        F.col(vec_col).alias(vec_col),
-        nearest_cells(F.col(vec_col), 1).getItem(0).alias("cell"),
-    )
-    # (id, cell, codes): the whole serving-side index, persisted once
-    indexed = persist_barrier(
-        pq_encode(base, codebooks, id_col, vec_col, keep_cols=("cell",))
-    )
+    # (id, cell, codes): the whole serving-side index, persisted once —
+    # or passed in prebuilt (``indexed``) by a caller sharing it with
+    # the full-corpus ADC arm (see ivf_pq_index)
+    if indexed is None:
+        indexed = ivf_pq_index(corpus, codebooks, centroids, id_col, vec_col)
     q_probe = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode_outer(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),

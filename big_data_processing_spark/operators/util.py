@@ -113,6 +113,34 @@ def persist_barrier(df: DataFrame) -> DataFrame:
     return df
 
 
+_EXPR_CACHE: dict = {}
+
+
+def session_expr_cache() -> dict:
+    """Session-scoped memo for BUILT Column expression trees (r13).
+
+    Constructing a large literal/HOF Column costs py4j round-trips —
+    seconds for the multi-fold trees (BPE merge pipeline, IVF cell
+    distances) — while a Column is an immutable UNRESOLVED expression
+    that is safe to reuse across queries; callers key on the literals
+    the tree embeds (plus input column names) and skip reconstruction.
+    Invalidates when the active SparkContext changes: cached Columns
+    wrap py4j JavaObjects, and entries built against a stopped context
+    would raise stale-object errors from a new session (same contract
+    as operators/similarity._pq_cache, which predates this shared
+    helper)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    # (applicationId, startTime) is unique per live context; id(sc)
+    # would be reusable after GC (ADVICE r4)
+    tag = (sc.applicationId, sc.startTime) if sc is not None else None
+    if _EXPR_CACHE.get("_tag") != tag:
+        _EXPR_CACHE.clear()
+        _EXPR_CACHE["_tag"] = tag
+    return _EXPR_CACHE
+
+
 def bounded_global_input(df: DataFrame, cap: int, what: str) -> DataFrame:
     """Guard for a deliberately GLOBAL (partitionless) window or sort:
     returns ``df`` after proving it holds <= ``cap`` rows, else raises.

@@ -151,6 +151,21 @@ _PRIORITY: tuple[str, ...] = (
     # cap-reworked + the two merge survivors (stale, slot-free) = 48
     # of 50, two slots banked for r14.
     "dedup_canonical_docs",
+    # r13 OPTIMIZATION round plan changes (both r12-stale, so front-
+    # listing them consumes no extra slot):
+    # - knn_ivf_pq_rerank: both arms now share ONE corpus quantization
+    #   (ivf_pq_index; the pq arm consumes the routed index minus its
+    #   cell column — identical encode expression, values unchanged);
+    # - dedup_minhash_pairs (already listed above): tight-cap and skew
+    #   arms share one persisted banding of the corpus.
+    "knn_ivf_pq_rerank",
+    # r13 optimization plan change on an r12-GREEN entry — spends one
+    # of the two banked slots (window: 49 of 50): curation_labels now
+    # computes digest + quality columns in ONE row-local text pass
+    # (they were two projections of the same scan joined back on
+    # doc_id; the join was inner on a same-source key, so fusing is
+    # value-identical).
+    "curation_pipeline_summary",
 )
 
 
@@ -1032,10 +1047,25 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_session_gap_boundary_semantics_agree), matching the lag
     idiom's strict `> gap` split.
 
-    Scale: each arm is a single hash shuffle on user_id (windows and
-    aggregate reuse the partitioning); the join runs over session-grain
-    aggregates, orders of magnitude smaller than the fact input."""
-    ev = _t(spark, sf_dir, "events")
+    Scale: ONE hash shuffle on user_id feeds both arms (r13 — the
+    partitioned projection is materialized once and the windows and
+    the session aggregate both reuse its partitioning); the join runs
+    over session-grain aggregates, orders of magnitude smaller than
+    the fact input."""
+    from ..operators.util import persist_barrier
+
+    # ONE scan + ONE user_id shuffle feeding BOTH arms (r13
+    # optimization): the lag windows and the native session_window
+    # aggregate each require hashpartitioning(user_id), so the barrier
+    # materializes the partitioned projection once and both arms reuse
+    # it (cached plans preserve output partitioning — neither arm
+    # re-exchanges).  Rows are identical to two independent scans, so
+    # both arms' values are unchanged.
+    ev = persist_barrier(
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .repartition("user_id")
+    )
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     gap_us = 1800 * 1000 * 1000
     prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
@@ -1060,7 +1090,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog_more import events_session_window
 
     wn = Window.partitionBy("user_id").orderBy("session_start")
-    native_arm = events_session_window(spark, sf_dir).select(
+    native_arm = events_session_window(spark, sf_dir, source=ev).select(
         "user_id",
         F.row_number().over(wn).cast("int").alias("session_seq"),
         "session_start",

@@ -575,23 +575,42 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (each doc contributes 4 tiny rows). The Jaccard verify
     joins shingle sets only for candidates — never all pairs.  The
     default-cap arm reads the family's shared materialized artifact
-    (_dedup_pairs_default); the tight-cap arm differs in banding, so
-    it computes fresh; the skew arm is one aggregate over the banded
-    layout (a 1-row frame reshaped to 4 metric rows)."""
+    (_dedup_pairs_default); the tight-cap and skew arms consume ONE
+    shared banding of the corpus (persist barrier, r13 — both need the
+    identical default-parameter banded layout, so the shingle/md5/
+    permutation pass runs once, not twice); the skew arm is one
+    aggregate over it (a 1-row frame reshaped to 4 metric rows)."""
+    from ..operators.dedup import (
+        bucket_skew_stats,
+        minhash_band_rows,
+        minhash_pairs_from_bands,
+    )
+    from ..operators.util import persist_barrier
+
     default = _dedup_pairs_default(spark, sf_dir).withColumn(
         "arm", F.lit("default_cap")
     )
-    tight = minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
-        num_hashes=_MH_NUM,
-        bands=_MH_BANDS,
-        shingle_n=_MH_N,
+    # ONE corpus signing shared by the tight-cap and skew arms (r13
+    # optimization): both consume the identical default-parameter
+    # banded layout, and the shingle/md5/permutation pass is the
+    # entry's dominant per-run cost — the barrier materializes it once
+    # instead of twice (bench releases it between entries).
+    banded = persist_barrier(
+        minhash_band_rows(
+            _t(spark, sf_dir, "documents"),
+            num_hashes=_MH_NUM,
+            bands=_MH_BANDS,
+            shingle_n=_MH_N,
+        )
+    )
+    tight = minhash_pairs_from_bands(
+        banded,
         jaccard_threshold=_MH_THRESH,
         max_bucket_size=_MH_CAP,
     ).withColumn("arm", F.lit("tight_cap"))
     stack_args = ", ".join(f"'{m}', {m}" for m in _SKEW_METRICS)
     skew = (
-        dedup_bucket_skew_report(spark, sf_dir)
+        bucket_skew_stats(banded, ["band_idx", "band_hash"], _MH_CAP)
         .selectExpr(f"stack({len(_SKEW_METRICS)}, {stack_args}) AS (metric, v)")
         .select(
             F.concat(F.lit("skew:"), F.col("metric")).alias("arm"),
@@ -1863,7 +1882,9 @@ def _pq_rerank_oracle(sf_dir: str) -> str:
     """
 
 
-def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_pq_rerank(
+    spark: SparkSession, sf_dir: str, codes: DataFrame | None = None
+) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI 2011), the
     memory-scale path beside LSH and IVF: corpus vectors compress to
     16 4-bit codes (32x smaller than float32), queries score the code
@@ -1886,7 +1907,9 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
     # see knn_ivf_cosine: one materialization shared by gate + caller
     approx = (
-        pq_rerank_topk(emb, queries, books, k=_KNN_K, shortlist=_PQ_SHORTLIST)
+        pq_rerank_topk(
+            emb, queries, books, k=_KNN_K, shortlist=_PQ_SHORTLIST, codes=codes
+        )
         .select("query_id", "neighbor_id", "cosine", "rank")
         .localCheckpoint()
     )
@@ -2067,9 +2090,16 @@ def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall gate intact) as the 'pq' arm of a `variant` column — same
     query grain, shared codebooks and exact-kNN ground-truth artifact,
     one driver hash certifying both serving pipelines."""
+    from ..operators.similarity import ivf_pq_index
+
     emb, index = _ivf_index_for(spark, sf_dir)
     books = _pq_codebooks_for(sf_dir)
     queries = emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
+    # ONE corpus quantization shared by both arms (r13 optimization):
+    # the routed composition consumes the (id, cell, codes) index, the
+    # full-corpus ADC arm the same frame minus the cell — the encode
+    # expression is identical either way, so values are unchanged.
+    shared_index = ivf_pq_index(emb, books, index)
     # see knn_ivf_cosine: one materialization shared by gate + caller
     approx = (
         ivf_pq_knn(
@@ -2080,6 +2110,7 @@ def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             shortlist=_PQ_SHORTLIST,
             n_probe=_IVFPQ_PROBE,
             index=index,
+            indexed=shared_index,
         )
         .select("query_id", "neighbor_id", "cosine", "rank")
         .localCheckpoint()
@@ -2090,7 +2121,7 @@ def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.5,
         "knn_ivf_pq_rerank",
     )
-    pq_arm = knn_pq_rerank(spark, sf_dir)
+    pq_arm = knn_pq_rerank(spark, sf_dir, codes=shared_index.select("id", "codes"))
     return (
         approx.select(F.lit("ivfpq").alias("variant"), "*")
         .unionByName(pq_arm.select(F.lit("pq").alias("variant"), "*"))
@@ -3335,12 +3366,22 @@ def curation_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated > kept. The doc-level core of the funnel — the catalog
     summary aggregates it, and plans/curation.py materializes the kept
     set from it."""
+    from ..operators.textstats import quality_columns
+
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    q = quality_features(d).select("doc_id", "quality_score")
-    digests = d.select(
-        "doc_id", "lang", F.md5(normalize_text("text")).alias("digest")
+    # ONE row-local text pass computes digest AND quality columns (r13
+    # optimization — they were separate projections of the same scan
+    # joined back on doc_id, i.e. a whole extra documents scan plus a
+    # shuffle join for columns that live on the same row; the quality
+    # join was inner on a same-source key, so fusing it is
+    # value-identical).  Unused quality columns prune away.
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        F.md5(normalize_text("text")).alias("digest"),
+        *quality_columns("text"),
     )
-    keepers = digests.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    keepers = per_doc.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
 
     contam = _contamination_hits(d).select(
         "doc_id",
@@ -3355,8 +3396,7 @@ def curation_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
     )
     return (
-        digests.join(keepers, "digest")
-        .join(q, "doc_id")
+        per_doc.join(keepers, "digest")
         .join(contam, "doc_id", "left")
         .select("doc_id", "lang", "quality_score", status.alias("status"))
     )

@@ -477,7 +477,9 @@ EVENTS_SESSION_WINDOW_ORACLE = """
     """
 
 
-def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_session_window(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Spark's native session_window (gap-merged event-time sessions) in
     batch form — the same operator runs under readStream for true
     streaming sessions; oracle replicates the gap semantics with the
@@ -487,8 +489,13 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     [Retired from the catalog in r13: ``events_sessionize`` joins this
     fn's output as its ``*_native`` columns — the driver hash now
     certifies both implementations against one oracle.  This fn keeps
-    its standalone DuckDB parity check in tests/test_catalog_oracle.py.]"""
-    ev = _t(spark, sf_dir, "events")
+    its standalone DuckDB parity check in tests/test_catalog_oracle.py.]
+
+    ``source`` (r13 optimization) lets the merged entry feed BOTH its
+    arms from one materialized user_id-partitioned frame instead of
+    scanning and shuffling events twice — rows are identical, so the
+    aggregate is unchanged."""
+    ev = source if source is not None else _t(spark, sf_dir, "events")
     sw = F.session_window("ts", "30 minutes")
     return (
         ev.groupBy("user_id", sw)

@@ -258,9 +258,20 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # shuffle-free join the entry exists to certify.
     with timed_phase("artifact:bucketed_tables"):
         base = _bucketed_base()
-        for name, table, key in (
-            ("orders", ot, "o_orderkey"),
-            ("lineitem", lt, "l_orderkey"),
+        # Layout sized to its consumer (guide §6, r13): the join entry
+        # reads exactly (key, one measure/dim) per side, so the layout
+        # carries only those columns — at 100 TB you bucket the full
+        # fact once for MANY queries, but THIS artifact exists for one
+        # certified join and writing the other 14 lineitem columns was
+        # pure one-time-build I/O.  repartition(16, key) first: the
+        # bucket id is pmod(hash(key), 16) — the same hash partitioning
+        # — so each write task owns exactly one bucket and the table is
+        # 16 files, not |write tasks| x 16 bucket fragments (fewer
+        # files to open on every read; values and the zero-exchange
+        # SortMergeJoin plan are unchanged either way).
+        for name, table, key, cols in (
+            ("orders", ot, "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+            ("lineitem", lt, "l_orderkey", ["l_orderkey", "l_extendedprice"]),
         ):
             spark.sql(f"DROP TABLE IF EXISTS {table}")
             path = f"{base}/{table}"
@@ -268,6 +279,8 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 shutil.rmtree(path)
             (
                 _t(spark, sf_dir, name)
+                .select(*cols)
+                .repartition(16, F.col(key))
                 .write.mode("overwrite")
                 .bucketBy(16, key)
                 .sortBy(key)

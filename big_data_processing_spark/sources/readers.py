@@ -31,6 +31,9 @@ TESTDATA_TABLES = (
 )
 
 
+_TABLE_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types for engine use.
 
@@ -45,7 +48,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       in UTC so the instant is unchanged, and the engine's time
       functions (``unix_micros``, tz-aware comparisons) expect LTZ —
       matching how DuckDB treats the same column as plain TIMESTAMP.
-    """
+
+    The returned DataFrame is memoized per (SparkContext, sf_dir,
+    table) — r13: ``spark.read.parquet`` pays a driver-side listing +
+    footer schema read on EVERY call, and the catalog calls this
+    hundreds of times per bench run.  A DataFrame is an immutable
+    logical plan, so reuse is safe and plan-identical; every action
+    still scans the parquet (this caches the table DEFINITION, never
+    data).  Keyed on (applicationId, startTime) so a new session never
+    sees plans bound to a stopped context's JVM objects."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    tag = (sc.applicationId, sc.startTime) if sc is not None else None
+    if _TABLE_MEMO.get("_tag") != tag:
+        _TABLE_MEMO.clear()
+        _TABLE_MEMO["_tag"] = tag
+    key = (sf_dir.rstrip("/"), name)
+    cached = _TABLE_MEMO.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
@@ -53,7 +75,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+    _TABLE_MEMO[key] = df
     return df
+
+
+def _clear_table_memo() -> None:
+    """Test hook: forget memoized table definitions (e.g. after a
+    fixture rewrites a table path within one session)."""
+    _TABLE_MEMO.clear()
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
