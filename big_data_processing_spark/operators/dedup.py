@@ -152,11 +152,24 @@ def _perm(i: int):
 
 
 def minhash_signature_cols(hash_set_col, num_hashes: int) -> list:
-    """One min-hash column per permutation over a shingle-hash array."""
-    return [
-        F.array_min(F.transform(hash_set_col, _perm(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    """One min-hash column per permutation over a shingle-hash array.
+
+    Construction memoized per (input column, num_hashes) — the
+    permutation transforms cost ~5 py4j round-trips each and the
+    minhash entries rebuild their plans every bench run (r13, the
+    session_expr_cache class of fix; the Columns are pure functions of
+    the key)."""
+    from .util import session_expr_cache
+
+    key = ("minhash_sig", str(hash_set_col), num_hashes)
+    cols = session_expr_cache().get(key)
+    if cols is None:
+        cols = [
+            F.array_min(F.transform(hash_set_col, _perm(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+        session_expr_cache()[key] = cols
+    return cols
 
 
 def minhash_band_rows(
@@ -171,32 +184,43 @@ def minhash_band_rows(
     (id, shingle_set, band_idx, band_hash) row per (doc, band). Shared
     by :func:`minhash_lsh_pairs` and :func:`bucket_skew_stats`-based
     observability (same buckets the join would shuffle on)."""
+    from .util import session_expr_cache
+
     rows = num_hashes // bands
-    toks = tokenize(F.col(text_col))
-    sh = shingles(toks, shingle_n)
-    # one md5 pass: the distinct shingle-hash set serves both the
-    # signature permutations and the exact-Jaccard verification.
+    skey = ("minhash_shingle_set", text_col, shingle_n)
+    sset = session_expr_cache().get(skey)
+    if sset is None:
+        toks = tokenize(F.col(text_col))
+        sh = shingles(toks, shingle_n)
+        # one md5 pass: the distinct shingle-hash set serves both the
+        # signature permutations and the exact-Jaccard verification.
+        # Construction memoized (r13, session_expr_cache).
+        sset = F.array_distinct(F.transform(sh, lambda s: hash32(s)))
+        session_expr_cache()[skey] = sset
     # Repartition first: shingling is CPU-dense per row, and small doc
     # corpora often arrive as one parquet split — spread the work.
     hashed = spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.transform(sh, lambda s: hash32(s))).alias("shingle_set"),
+        F.col(id_col).alias("id"), sset.alias("shingle_set")
     )
     base = hashed.select(
         "id",
         "shingle_set",
         *minhash_signature_cols(F.col("shingle_set"), num_hashes),
     )
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+    bkey = ("minhash_band_hashes", num_hashes, bands)
+    band_hashes = session_expr_cache().get(bkey)
+    if band_hashes is None:
+        band_hashes = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+                    )
                 )
-            )
-            for b in range(bands)
-        ]
-    )
+                for b in range(bands)
+            ]
+        )
+        session_expr_cache()[bkey] = band_hashes
     return base.select(
         "id", "shingle_set", F.posexplode_outer(band_hashes).alias("band_idx", "band_hash")
     )
@@ -289,32 +313,40 @@ def simhash_fingerprints(
     sign vote). Docs sharing a fingerprint are near-duplicate
     candidates; returns (id, simhash). ``bits`` > 32 switches to the
     60-bit token hash so every fingerprint bit gets a real vote."""
+    from .util import session_expr_cache
+
     df = spread(df, id_col)
-    toks = tokenize(F.col(text_col))
-    hash_fn = hash60 if bits > 32 else hash32
-    tokhash = F.transform(toks, lambda t: hash_fn(t, seed="sh:"))
-    # one fold over the token hashes accumulating all per-bit votes at
-    # once ((h>>j)&1 expressed as h % 2p >= p so it stays a pure array
-    # expression); then one zip to assemble the fingerprint.
-    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
-    votes = F.aggregate(
-        tokhash,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            pow2,
-            lambda a, p: a + F.when(h % (p * 2) >= p, 1).otherwise(-1),
-        ),
-    )
-    simhash = F.aggregate(
-        F.zip_with(
-            votes,
-            pow2,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    key = ("simhash_fp", text_col, bits)
+    simhash = session_expr_cache().get(key)
+    if simhash is None:
+        toks = tokenize(F.col(text_col))
+        hash_fn = hash60 if bits > 32 else hash32
+        tokhash = F.transform(toks, lambda t: hash_fn(t, seed="sh:"))
+        # one fold over the token hashes accumulating all per-bit votes
+        # at once ((h>>j)&1 expressed as h % 2p >= p so it stays a pure
+        # array expression); then one zip to assemble the fingerprint.
+        # Construction memoized per (text_col, bits) — r13, see
+        # session_expr_cache.
+        pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+        votes = F.aggregate(
+            tokhash,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                pow2,
+                lambda a, p: a + F.when(h % (p * 2) >= p, 1).otherwise(-1),
+            ),
+        )
+        simhash = F.aggregate(
+            F.zip_with(
+                votes,
+                pow2,
+                lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        session_expr_cache()[key] = simhash
     return df.select(F.col(id_col).alias("id"), simhash.alias("simhash"))
 
 
@@ -442,22 +474,35 @@ def winnow_fingerprints(
 
     Returns (id, n_grams, fps: array<long> of distinct fingerprints).
     """
-    toks = tokenize(F.col(text_col))
-    hashes = F.transform(shingles(toks, shingle_n), lambda g: hash32(g))
+    from .util import session_expr_cache
+
+    key = ("winnow_fp", text_col, shingle_n, window)
+    cached = session_expr_cache().get(key)
+    if cached is None:
+        # construction memoized per (text_col, shingle_n, window) —
+        # r13, see session_expr_cache (the nested window-min fold is a
+        # pure function of the key; "h" is a name-based reference)
+        toks = tokenize(F.col(text_col))
+        hashes = F.transform(shingles(toks, shingle_n), lambda g: hash32(g))
+        m = F.size(F.col("h"))
+        nwin = F.greatest(F.lit(1), m - F.lit(window - 1))
+        sel = F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda p: F.aggregate(
+                F.sequence(p, F.least(m, p + F.lit(window - 1))),
+                p,
+                lambda best, i: F.when(
+                    F.element_at(F.col("h"), i) <= F.element_at(F.col("h"), best), i
+                ).otherwise(best),
+            ),
+        )
+        fps = F.array_distinct(
+            F.transform(sel, lambda i: F.element_at(F.col("h"), i))
+        )
+        cached = (hashes, m, fps)
+        session_expr_cache()[key] = cached
+    hashes, m, fps = cached
     d = df.select(F.col(id_col).alias("id"), hashes.alias("h"))
-    m = F.size(F.col("h"))
-    nwin = F.greatest(F.lit(1), m - F.lit(window - 1))
-    sel = F.transform(
-        F.sequence(F.lit(1), nwin),
-        lambda p: F.aggregate(
-            F.sequence(p, F.least(m, p + F.lit(window - 1))),
-            p,
-            lambda best, i: F.when(
-                F.element_at(F.col("h"), i) <= F.element_at(F.col("h"), best), i
-            ).otherwise(best),
-        ),
-    )
-    fps = F.array_distinct(F.transform(sel, lambda i: F.element_at(F.col("h"), i)))
     return d.select(
         "id", m.cast("long").alias("n_grams"), fps.alias("fps")
     )
