@@ -166,6 +166,12 @@ _PRIORITY: tuple[str, ...] = (
     # doc_id; the join was inner on a same-source key, so fusing is
     # value-identical).
     "curation_pipeline_summary",
+    # r13 optimization plan change on an r12-GREEN entry — spends the
+    # second banked slot (window: 50 of 50): the (digest, pfx, bucket)
+    # index projection is persisted once instead of being substituted
+    # into all five plan branches (the corpus was normalize+md5-hashed
+    # five times per run).
+    "dedup_incremental_batch",
 )
 
 

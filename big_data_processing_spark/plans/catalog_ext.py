@@ -3689,15 +3689,25 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import hash32
     from ..functions.text import normalize_text as _nt
 
+    from ..operators.util import persist_barrier
+
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     bucket = hash32(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))) % 100
     norm = _nt("text")
-    base = d.select(
-        "doc_id",
-        "source",
-        F.md5(norm).alias("digest"),
-        F.substring(norm, 1, 40).alias("pfx"),
-        bucket.alias("bucket"),
+    # persist barrier (r13 optimization): this slim (digest, pfx,
+    # bucket) index projection feeds FIVE plan branches (incoming ×3,
+    # history ×2) — without the barrier CollapseProject substitutes the
+    # normalize+md5 text pass into every branch and the corpus is
+    # re-hashed five times per run.  In production this frame IS the
+    # historical index table.  Caller-released via release_barriers.
+    base = persist_barrier(
+        d.select(
+            "doc_id",
+            "source",
+            F.md5(norm).alias("digest"),
+            F.substring(norm, 1, 40).alias("pfx"),
+            bucket.alias("bucket"),
+        )
     )
     hist = base.filter(F.col("bucket") < _INCR_SPLIT_PCT)
     incoming = base.filter(F.col("bucket") >= _INCR_SPLIT_PCT)
