@@ -3367,6 +3367,7 @@ def curation_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary aggregates it, and plans/curation.py materializes the kept
     set from it."""
     from ..operators.textstats import quality_columns
+    from ..operators.util import persist_barrier
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     # ONE row-local text pass computes digest AND quality columns (r13
@@ -3374,12 +3375,20 @@ def curation_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joined back on doc_id, i.e. a whole extra documents scan plus a
     # shuffle join for columns that live on the same row; the quality
     # join was inner on a same-source key, so fusing it is
-    # value-identical).  Unused quality columns prune away.
-    per_doc = d.select(
-        "doc_id",
-        "lang",
-        F.md5(normalize_text("text")).alias("digest"),
-        *quality_columns("text"),
+    # value-identical).  Pruned to the consumed columns and persisted
+    # (r13 follow-up): the projection feeds BOTH the keepers aggregate
+    # and the join probe side, and without the barrier CollapseProject
+    # substituted the md5+quality text pass into each branch — the
+    # corpus was hashed twice per run (the §10 dedup_incremental_batch
+    # finding, same fix).  In production this frame is the curation
+    # index a pipeline would materialize anyway.
+    per_doc = persist_barrier(
+        d.select(
+            "doc_id",
+            "lang",
+            F.md5(normalize_text("text")).alias("digest"),
+            *quality_columns("text"),
+        ).select("doc_id", "lang", "digest", "quality_score")
     )
     keepers = per_doc.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
 
