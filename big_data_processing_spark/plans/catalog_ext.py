@@ -457,13 +457,23 @@ def _dedup_pairs_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared-constant edge source of the whole dedup family."""
 
     def build() -> DataFrame:
-        return minhash_lsh_pairs(
-            _t(spark, sf_dir, "documents"),
-            num_hashes=_MH_NUM,
-            bands=_MH_BANDS,
-            shingle_n=_MH_N,
-            jaccard_threshold=_MH_THRESH,
+        from ..operators.dedup import minhash_band_rows, minhash_pairs_from_bands
+        from ..operators.util import persist_barrier
+
+        # Sign the corpus ONCE (r13): the banded frame feeds the cap
+        # pre-aggregate AND both sides of the banded self-join — unpersisted,
+        # the shingle/md5/permutation pass ran three times inside this
+        # one-time build (the same §2 sharing the tight-cap entry got).
+        # Same parameters, same cap, identical pair set.
+        banded = persist_barrier(
+            minhash_band_rows(
+                _t(spark, sf_dir, "documents"),
+                num_hashes=_MH_NUM,
+                bands=_MH_BANDS,
+                shingle_n=_MH_N,
+            )
         )
+        return minhash_pairs_from_bands(banded, jaccard_threshold=_MH_THRESH)
 
     return _memo_artifact(spark, sf_dir, "minhash_pairs_default", build)
 
