@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 from big_data_processing_spark.operators.dedup import (
     MINHASH_AB,
     MINHASH_P,
+    minhash_band_rows,
     minhash_lsh_pairs,
+    minhash_pairs_from_bands,
     simhash_fingerprints,
     simhash_hamming_pairs,
 )
@@ -30,6 +32,33 @@ words = st.lists(
 def documents(draw, n=st.integers(2, 8)):
     k = draw(n)
     return [(i, " ".join(draw(words))) for i in range(k)]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(documents())
+def test_split_banding_pipeline_equals_monolithic(spark, docs):
+    """minhash_pairs_from_bands(minhash_band_rows(df)) must return the
+    exact pair set of minhash_lsh_pairs(df) — the r13 split lets
+    callers sign the corpus once and share the banded frame, and this
+    pins that the composition (including the cap path) stays
+    value-identical.  Duplicates are injected so pairs exist, and a
+    tight cap (2) exercises the over-cap pre-aggregate branch."""
+    dup = docs + [(len(docs) + i, d[1]) for i, d in enumerate(docs[:2])]
+    df = spark.createDataFrame(dup, ["doc_id", "text"])
+    for cap in (None, 2):
+        mono = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in minhash_lsh_pairs(
+                df, jaccard_threshold=0.3, max_bucket_size=cap
+            ).collect()
+        )
+        split = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in minhash_pairs_from_bands(
+                minhash_band_rows(df), jaccard_threshold=0.3, max_bucket_size=cap
+            ).collect()
+        )
+        assert split == mono
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
