@@ -97,17 +97,30 @@ def main() -> None:
     sh = F.array_distinct(
         F.transform(shingles(tokenize(F.col("text")), 3), lambda s: hash32(s))
     )
-    docs.select(
-        F.array_min(F.transform(sh, lambda h: (h * F.lit(3) + F.lit(1)) % F.lit(7)))
-    ).collect()
     emb = load_table(spark, sf_dir, "embeddings").limit(16)
-    emb.select(cosine(F.col("embedding"), F.col("embedding"))).collect()
-    # Arrow-path Python workers spin up lazily on the first mapInPandas
-    # task (~1-3s across 32 cores) and were being charged to whichever
-    # codec entry ran first alphabetically (multimodal_decode_stats
-    # carried a wandering 2-5s spread in every r11 run); touch the path
-    # once here so the cost lands in setup like the codegen warm-ups.
-    spark.range(32).mapInPandas(lambda it: it, "id long").collect()
+    # The three warm-up actions are INDEPENDENT (shingle-HOF codegen
+    # compile, zip_with fold compile, Arrow Python-worker spin-up — the
+    # last was being charged to whichever codec entry ran first, r11),
+    # so they overlap from a small driver pool (guide §2.6) instead of
+    # serializing three multi-second one-offs; the block's WALL is what
+    # setup charges.  Measured serial/parallel split in
+    # OPTIMIZATION_r14.md §5.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _warm_actions = [
+        lambda: docs.select(
+            F.array_min(
+                F.transform(sh, lambda h: (h * F.lit(3) + F.lit(1)) % F.lit(7))
+            )
+        ).collect(),
+        lambda: emb.select(
+            cosine(F.col("embedding"), F.col("embedding"))
+        ).collect(),
+        lambda: spark.range(32).mapInPandas(lambda it: it, "id long").collect(),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        for _f in [_pool.submit(a) for a in _warm_actions]:
+            _f.result()
     setup["expr_warmup"] = round(time.perf_counter() - t0, 3)
 
     # Each query runs N times (default 3, $SPARK_GRAFT_BENCH_RUNS) and
@@ -142,6 +155,26 @@ def main() -> None:
             raise SystemExit(
                 f"SPARK_GRAFT_BENCH_ONLY names not in catalog: {unknown}"
             )
+    # One-time artifact/table-fixture builds run UP FRONT with the
+    # independent builds overlapped (r14, guide §2.6) so the whole
+    # one-time cost is a single measured wall-clock block instead of a
+    # serial chain spread across whichever entries trigger them first.
+    # Per-entry timing semantics are unchanged — entries simply find
+    # the artifacts warm, exactly as they already did on their 2nd+
+    # runs; anything NOT prebuilt still flows through the lazy per-run
+    # accounting below.  Subset runs skip the prebuild (they'd pay for
+    # artifacts the subset never reads) and keep lazy builds.
+    artifacts_prebuilt: dict[str, float] = {}
+    if not only:
+        from big_data_processing_spark.plans.catalog_ext import (
+            prebuild_artifacts,
+        )
+
+        drain_phases()
+        t0 = time.perf_counter()
+        artifacts_prebuilt = prebuild_artifacts(spark, sf_dir)
+        setup["artifacts_one_time"] = round(time.perf_counter() - t0, 3)
+        drain_phases()  # the pool's artifact:* phases are accounted above
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     spread_worst: dict[str, float] = {}
@@ -273,7 +306,12 @@ def main() -> None:
             phase_split[name] = split
 
     if one_time_setup > 0:
-        setup["artifacts_one_time"] = round(one_time_setup, 3)
+        # adds to (never overwrites) the prebuild block's wall: a build
+        # the prebuild list misses still charges here when an entry
+        # triggers it lazily
+        setup["artifacts_one_time"] = round(
+            setup.get("artifacts_one_time", 0.0) + one_time_setup, 3
+        )
     total = round(sum(timings.values()) + sum(setup.values()), 3)
     ordered = sorted(timings.values())
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
@@ -304,6 +342,10 @@ def main() -> None:
         "spread_worst": spread_worst,
         "setup": setup,
         "phase_split": phase_split,
+        # per-build THREAD wall inside the overlapped prebuild block
+        # (r14): sums to more than setup.artifacts_one_time exactly
+        # when the overlap is winning
+        "artifacts_prebuilt": artifacts_prebuilt,
         "noise_note": noise_note,
         "n_queries": len(timings),
         "runs_per_query": n_runs,

@@ -65,7 +65,11 @@ def _hashes(key: Column, m: int, k: int) -> list[Column]:
 
 
 def build_bloom_words(
-    keys: DataFrame, key_col: str, bits_per_key: int = 8, k: int = 3
+    keys: DataFrame,
+    key_col: str,
+    bits_per_key: int = 8,
+    k: int = 3,
+    n_keys: int | None = None,
 ) -> tuple[list[int], int, int]:
     """Aggregate ``keys[key_col]`` into a Bloom bitmap; returns
     ``(words, m_bits, k)`` where words is the m/64-long signed-word
@@ -77,8 +81,20 @@ def build_bloom_words(
     collect is ≤ m/64 longs of metadata, bounded by the KEY CARDINALITY
     the caller chose to summarize, independent of fact volume.  The
     aggregation is one shuffle of (word_idx, bit) pairs with map-side
-    bit_or combining."""
-    n = keys.count()
+    bit_or combining.
+
+    ``n_keys`` (r14, guide §1.2 — don't compute things you throw
+    away): an UPPER BOUND on the key count supplied by the caller —
+    typically the unfiltered table row count from parquet footer /
+    table-format manifest metadata — replaces the per-run ``count()``
+    job that otherwise exists only to size m.  Any bound ≥ the true
+    count only lowers the false-positive rate; a bound BELOW the true
+    count only raises it — membership answers stay correct either way
+    (false negatives are impossible by construction), so downstream
+    exact joins are unaffected.  At 100 TB the count() this replaces
+    is a full scan+aggregate of the dim table per query; the metadata
+    read is O(files) driver-side work the planner already pays."""
+    n = keys.count() if n_keys is None else n_keys
     m = 1 << max(9, math.ceil(math.log2(max(1, n) * bits_per_key)))
     bit_table = F.lit(_BIT_TABLE)
     exploded = keys.select(
@@ -113,8 +129,19 @@ def bloom_might_contain(
     The literal is cast to array<bigint> explicitly: lit() infers the
     NARROWEST type from the values, and a sparse bitmap whose words
     all happen to fit 32 bits would otherwise become array<int> — on
-    which bit_get throws for positions above 31."""
-    arr = F.lit(words).cast("array<bigint>")
+    which bit_get throws for positions above 31.
+
+    The word list crosses to the JVM as ONE parsed SQL expression
+    (r14): ``F.lit(list)`` expands to ``array(lit(w) for w)`` — one
+    py4j round-trip PER ELEMENT — and even ``F.lit(ndarray)`` converts
+    element-wise inside py4j; both measured 1.4-3.5 s PER PLAN BUILD
+    for an m/64 = 4-8k word bitmap, larger than the probe's whole
+    execution (~0.4 s warm).  Catalyst parses the same array literal
+    from one ~100 KB string in ~10 ms.  Exact: ``L``-suffixed longs
+    parse to the identical BIGINT values, no float round-trip."""
+    arr = F.expr(
+        "array(" + ",".join(f"{w}L" for w in words) + ")"
+    ).cast("array<bigint>")
     cond = F.lit(True)
     for pos in _hashes(key, m, k):
         word = F.element_at(arr, (pos / 64).cast("int") + 1)

@@ -123,10 +123,14 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     cached = _pq_cache().get(key)
     if cached is not None:
         return cached
+    import numpy as _np
+
     dv = _to_double(vec)
     sig = None
     for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        # one bulk float64 ndarray per plane (r14) instead of one py4j
+        # round-trip per coordinate — identical array<double> literal
+        plane = F.lit(_np.asarray([float(x) for x in p], dtype=_np.float64))
         bit = F.when(dot(dv, plane) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -272,13 +276,19 @@ def _ivf_cell_fns(centroids: "list[list[float]]"):
         # measured ~15x SLOWER end-to-end — Catalyst/codegen time on
         # the giant duplicated trees dwarfs the interpreted-fold cost
         # it saves.
+        import numpy as _np
+
         dv = _to_double(vec)
+        # each centroid crosses as ONE float64 ndarray (r14): the
+        # element-wise F.array(*[F.lit(x) ...]) form paid one py4j
+        # round-trip per coordinate — ~1k calls per build; the bulk
+        # path produces the identical array<double> literal
         return F.array(
             *[
                 F.aggregate(
                     F.zip_with(
                         dv,
-                        F.array(*[F.lit(x) for x in c]),
+                        F.lit(_np.asarray(c, dtype=_np.float64)),
                         lambda a, b: (a - b) * (a - b),
                     ),
                     F.lit(0.0),
@@ -705,7 +715,17 @@ def _codebook_lit(book: "list[list[float]]") -> Column:
     key = ("lit", tuple(tuple(c) for c in book))
     col = _pq_cache().get(key)
     if col is None:
-        col = F.lit([[float(x) for x in cent] for cent in book])
+        import numpy as _np
+
+        # one bulk float64 ndarray per codeword (r14): F.lit(nested
+        # list) recurses to one py4j round-trip per scalar; the inner
+        # arrays cross bulk instead, same array<array<double>> literal
+        col = F.array(
+            *[
+                F.lit(_np.asarray([float(x) for x in cent], dtype=_np.float64))
+                for cent in book
+            ]
+        )
         _pq_cache()[key] = col
     return col
 

@@ -408,6 +408,7 @@ _MH_CAP = 2
 _ARTIFACT_DIR: str | None = None
 _ARTIFACTS: dict[tuple[str, str], str] = {}
 _ARTIFACT_SEQ = 0  # monotonic: len(_ARTIFACTS) does not grow on rebuilds
+_BUILDS_IN_FLIGHT = 0  # gates the inline barrier release (see below)
 
 
 def _memo_artifact(
@@ -443,13 +444,128 @@ def _memo_artifact(
         path = os.path.join(_ARTIFACT_DIR, f"{name}_{_ARTIFACT_SEQ}")
         # recorded as one-time "setup" so bench.py can report the build
         # separately from the steady-state serving time it amortizes
-        with timed_phase(f"artifact:{name}"):
-            writer = build().write.mode("overwrite")
-            if partition_by is not None:
-                writer = writer.partitionBy(partition_by)
-            writer.parquet(path)
+        from ..operators.util import _BARRIERS
+
+        global _BUILDS_IN_FLIGHT
+        _BUILDS_IN_FLIGHT += 1
+        try:
+            with timed_phase(f"artifact:{name}"):
+                n_barriers_before = len(_BARRIERS)
+                writer = build().write.mode("overwrite")
+                if partition_by is not None:
+                    writer = writer.partitionBy(partition_by)
+                writer.parquet(path)
+                # Barriers persisted INSIDE the build (e.g. the banded
+                # frame the pairs build shares across its branches) can
+                # never be reused once the artifact parquet exists — the
+                # memo returns spark.read.parquet — so release them now
+                # instead of leaving their blocks registered until the
+                # owner's next release_barriers() (ADVICE r13: in
+                # consumers that never drain barriers, like driver_sim,
+                # they occupied storage memory for the process lifetime).
+                # Only the build's OWN barriers are popped; callers' live
+                # barriers below the watermark are untouched.  Skipped
+                # when another build is in flight (the r14 overlapped
+                # prebuild): the global stack interleaves across threads
+                # there, and a concurrent build's live barrier must not
+                # be popped mid-build — the LAST build to finish (or the
+                # bench's between-entry release_barriers) frees the
+                # stragglers, which by then are all dead.
+                if _BUILDS_IN_FLIGHT == 1:
+                    while len(_BARRIERS) > n_barriers_before:
+                        try:
+                            _BARRIERS.pop()()
+                        except Exception:
+                            pass
+        finally:
+            _BUILDS_IN_FLIGHT -= 1
         _ARTIFACTS[key] = path
     return spark.read.parquet(path)
+
+
+def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Warm every known one-time artifact / table fixture, overlapping
+    the INDEPENDENT builds from a small driver thread pool (guide §2.6:
+    actions are only sequential because the driver calls them
+    sequentially — a later build's tasks back-fill executors freed by
+    an earlier build's straggler tail).  Returns {task: thread_wall_s}.
+
+    Called by bench.py before the timed catalog pass so one-time build
+    cost lands in ONE measured wall-clock block
+    (setup.artifacts_one_time) instead of serially inflating whichever
+    entries happen to run first; every build still computes from the
+    parquet inputs in-process (the r7 artifact-memo contract — nothing
+    here caches results across runs or processes).  Lazy building
+    stays in place for every other consumer (driver_sim, tests,
+    subset-mode bench runs) and for any artifact not listed here.
+
+    Structure: the two shared memo ROOTS both txn chains read
+    (base_rollup, orders_fact_base) build serially first — two pool
+    tasks racing the same memo key would build it twice.  Then the
+    independent chains overlap.  The cc_star contraction runs LAST and
+    ALONE: its fixpoint loop micro-tunes session confs for the loop's
+    duration (graph.py's documented single-query assumption), and a
+    build planned concurrently would silently inherit AQE-off and the
+    micro shuffle sizing."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import txnfix
+
+    txnfix.base_rollup(spark, sf_dir)
+    txnfix.orders_fact_base(spark, sf_dir)
+
+    def _scale_task(name: str):
+        # catalog_scale imports from this module; bind its producers
+        # lazily to keep the import DAG acyclic
+        from . import catalog_scale
+
+        return {
+            "nation_monthly_rollup": catalog_scale._nation_monthly_rollup,
+            "orders_partitioned": catalog_scale._orders_partitioned,
+            "bucketed_tables": catalog_scale._bucketed_tables,
+        }[name]
+
+    tasks: dict = {
+        # chained internally: pairs artifact resolves before components
+        "dedup_components": lambda: _dedup_components(spark, sf_dir),
+        # chained internally: base rollup (warm) -> create2 -> cdf history
+        "txn_cdf_history": lambda: txnfix.cdf_history_fixture(spark, sf_dir),
+        "txn_fragmented": lambda: txnfix.fragmented_fixture(spark, sf_dir),
+        "txn_partitioned": lambda: txnfix.partitioned_fixture(spark, sf_dir),
+        "txn_evolution": lambda: txnfix.evolution_fixture(spark, sf_dir),
+        "txn_docs_cdf": lambda: txnfix.docs_cdf_fixture(spark, sf_dir),
+        "knn_exact_topk": lambda: _knn_exact_baseline(spark, sf_dir),
+        "ivf_refresh_merged": lambda: _ivf_refresh_fixture(spark, sf_dir),
+        "nation_monthly_rollup": lambda: _scale_task("nation_monthly_rollup")(
+            spark, sf_dir
+        ),
+        "orders_partitioned": lambda: _scale_task("orders_partitioned")(
+            spark, sf_dir
+        ),
+        "bucketed_tables": lambda: _scale_task("bucketed_tables")(
+            spark, sf_dir
+        ),
+    }
+
+    walls: dict[str, float] = {}
+
+    def _run(name: str):
+        t0 = _time.perf_counter()
+        tasks[name]()
+        walls[name] = round(_time.perf_counter() - t0, 3)
+
+    # 4 in flight: enough to fill stage tails, not enough to thrash
+    # the scheduler (guide §2.6: "2-3 jobs in flight is plenty")
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = {n: pool.submit(_run, n) for n in tasks}
+        for n, fut in futures.items():
+            fut.result()  # propagate the first build failure
+
+    t0 = _time.perf_counter()
+    dedup_cc_star_contraction(spark, sf_dir)  # build only; frame stays lazy
+    walls["cc_star_components"] = round(_time.perf_counter() - t0, 3)
+    return walls
 
 
 def _dedup_pairs_default(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1687,6 +1803,30 @@ def _ivf_refresh_oracle(sf_dir: str) -> str:
     """
 
 
+def _ivf_refresh_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shape ``ivf_refresh_merged``: base snapshot (80% of vectors)
+    CREATEd, incoming 20% MERGEd — the one-time table the refresh arm
+    reads (r13).  Extracted from the arm fn (r14) so the prebuild phase
+    can warm it without running the report."""
+    from ..sources.txnlog import txn_create, txn_merge
+    from .txnfix import table_fixture
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def build(path: str) -> None:
+        txn_create(
+            spark, path, emb.filter(F.col("vec_id") % _IVF_REFRESH_MOD != 0),
+            stat_col="vec_id",
+        )
+        txn_merge(
+            spark, path,
+            emb.filter(F.col("vec_id") % _IVF_REFRESH_MOD == 0),
+            key_cols=["vec_id"],
+        )
+
+    return table_fixture(spark, sf_dir, "ivf_refresh_merged", build)
+
+
 def knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Retired from the catalog in r13: knn_ivf_cosine carries this
     report as its 'refresh' arm — judge r12 item 4 window headroom;
@@ -1722,25 +1862,13 @@ def knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances are quantized to integer micro-units per ROW (bit-identical
     IEEE folds both engines), so no float ever crosses an aggregation."""
     from ..operators.similarity import _ivf_cell_fns
-    from ..sources.txnlog import txn_create, txn_merge, txn_read
-    from .txnfix import table_fixture
+    from ..sources.txnlog import txn_read
 
     emb = _t(spark, sf_dir, "embeddings")
     centroids = _ivf_centroids_for(sf_dir)
     cell_dists, nearest_cells = _ivf_cell_fns(centroids)
 
-    def build(path: str) -> None:
-        txn_create(
-            spark, path, emb.filter(F.col("vec_id") % _IVF_REFRESH_MOD != 0),
-            stat_col="vec_id",
-        )
-        txn_merge(
-            spark, path,
-            emb.filter(F.col("vec_id") % _IVF_REFRESH_MOD == 0),
-            key_cols=["vec_id"],
-        )
-
-    table = table_fixture(spark, sf_dir, "ivf_refresh_merged", build)
+    table = _ivf_refresh_fixture(spark, sf_dir)
     snap = txn_read(spark, table)
     assigned = snap.select(
         "vec_id",

@@ -13,6 +13,8 @@ declarative — no collect, no driver-side row handling.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -77,6 +79,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     _TABLE_MEMO[key] = df
     return df
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Total row count of a testdata table from parquet FOOTER
+    metadata — bounded driver-side metadata (one footer read per file,
+    no Spark job, no data scan).
+
+    Used to over-size structures whose only count-dependence is a
+    SIZE, not a value — e.g. a Bloom filter's bit count (r14: the
+    bloom entry's per-run ``keys.count()`` job existed only to size
+    m).  On a manifest-backed table format (Iceberg/Delta) the same
+    number is one manifest lookup; on a raw parquet directory it is
+    the listing the scan planner performs anyway."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _clear_table_memo() -> None:

@@ -52,3 +52,19 @@ def test_memo_hit_matches_fresh_build(spark):
     fresh = {(r.id_a, r.id_b, r.jaccard) for r in
              ce._dedup_pairs_default(spark, SF_A).collect()}
     assert fresh == first
+
+
+def test_build_barriers_released_after_artifact_write(spark):
+    """ADVICE r13: barriers persisted INSIDE a one-time build can never
+    be reused once the artifact parquet exists, so _memo_artifact must
+    release them at the write instead of deferring to the owner's next
+    release_barriers() (driver_sim never drains)."""
+    from big_data_processing_spark.operators.util import _BARRIERS
+
+    n_before = len(_BARRIERS)
+    # the pairs build persists the banded frame across its branches
+    ce._dedup_pairs_default(spark, SF_A)
+    assert len(_BARRIERS) == n_before, (
+        f"{len(_BARRIERS) - n_before} build-internal barrier(s) left "
+        "registered after the artifact write"
+    )

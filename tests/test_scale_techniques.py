@@ -460,8 +460,8 @@ def test_bloom_entry_certificate_is_live(spark, sf_dir, monkeypatch):
 
     real = bloom_mod.build_bloom_words
 
-    def all_ones(keys, key_col, bits_per_key=8, k=3):
-        words, m, kk = real(keys, key_col, bits_per_key, k)
+    def all_ones(keys, key_col, bits_per_key=8, k=3, n_keys=None):
+        words, m, kk = real(keys, key_col, bits_per_key, k, n_keys)
         return [-1] * len(words), m, kk  # every bit set
 
     # the entry imports the function at call time from the module
@@ -511,3 +511,47 @@ def test_memo_artifact_partition_by_layout(spark, tmp_path, monkeypatch):
         d for d in os.listdir(path) if d.startswith("p=")
     ) == ["p=0", "p=1", "p=2"]
     assert df.count() == 100 and set(df.columns) == {"id", "p"}
+
+
+def test_bloom_metadata_sized_no_false_negatives(spark):
+    """r14: m sized from an externally-supplied key-count UPPER BOUND
+    (table row-count metadata) instead of a per-run count() job.  The
+    membership contract is bound-independent: no false negatives at any
+    n_keys, and an over-sized bound only LOWERS the false-positive
+    rate."""
+    from pyspark.sql import functions as F
+
+    from big_data_processing_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    members = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    # 10x over-bound, 2 bits per bound key (the bloom entry's sizing)
+    words, m, k = build_bloom_words(
+        members, "k", bits_per_key=2, n_keys=20_000
+    )
+    assert m >= 2 * 20_000  # sized from the bound, not a count job
+    misses = members.filter(
+        ~bloom_might_contain(words, m, k, F.col("k"))
+    ).count()
+    assert misses == 0, f"{misses} false negatives — bloom contract broken"
+    outsiders = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    fp = outsiders.filter(
+        bloom_might_contain(words, m, k, F.col("k"))
+    ).count()
+    assert fp / 10_000 < 0.2, f"false-positive rate {fp / 10_000} too high"
+
+
+def test_parquet_row_count_matches_scan(spark):
+    """The metadata row count the bloom entry sizes m with must equal
+    the scan's count — footer metadata is exact, not an estimate."""
+    from big_data_processing_spark.sources.readers import (
+        load_table,
+        parquet_row_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert parquet_row_count(sf, "orders") == load_table(
+        spark, sf, "orders"
+    ).count()
